@@ -1,0 +1,265 @@
+"""VectorCollection — the reference-parity user API (SURVEY.md §2.1).
+
+One collection = one Parquet dataset with the engine schema convention
+``__id__ string, vector array<float>, <typed metadata columns>`` plus a tiny
+JSON sidecar for collection-level metadata.  Parquet replaces the reference's
+JSON+base64 single file (/root/reference/src/lib.rs:289-293): columnar,
+compressed, splittable, predicate-pushdown-able — the 100 TB-ready choice.
+
+API parity map (reference method → here):
+  new (src/lib.rs:116-147)        → VectorCollection.open / .create
+  upsert (src/lib.rs:150-185)     → .upsert          (full-row replace, Q2/Q3)
+  query (src/lib.rs:188-260)      → .query
+  get (src/lib.rs:263-270)        → .get
+  delete (src/lib.rs:273-286)     → .delete
+  save (src/lib.rs:289-293)       → .save
+  get/store_additional_data
+    (src/lib.rs:296-303)          → .additional_data / .store_additional_data
+  len / is_empty (src/lib.rs:306-313) → .count / .is_empty
+  vector_bytes_len (src/lib.rs:316-318) → .vector_elems
+
+Ingest guards (divergence decisions, SURVEY.md §1.6): wrong-dimension rows
+are rejected (Q4), zero-norm vectors are rejected (Q5), vectors are unit-
+normalized exactly once at ingest (the reference's normalize-at-write design,
+src/lib.rs:158,173) so query time is a single dot product.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nano_vectordb_rs_spark.functions.vector import (
+    array_lit,
+    as_double_array,
+    dot_expr,
+    norm_expr,
+)
+
+ID_COL = "__id__"
+METRICS_COL = "__metrics__"
+VECTOR_COL = "vector"
+_SIDECAR = "_additional_data.json"
+
+
+class DimensionError(ValueError):
+    pass
+
+
+class ZeroVectorError(ValueError):
+    pass
+
+
+class VectorCollection:
+    """A cosine-similarity vector collection backed by a lazy DataFrame.
+
+    Mutations (upsert/delete) build new logical plans; nothing is persisted
+    until ``save()`` — exactly the reference's in-memory-until-save contract
+    (its tests call save() explicitly, tests/unit_tests.rs:28).
+    """
+
+    def __init__(self, spark: SparkSession, embedding_dim: int, df: DataFrame, path: str | None):
+        self.spark = spark
+        self.embedding_dim = embedding_dim
+        self.metric = "cosine"  # the only metric, like the reference (src/lib.rs:143)
+        self._df = df
+        self.path = path
+        self._additional: dict[str, Any] = {}
+        if path and os.path.exists(os.path.join(path, _SIDECAR)):
+            with open(os.path.join(path, _SIDECAR)) as f:
+                self._additional = json.load(f)
+
+    # -- O1: open/create ----------------------------------------------------
+
+    @staticmethod
+    def _empty_df(spark: SparkSession, metadata_schema: T.StructType | None) -> DataFrame:
+        fields = [
+            T.StructField(ID_COL, T.StringType(), False),
+            T.StructField(VECTOR_COL, T.ArrayType(T.FloatType()), False),
+        ]
+        if metadata_schema:
+            fields += list(metadata_schema.fields)
+        return spark.createDataFrame([], T.StructType(fields))
+
+    @classmethod
+    def open(
+        cls,
+        spark: SparkSession,
+        embedding_dim: int,
+        path: str,
+        metadata_schema: T.StructType | None = None,
+    ) -> "VectorCollection":
+        """Load an existing collection or create an empty one (reference new(),
+        src/lib.rs:116-147). The load-time matrix-size validation
+        (src/lib.rs:122-129) becomes a per-row dimension assertion at ingest,
+        which is strictly stronger."""
+        if os.path.exists(path) and any(
+            n.endswith(".parquet") for n in os.listdir(path) if not n.startswith("_")
+        ):
+            df = spark.read.parquet(path)
+            if VECTOR_COL not in df.columns or ID_COL not in df.columns:
+                raise ValueError(f"not a collection: {path} lacks {ID_COL}/{VECTOR_COL}")
+            return cls(spark, embedding_dim, df, path)
+        return cls(spark, embedding_dim, cls._empty_df(spark, metadata_schema), path)
+
+    # -- ingest guards ------------------------------------------------------
+
+    def _validate_and_normalize(self, batch: DataFrame, strict: bool = True) -> DataFrame:
+        """Q4/Q5 guards + normalize-at-write. ``strict`` raises on bad rows
+        (reference panics, src/lib.rs:324-328,352-355); non-strict filters."""
+        dim_ok = F.size(VECTOR_COL) == self.embedding_dim
+        v = as_double_array(VECTOR_COL)
+        norm = F.expr(norm_expr(v))
+        if strict:
+            bad = batch.filter(~dim_ok | (norm <= 0) | F.isnan(norm)).limit(1).collect()
+            if bad:
+                row = bad[0]
+                if len(row[VECTOR_COL]) != self.embedding_dim:
+                    raise DimensionError(
+                        f"vector for id={row[ID_COL]!r} has dim {len(row[VECTOR_COL])}, "
+                        f"expected {self.embedding_dim}"
+                    )
+                raise ZeroVectorError(f"zero/invalid-norm vector for id={row[ID_COL]!r}")
+        normalized = F.expr(
+            f"transform({v}, x -> CAST(x / {norm_expr(v)} AS FLOAT))"
+        )
+        return batch.filter(dim_ok & (norm > 0)).withColumn(VECTOR_COL, normalized)
+
+    # -- O2: upsert ---------------------------------------------------------
+
+    def upsert(self, batch: DataFrame) -> dict[str, int]:
+        """Join-based merge with full-row-replace semantics (decision Q2) and
+        last-writer-wins for duplicate ids within a batch (decision Q3).
+
+        Returns ``{"updated": n, "inserted": n}`` — the reference's
+        (updated_ids, inserted_ids) report (src/lib.rs:184) as counts.
+        The batch is broadcast; the base collection does not shuffle.
+        """
+        from pyspark.sql.window import Window
+
+        batch = self._validate_and_normalize(batch)
+        batch = batch.withColumn(
+            "__batch_pos__", F.monotonically_increasing_id()
+        )
+        w = Window.partitionBy(ID_COL).orderBy(F.col("__batch_pos__").desc())
+        batch = (
+            batch.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1)
+            .drop("__rn__", "__batch_pos__")
+        )
+        batch = batch.cache()
+        n_batch = batch.count()
+        n_updated = self._df.join(F.broadcast(batch), ID_COL, "left_semi").count()
+        merged = self._df.join(F.broadcast(batch), ID_COL, "left_anti").unionByName(
+            batch, allowMissingColumns=True
+        )
+        self._df = merged
+        return {"updated": n_updated, "inserted": n_batch - n_updated}
+
+    # -- O3: query ----------------------------------------------------------
+
+    def query(
+        self,
+        query_vector: list[float],
+        top_k: int = 10,
+        better_than: float | None = None,
+        where: Column | str | None = None,
+    ) -> DataFrame:
+        """The flagship pipeline (src/lib.rs:188-260) as a declarative plan:
+
+        filter(where) → score = dot(vector, normalize(q)) → score >= t →
+        ORDER BY score DESC, __id__ LIMIT k  (TakeOrderedAndProject).
+
+        ``where`` may be any Column predicate — the Spark generalization of the
+        reference's DataFilter closure (src/lib.rs:112), but optimizable.
+        """
+        if len(query_vector) != self.embedding_dim:
+            raise DimensionError(
+                f"query dim {len(query_vector)} != collection dim {self.embedding_dim}"
+            )
+        qnorm = sum(x * x for x in query_vector) ** 0.5
+        if qnorm <= 0:
+            raise ZeroVectorError("zero query vector")
+        q = [x / qnorm for x in query_vector]  # O3a, hoisted to the driver
+
+        df = self._df
+        if where is not None:
+            df = df.filter(where)
+        score = F.expr(dot_expr(as_double_array(VECTOR_COL), array_lit(q)))
+        df = df.withColumn(METRICS_COL, score)
+        if better_than is not None:
+            df = df.filter(F.col(METRICS_COL) >= float(better_than))
+        return df.orderBy(F.col(METRICS_COL).desc(), F.col(ID_COL).asc()).limit(top_k)
+
+    # -- O4/O5: get / delete ------------------------------------------------
+
+    def get(self, ids: list[str]) -> DataFrame:
+        """Point lookup; missing ids silently dropped (src/lib.rs:263-270)."""
+        ids_df = self.spark.createDataFrame([(str(i),) for i in ids], f"{ID_COL} string")
+        return self._df.join(F.broadcast(ids_df), ID_COL, "left_semi")
+
+    def delete(self, ids: list[str]) -> None:
+        """Anti-join removal (src/lib.rs:273-286); cannot desynchronize
+        anything because the vector column is canonical (fixes quirk Q1)."""
+        ids_df = self.spark.createDataFrame([(str(i),) for i in ids], f"{ID_COL} string")
+        self._df = self._df.join(F.broadcast(ids_df), ID_COL, "left_anti")
+
+    # -- O6: save -----------------------------------------------------------
+
+    def save(self, path: str | None = None) -> None:
+        path = path or self.path
+        if not path:
+            raise ValueError("no storage path configured")
+        # Parquet requires reading before overwriting the same location;
+        # stage through a temp subdir then swap.
+        staged = path + ".staging"
+        self._df.write.mode("overwrite").parquet(staged)
+        import shutil
+
+        if os.path.exists(path):
+            keep = os.path.join(path, _SIDECAR)
+            sidecar = None
+            if os.path.exists(keep):
+                with open(keep) as f:
+                    sidecar = f.read()
+            shutil.rmtree(path)
+            os.rename(staged, path)
+            if sidecar is not None and self._additional == json.loads(sidecar):
+                pass  # rewritten below anyway
+        else:
+            os.rename(staged, path)
+        with open(os.path.join(path, _SIDECAR), "w") as f:
+            json.dump(self._additional, f)
+        self.path = path
+        self._df = self.spark.read.parquet(path)
+
+    # -- O7/O8: collection metadata ----------------------------------------
+
+    def additional_data(self) -> dict[str, Any]:
+        return dict(self._additional)
+
+    def store_additional_data(self, data: dict[str, Any]) -> None:
+        self._additional = dict(data)
+
+    # -- O9/O10/O11: stats --------------------------------------------------
+
+    def count(self) -> int:
+        return self._df.count()
+
+    def is_empty(self) -> bool:
+        return self._df.isEmpty()
+
+    def vector_elems(self) -> int:
+        row = self._df.agg(F.sum(F.size(VECTOR_COL)).alias("n")).collect()[0]
+        return int(row["n"] or 0)
+
+    # -- escape hatch -------------------------------------------------------
+
+    @property
+    def df(self) -> DataFrame:
+        return self._df

@@ -1,0 +1,26 @@
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from nano_vectordb_rs_spark.session import get_spark
+from nano_vectordb_rs_spark.sources.tables import TABLES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("nano-vectordb-rs-spark-tests")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
