@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from nano_vectordb_rs_spark.operators import crud, knn
+from nano_vectordb_rs_spark.operators import crud, events, knn, relational
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -35,6 +35,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_merge": crud.upsert_merge,
         "count_stats": crud.count_stats,
         "normalize_all": crud.normalize_all,
+        # --- relational surface (SURVEY.md §7.5) ---
+        "tpch_q1_pricing": relational.tpch_q1_pricing,
+        "tpch_q3_shipping": relational.tpch_q3_shipping,
+        "tpch_q5_regional": relational.tpch_q5_regional,
+        "order_priority_counts": relational.order_priority_counts,
+        "top_customers": relational.top_customers,
+        "region_rollup": relational.region_rollup,
+        "parts_brand_stats": relational.parts_brand_stats,
+        # --- events surface ---
+        "events_hourly": events.events_hourly,
+        "events_user_seq": events.events_user_seq,
+        "events_sessionized": events.events_sessionized,
+        "events_json_stats": events.events_json_stats,
+        "events_top_users": events.events_top_users,
+        "events_union_slices": events.events_union_slices,
     }
 
 
@@ -48,4 +63,17 @@ def oracle_sql() -> dict[str, str]:
         "upsert_merge": crud.UPSERT_MERGE_SQL,
         "count_stats": crud.COUNT_STATS_SQL,
         "normalize_all": crud.NORMALIZE_ALL_SQL,
+        "tpch_q1_pricing": relational.TPCH_Q1_SQL,
+        "tpch_q3_shipping": relational.TPCH_Q3_SQL,
+        "tpch_q5_regional": relational.TPCH_Q5_SQL,
+        "order_priority_counts": relational.ORDER_PRIORITY_SQL,
+        "top_customers": relational.TOP_CUSTOMERS_SQL,
+        "region_rollup": relational.REGION_ROLLUP_SQL,
+        "parts_brand_stats": relational.PARTS_BRAND_SQL,
+        "events_hourly": events.EVENTS_HOURLY_SQL,
+        "events_user_seq": events.EVENTS_USER_SEQ_SQL,
+        "events_sessionized": events.EVENTS_SESSIONIZED_SQL,
+        "events_json_stats": events.EVENTS_JSON_SQL,
+        "events_top_users": events.EVENTS_TOP_USERS_SQL,
+        "events_union_slices": events.EVENTS_UNION_SQL,
     }

@@ -1,0 +1,249 @@
+"""Event-stream analytics (batch surface; streaming twin in
+``nano_vectordb_rs_spark.streaming``).
+
+The fixture ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader
+rejects by default — every operator here sets
+``spark.sql.legacy.parquet.nanosAsLong`` and works on integer nanoseconds.
+That turns out to be the *right* representation for oracle parity too: all
+bucketing/sessionization below is pure integer arithmetic (micros), immune
+to timezone and float effects in both engines.
+
+Scale notes: hour-bucket and per-user aggregations shuffle once on their
+group keys; sessionization is a single window over (user_id, time) — the
+standard shape AQE handles well even with skewed users.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from nano_vectordb_rs_spark.sources.tables import load_table
+
+DEC = "decimal(28,10)"
+HOUR_US = 3_600_000_000
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = load_table(spark, sf_dir, "events")
+    # nanos → micros, matching DuckDB's TIMESTAMP_NS→micros truncation
+    return df.withColumn("ts_us", F.expr("ts div 1000"))
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type: the batch-equivalent of the
+    streaming windowed count (SURVEY.md §2.3 streaming row). Bucket key is
+    epoch seconds of the hour start — integer-exact in both engines."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn("hour_start", F.expr(f"(ts_us div {HOUR_US}) * 3600"))
+        .groupBy("hour_start", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 4).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+EVENTS_HOURLY_SQL = f"""
+SELECT (epoch_us(ts) // {HOUR_US}) * 3600 AS hour_start,
+       event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 4) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def events_user_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event ordering: row_number + lag gap — the per-entity window
+    shape every training-data pipeline needs (dedup-by-recency, session
+    stitching). Restricted to a deterministic user slice to keep the result
+    hash-small at every sf."""
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.row_number().over(w).alias("seq"),
+            (F.col("ts_us") - F.lag("ts_us", 1).over(w)).alias("gap_us"),
+        )
+        .filter(F.col("seq") <= 5)
+        .orderBy("user_id", "seq")
+    )
+
+
+EVENTS_USER_SEQ_SQL = """
+SELECT user_id, event_id, event_type, seq, gap_us
+FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS seq,
+         epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+  FROM events
+  WHERE user_id < 20)
+WHERE seq <= 5
+ORDER BY user_id, seq
+"""
+
+
+def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): new-session flag via lag,
+    session id via running sum — the batch equivalent of a session window,
+    fully integer-deterministic."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    sessions = (
+        ev.withColumn("prev_us", F.lag("ts_us", 1).over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_us").isNull()
+                | ((F.col("ts_us") - F.col("prev_us")) > SESSION_GAP_US),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(w))
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("session_events"))
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("session_events").alias("max_session_events"),
+            F.sum("session_events").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_SESSIONIZED_SQL = f"""
+WITH seq AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+  FROM events),
+flagged AS (
+  SELECT user_id, ts_us, event_id,
+         CASE WHEN prev_us IS NULL OR ts_us - prev_us > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_session
+  FROM seq),
+sessioned AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged),
+per_session AS (
+  SELECT user_id, session_id, count(*) AS session_events
+  FROM sessioned GROUP BY user_id, session_id)
+SELECT user_id, count(*) AS n_sessions, max(session_events) AS max_session_events,
+       sum(session_events) AS n_events
+FROM per_session GROUP BY user_id ORDER BY user_id
+"""
+
+
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON props extraction (``get_json_object``) + per-type stats — the
+    dynamic-metadata surface: the reference stores free-form JSON fields per
+    row (src/lib.rs:37); here they're parsed and aggregated relationally."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type, count(*) AS n_events,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 users by total value within each event type: groupBy + ranked
+    window — the grouped-top-k generalization of the reference's global
+    top-k (SURVEY.md §2.3 window row)."""
+    ev = _events(spark, sf_dir)
+    totals = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.col("value").cast(DEC)).alias("total_dec"),
+        F.count("*").alias("n_events"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("total_dec").desc(), F.col("user_id").asc()
+    )
+    return (
+        totals.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "event_type",
+            "user_id",
+            F.round(F.col("total_dec").cast("double"), 4).alias("total_value"),
+            "n_events",
+            "rank",
+        )
+        .orderBy("event_type", "rank")
+    )
+
+
+EVENTS_TOP_USERS_SQL = """
+SELECT event_type, user_id,
+       round(CAST(total_dec AS DOUBLE), 4) AS total_value, n_events, rank
+FROM (
+  SELECT event_type, user_id, total_dec, n_events,
+         row_number() OVER (PARTITION BY event_type ORDER BY total_dec DESC, user_id ASC) AS rank
+  FROM (
+    SELECT event_type, user_id, sum(CAST(value AS DECIMAL(28,10))) AS total_dec,
+           count(*) AS n_events
+    FROM events GROUP BY event_type, user_id))
+WHERE rank <= 3
+ORDER BY event_type, rank
+"""
+
+
+def events_union_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation surface (absent in the reference, SURVEY.md §2.3):
+    DISTINCT UNION of two event slices, then per-type counts."""
+    ev = _events(spark, sf_dir)
+    hi_purchase = ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 100)).select(
+        "user_id", "event_type"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "event_type")
+    return (
+        hi_purchase.union(errors)
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+EVENTS_UNION_SQL = """
+SELECT event_type, count(*) AS n_users FROM (
+  SELECT user_id, event_type FROM events WHERE event_type = 'purchase' AND value > 100
+  UNION
+  SELECT user_id, event_type FROM events WHERE event_type = 'error')
+GROUP BY event_type
+ORDER BY event_type
+"""

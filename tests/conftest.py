@@ -6,7 +6,9 @@ import pytest
 from nano_vectordb_rs_spark.session import get_spark
 from nano_vectordb_rs_spark.sources.tables import TABLES
 
-SF_DIR = "/root/testdata/sf0.001"
+import os
+
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
