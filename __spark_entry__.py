@@ -12,7 +12,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from nano_vectordb_rs_spark.operators import crud, events, knn, relational
+from nano_vectordb_rs_spark.operators import (
+    crud,
+    dedup,
+    events,
+    knn,
+    relational,
+    similarity,
+    textops,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -50,6 +58,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_stats": events.events_json_stats,
         "events_top_users": events.events_top_users,
         "events_union_slices": events.events_union_slices,
+        # --- similarity search / ANN (SURVEY.md §7.5 + north star) ---
+        "knn_join": similarity.knn_join,
+        "near_dup_embeddings": similarity.near_dup_embeddings,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
+        "ann_lsh_topk": similarity.ann_lsh_topk,
+        "ann_recall": similarity.ann_recall,
+        # --- dedup family ---
+        "exact_dedup_docs": dedup.exact_dedup_docs,
+        "minhash_near_dup_docs": dedup.minhash_near_dup_docs,
+        "simhash_docs": dedup.simhash_docs,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        # --- text analysis ---
+        "token_counts": textops.token_counts,
+        "lang_id": textops.lang_id,
+        "quality_scores": textops.quality_scores,
+        "doc_fingerprints": textops.doc_fingerprints,
     }
 
 
@@ -76,4 +100,17 @@ def oracle_sql() -> dict[str, str]:
         "events_json_stats": events.EVENTS_JSON_SQL,
         "events_top_users": events.EVENTS_TOP_USERS_SQL,
         "events_union_slices": events.EVENTS_UNION_SQL,
+        "knn_join": similarity.KNN_JOIN_SQL,
+        "near_dup_embeddings": similarity.NEAR_DUP_EMB_SQL,
+        "ann_ivf_topk": similarity.ANN_IVF_SQL,
+        "ann_lsh_topk": similarity.ANN_LSH_SQL,
+        # ann_recall: driver-side composition over three plans — rows-only check
+        "exact_dedup_docs": dedup.EXACT_DEDUP_SQL,
+        "minhash_near_dup_docs": dedup.MINHASH_NEAR_DUP_SQL,
+        "simhash_docs": dedup.SIMHASH_DOCS_SQL,
+        "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_SQL,
+        "token_counts": textops.TOKEN_COUNTS_SQL,
+        "lang_id": textops.LANG_ID_SQL,
+        "quality_scores": textops.QUALITY_SCORES_SQL,
+        "doc_fingerprints": textops.DOC_FINGERPRINTS_SQL,
     }

@@ -1,0 +1,343 @@
+"""Deduplication operators over the documents table — the core primitives of
+a large-scale training-data pipeline (north-star extension; the reference has
+no dedup surface at all).
+
+Four families, all expressed as pure DataFrame plans with built-in JVM
+functions (md5/split/explode/join/groupBy) — no Python UDFs:
+
+- exact:      group by md5(text), keep min doc_id
+- MinHash+LSH: word-3-shingles → 8 seeded min-md5s → 4 banded keys →
+               bucket join → candidate pairs → exact-Jaccard verify
+- SimHash:    16-bit signature from per-word md5 hex digits (integer-exact)
+- n-gram Jaccard: exploded-token join inside (lang) blocks
+
+Scale design (100 TB corpus):
+- shingle/token explosion is scan-local (flatMap shape), the only shuffles
+  are the band-key bucket join and the per-pair intersection groupBy — both
+  keyed on high-cardinality hashes, so they distribute evenly;
+  skewed hot shingles are bounded by the band trick (LSH) rather than a raw
+  token join; AQE skew-join handles residual hot buckets.
+- candidate verification joins are driven by the (small) candidate set, not
+  the corpus.
+
+Portability: min-hash minimums are md5 hex strings (lexicographic==numeric
+order, identical in both engines); SimHash bits come from hex-digit parity
+(integer arithmetic) — see functions/text.py docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nano_vectordb_rs_spark.sources.tables import load_table
+
+N_HASHES = 8
+N_BANDS = 4  # rows-per-band = 2
+JACCARD_MIN = 0.1
+SIMHASH_BITS = 16
+
+
+# --- exact dedup ------------------------------------------------------------
+
+
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact GLOBAL dedup by content hash: keep the minimum doc_id per
+    distinct text; report a copies histogram (n_copies → how many content
+    groups have that multiplicity, plus total docs dropped). One shuffle on
+    md5(text) — dup texts in different sources still collapse (the fixture's
+    known duplicates are cross-source)."""
+    docs = load_table(spark, sf_dir, "documents")
+    groups = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+    )
+    return (
+        groups.groupBy("n_copies")
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.sum(F.col("n_copies") - 1).alias("n_dropped"),
+            F.min("keep_id").alias("min_keep_id"),
+        )
+        .orderBy("n_copies")
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT n_copies, count(*) AS n_groups, sum(n_copies - 1) AS n_dropped,
+       min(keep_id) AS min_keep_id
+FROM (
+  SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+  FROM documents GROUP BY md5(text))
+GROUP BY n_copies
+ORDER BY n_copies
+"""
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+_SPARK_SHINGLES = (
+    "transform(sequence(1, size(split(text, ' ')) - 2), "
+    "i -> concat_ws(' ', element_at(split(text, ' '), i), "
+    "element_at(split(text, ' '), i + 1), element_at(split(text, ' '), i + 2)))"
+)
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8) + LSH(4 bands × 2 rows) candidate generation, then exact
+    shingle-Jaccard verification — the canonical near-dup pipeline.
+
+    Plan shape: shingle explode (scan-local) → per-doc signature groupBy →
+    band-key bucket self-join (only equal keys meet) → candidate pairs →
+    intersection counts driven by the candidate set. The full O(n²) pair
+    space is never materialized."""
+    sh = _shingles(spark, sf_dir).cache()
+    sigs = sh.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"h{j}")
+            for j in range(N_HASHES)
+        ],
+    )
+    bands = sigs.select(
+        "doc_id",
+        "n_shingles",
+        F.array(
+            *[
+                F.md5(F.concat_ws("|", f"h{2 * b}", f"h{2 * b + 1}")).alias(f"b{b}")
+                for b in range(N_BANDS)
+            ]
+        ).alias("bandkeys"),
+    ).select(
+        "doc_id", "n_shingles", F.posexplode("bandkeys").alias("band", "key")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.col("a.n_shingles").alias("n1"),
+            F.col("b.n_shingles").alias("n2"),
+        )
+        .distinct()
+    )
+    s1, s2 = sh.alias("s1"), sh.alias("s2")
+    inter = (
+        cand.join(s1, F.col("doc1") == F.col("s1.doc_id"))
+        .join(
+            s2,
+            (F.col("doc2") == F.col("s2.doc_id"))
+            & (F.col("s1.shingle") == F.col("s2.shingle")),
+        )
+        .groupBy("doc1", "doc2", "n1", "n2")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = F.round(
+        F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")), 6
+    )
+    return (
+        inter.select("doc1", "doc2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_MIN)
+        .orderBy(F.col("jaccard").desc(), "doc1", "doc2")
+        .limit(100)
+    )
+
+
+_DUCK_SHINGLES = """
+  SELECT DISTINCT doc_id,
+         w[i.g] || ' ' || w[i.g + 1] || ' ' || w[i.g + 2] AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       UNNEST(generate_series(1, len(w) - 2)) AS i(g)
+"""
+
+_DUCK_SIG_COLS = ", ".join(
+    f"min(md5('{j}|' || shingle)) AS h{j}" for j in range(N_HASHES)
+)
+_DUCK_BAND_SELECTS = " UNION ALL ".join(
+    f"SELECT doc_id, n_shingles, {b} AS band, md5(h{2 * b} || '|' || h{2 * b + 1}) AS key FROM sigs"
+    for b in range(N_BANDS)
+)
+
+MINHASH_NEAR_DUP_SQL = f"""
+WITH shingles AS ({_DUCK_SHINGLES}),
+sigs AS (
+  SELECT doc_id, count(*) AS n_shingles, {_DUCK_SIG_COLS}
+  FROM shingles GROUP BY doc_id),
+bands AS ({_DUCK_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+         a.n_shingles AS n1, b.n_shingles AS n2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+inter AS (
+  SELECT doc1, doc2, n1, n2, count(*) AS n_inter
+  FROM cand
+  JOIN shingles s1 ON doc1 = s1.doc_id
+  JOIN shingles s2 ON doc2 = s2.doc_id AND s1.shingle = s2.shingle
+  GROUP BY doc1, doc2, n1, n2)
+SELECT doc1, doc2,
+       round(n_inter / CAST(n1 + n2 - n_inter AS DOUBLE), 6) AS jaccard
+FROM inter
+WHERE round(n_inter / CAST(n1 + n2 - n_inter AS DOUBLE), 6) >= {JACCARD_MIN}
+ORDER BY jaccard DESC, doc1, doc2
+LIMIT 100
+"""
+
+
+# --- SimHash ----------------------------------------------------------------
+
+
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document, grouped into duplicate buckets.
+
+    Per word w and bit b: hex digit b of md5(w) contributes +1 if its high
+    bit (8) is set, else -1; signature bit b is 1 iff the sum is positive.
+    Pure integer arithmetic — bit-identical in any engine. Distinct words
+    are weighted once (set semantics) to keep the SQL oracle simple."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    bits = words.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(0, {SIMHASH_BITS - 1})")).alias("bit"),
+        F.md5("w").alias("h"),
+    ).withColumn(
+        "weight",
+        F.when(
+            F.expr("instr('0123456789abcdef', substring(h, bit + 1, 1)) - 1")
+            .bitwiseAND(F.lit(8)) > 0,
+            1,
+        ).otherwise(-1),
+    )
+    sums = bits.groupBy("doc_id", "bit").agg(F.sum("weight").alias("s"))
+    sig = sums.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("CAST(pow(2, bit) AS BIGINT)")).otherwise(0)
+        ).alias("simhash")
+    )
+    return (
+        sig.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy(F.col("n_docs").desc(), "simhash")
+        .limit(100)
+    )
+
+
+SIMHASH_DOCS_SQL = f"""
+WITH words AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+bits AS (
+  SELECT doc_id, i.g AS bit, md5(w) AS h
+  FROM words, UNNEST(generate_series(0, {SIMHASH_BITS - 1})) AS i(g)),
+weighted AS (
+  SELECT doc_id, bit,
+         CASE WHEN (instr('0123456789abcdef', substring(h, bit + 1, 1)) - 1) & 8 > 0
+              THEN 1 ELSE -1 END AS weight
+  FROM bits),
+sums AS (SELECT doc_id, bit, sum(weight) AS s FROM weighted GROUP BY doc_id, bit),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS simhash
+  FROM sums GROUP BY doc_id)
+SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc_id
+FROM sig
+GROUP BY simhash
+HAVING count(*) > 1
+ORDER BY n_docs DESC, simhash
+LIMIT 100
+"""
+
+
+# --- n-gram (token) Jaccard inside blocks ------------------------------------
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard for all pairs inside (lang, source) blocks —
+    the blocked-exact complement to the MinHash path. Blocking bounds the
+    pair space (|block|² instead of |corpus|²); the intersection is an
+    exploded-token equi-join, not an array loop."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        "source",
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    )
+    sizes = toks.groupBy("lang", "source", "doc_id").agg(F.count("*").alias("n"))
+    t1, t2 = toks.alias("t1"), toks.alias("t2")
+    inter = (
+        t1.join(
+            t2,
+            (F.col("t1.lang") == F.col("t2.lang"))
+            & (F.col("t1.source") == F.col("t2.source"))
+            & (F.col("t1.tok") == F.col("t2.tok"))
+            & (F.col("t1.doc_id") < F.col("t2.doc_id")),
+        )
+        .groupBy(
+            F.col("t1.lang").alias("lang"),
+            F.col("t1.doc_id").alias("doc1"),
+            F.col("t2.doc_id").alias("doc2"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    s1, s2 = sizes.alias("s1"), sizes.alias("s2")
+    i = inter.alias("i")
+    joined = i.join(
+        s1,
+        (F.col("i.doc1") == F.col("s1.doc_id")) & (F.col("i.lang") == F.col("s1.lang")),
+    ).join(
+        s2,
+        (F.col("i.doc2") == F.col("s2.doc_id")) & (F.col("i.lang") == F.col("s2.lang")),
+    )
+    jac = F.round(
+        F.col("i.n_inter") / (F.col("s1.n") + F.col("s2.n") - F.col("i.n_inter")), 6
+    )
+    return (
+        joined.select(
+            F.col("i.lang").alias("lang"),
+            F.col("i.doc1").alias("doc1"),
+            F.col("i.doc2").alias("doc2"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.6)
+        .orderBy(F.col("jaccard").desc(), "doc1", "doc2")
+        .limit(100)
+    )
+
+
+NGRAM_JACCARD_SQL = """
+WITH toks AS (
+  SELECT DISTINCT lang, source, doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents),
+sizes AS (
+  SELECT lang, source, doc_id, count(*) AS n FROM toks GROUP BY lang, source, doc_id),
+inter AS (
+  SELECT t1.lang AS lang, t1.doc_id AS doc1, t2.doc_id AS doc2, count(*) AS n_inter
+  FROM toks t1
+  JOIN toks t2 ON t1.lang = t2.lang AND t1.source = t2.source
+              AND t1.tok = t2.tok AND t1.doc_id < t2.doc_id
+  GROUP BY t1.lang, t1.doc_id, t2.doc_id)
+SELECT i.lang, doc1, doc2,
+       round(n_inter / CAST(s1.n + s2.n - n_inter AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN sizes s1 ON doc1 = s1.doc_id AND i.lang = s1.lang
+JOIN sizes s2 ON doc2 = s2.doc_id AND i.lang = s2.lang
+WHERE round(n_inter / CAST(s1.n + s2.n - n_inter AS DOUBLE), 6) >= 0.6
+ORDER BY jaccard DESC, doc1, doc2
+LIMIT 100
+"""

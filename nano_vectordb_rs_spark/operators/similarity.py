@@ -1,0 +1,323 @@
+"""Similarity search at scale: KNN join, embedding near-dup, and two
+approximate (but deterministic) index paths — IVF cells and random-hyperplane
+LSH buckets.
+
+The reference's query() is one query vector × whole corpus (SURVEY.md §3.1).
+The distributed generalizations here are what it cannot do:
+
+- ``knn_join``   : k nearest corpus vectors for EACH of N query vectors —
+                   broadcast the query block, score corpus-side (scan-local),
+                   rank per query with a window. Corpus never shuffles until
+                   the (tiny) per-query top-k survive.
+- ``near_dup_embeddings``: label-blocked self-join with a cosine floor —
+                   the embedding-space near-dup primitive.
+- ``ann_ivf_topk``: coarse-quantizer cells from literal centroids; probe the
+                   2 cells nearest the query (chosen in the driver — the
+                   centroids are literals) and brute-force only those cells.
+                   At 100 TB the cell assignment is a write-time partition
+                   key, so probing = partition pruning.
+- ``ann_lsh_topk``: sign-of-projection bit bucket; scan only the query's
+                   bucket.
+
+Both ANN paths are deterministic (literal planes/centroids, fixed
+tie-breaks), so they remain oracle-checkable — the oracle replicates the
+same approximation, and a separate recall query compares against exact KNN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from nano_vectordb_rs_spark.functions.vector import (
+    EMBEDDING_DIM,
+    QUERY_VECTOR,
+    as_double_array,
+    cosine_expr,
+    deterministic_vector,
+    dot_expr,
+    duck_cosine_lit,
+    duck_cosine_pair,
+    duck_dot_lit,
+    norm_expr,
+)
+from nano_vectordb_rs_spark.sources.tables import load_table
+
+N_QUERIES = 20  # knn_join query block: vec_id < 20
+JOIN_K = 5
+NEAR_DUP_MIN = 0.35  # fixture max within-label cosine ≈ 0.449
+N_CENTROIDS = 8
+N_PROBE = 2
+CENTROIDS = [deterministic_vector(EMBEDDING_DIM, seed=100 + c) for c in range(N_CENTROIDS)]
+N_PLANES = 4
+PLANES = [deterministic_vector(EMBEDDING_DIM, seed=200 + p) for p in range(N_PLANES)]
+
+
+# --- KNN similarity join ----------------------------------------------------
+
+
+def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 corpus neighbours for each of the first 20 vectors.
+
+    The query block is broadcast; scoring is a scan-local projection over the
+    corpus; the window ranks within each query_id partition. The shuffle
+    carries only (query_id, score) pairs that survive — with a
+    corpus-partition-local pre-rank this would shrink further, but AQE
+    already coalesces the small shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    pairs = emb.alias("c").join(
+        F.broadcast(queries), F.col("c.vec_id") != F.col("query_id")
+    )
+    score = F.expr(
+        f"({dot_expr(as_double_array('c.embedding'), as_double_array('query_vec'))})"
+        f" / ({norm_expr(as_double_array('c.embedding'))}"
+        f" * {norm_expr(as_double_array('query_vec'))})"
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("c.vec_id").alias("neighbor_id"),
+        F.col("c.label").alias("neighbor_label"),
+        F.round(score, 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= JOIN_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+KNN_JOIN_SQL = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         round({duck_cosine_pair('c.embedding', 'q.embedding', EMBEDDING_DIM)}, 6) AS score
+  FROM embeddings c
+  JOIN embeddings q ON q.vec_id < {N_QUERIES} AND c.vec_id != q.vec_id)
+SELECT query_id, neighbor_id, neighbor_label, score, rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {JOIN_K}
+ORDER BY query_id, rank
+"""
+
+
+# --- embedding-cosine near-dup ----------------------------------------------
+
+
+def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-blocked self-join: pairs within a label whose cosine ≥ 0.35.
+
+    Blocking on the label turns O(n²) into Σ|block|² — the same strategy a
+    100 TB pipeline uses with cluster ids from a coarse quantizer (see
+    ann_ivf cells) when no natural label exists."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a, b = emb.alias("a"), emb.alias("b")
+    score = F.expr(
+        f"({dot_expr(as_double_array('a.embedding'), as_double_array('b.embedding'))})"
+        f" / ({norm_expr(as_double_array('a.embedding'))}"
+        f" * {norm_expr(as_double_array('b.embedding'))})"
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.label").alias("label"),
+            F.col("a.vec_id").alias("id1"),
+            F.col("b.vec_id").alias("id2"),
+            F.round(score, 6).alias("score"),
+        )
+        .filter(F.col("score") >= NEAR_DUP_MIN)
+    )
+    return pairs.orderBy(F.col("score").desc(), "id1", "id2").limit(100)
+
+
+NEAR_DUP_EMB_SQL = f"""
+SELECT a.label AS label, a.vec_id AS id1, b.vec_id AS id2,
+       round({duck_cosine_pair('a.embedding', 'b.embedding', EMBEDDING_DIM)}, 6) AS score
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({duck_cosine_pair('a.embedding', 'b.embedding', EMBEDDING_DIM)}, 6) >= {NEAR_DUP_MIN}
+ORDER BY score DESC, id1, id2
+LIMIT 100
+"""
+
+
+# --- IVF (coarse-quantizer cells) -------------------------------------------
+
+
+def _cell_case_spark() -> str:
+    """Argmin-distance == argmax-dot cell assignment (unit centroids),
+    deterministic earliest-index tie-break, over score columns s0..s7."""
+    branches = []
+    for c in range(N_CENTROIDS):
+        conds = []
+        for o in range(N_CENTROIDS):
+            if o == c:
+                continue
+            op = ">" if o < c else ">="
+            conds.append(f"s{c} {op} s{o}")
+        branches.append(f"WHEN {' AND '.join(conds)} THEN {c}")
+    return "CASE " + " ".join(branches) + " ELSE 0 END"
+
+
+def _probe_cells() -> list[int]:
+    """The query's N_PROBE nearest centroids, computed in the driver — the
+    centroids are literals, so this is plan-time constant folding."""
+    sims = [
+        (sum(q * c for q, c in zip(QUERY_VECTOR, cen)), idx)
+        for idx, cen in enumerate(CENTROIDS)
+    ]
+    sims.sort(key=lambda t: (-t[0], t[1]))
+    return sorted(idx for _, idx in sims[:N_PROBE])
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest of 8 literal
+    centroids, scan only the query's 2 nearest cells, brute-force inside.
+
+    At scale the cell id is a write-time partition column, so the cell
+    filter is partition pruning — the scan reads 2/8 of the data before any
+    scoring happens."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored_cells = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        *[
+            F.expr(cosine_expr("embedding", CENTROIDS[c])).alias(f"s{c}")
+            for c in range(N_CENTROIDS)
+        ],
+    ).withColumn("cell", F.expr(_cell_case_spark()))
+    probed = scored_cells.filter(F.col("cell").isin(_probe_cells()))
+    return (
+        probed.select(
+            "vec_id",
+            "label",
+            "cell",
+            F.round(F.expr(cosine_expr("embedding", QUERY_VECTOR)), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+def _duck_cell_sql() -> str:
+    score_cols = ", ".join(
+        f"{duck_cosine_lit('embedding', CENTROIDS[c], EMBEDDING_DIM)} AS s{c}"
+        for c in range(N_CENTROIDS)
+    )
+    return f"SELECT vec_id, label, embedding, {score_cols} FROM embeddings"
+
+
+ANN_IVF_SQL = f"""
+SELECT vec_id, label, cell,
+       round({duck_cosine_lit("embedding", QUERY_VECTOR, EMBEDDING_DIM)}, 6) AS score
+FROM (
+  SELECT vec_id, label, embedding, {_cell_case_spark()} AS cell
+  FROM ({_duck_cell_sql()})
+)
+WHERE cell IN ({", ".join(map(str, _probe_cells()))})
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+# --- LSH (sign-of-projection buckets) ---------------------------------------
+
+
+def _bucket_expr_spark() -> str:
+    bits = [
+        f"(CASE WHEN {dot_expr(as_double_array('embedding'), _plane_lit(p))} >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+def _plane_lit(p: int) -> str:
+    from nano_vectordb_rs_spark.functions.vector import array_lit
+
+    return array_lit(PLANES[p])
+
+
+def _query_bucket() -> int:
+    b = 0
+    for p in range(N_PLANES):
+        if sum(q * h for q, h in zip(QUERY_VECTOR, PLANES[p])) >= 0:
+            b |= 1 << p
+    return b
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH: 4 sign bits → 16 buckets; scan only the
+    query's bucket, then exact top-10 inside it. Bucket id is a write-time
+    partition key at scale (same pruning argument as IVF)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = emb.withColumn("bucket", F.expr(_bucket_expr_spark()))
+    return (
+        bucketed.filter(F.col("bucket") == _query_bucket())
+        .select(
+            "vec_id",
+            "label",
+            "bucket",
+            F.round(F.expr(cosine_expr("embedding", QUERY_VECTOR)), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+def _duck_bucket_expr() -> str:
+    bits = [
+        f"(CASE WHEN {duck_dot_lit('embedding', PLANES[p])} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+ANN_LSH_SQL = f"""
+SELECT vec_id, label, bucket,
+       round({duck_cosine_lit("embedding", QUERY_VECTOR, EMBEDDING_DIM)}, 6) AS score
+FROM (
+  SELECT vec_id, label, embedding, {_duck_bucket_expr()} AS bucket
+  FROM embeddings
+)
+WHERE bucket = {_query_bucket()}
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+# --- ANN recall vs exact ----------------------------------------------------
+
+
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF and LSH paths against exact brute force — the
+    honesty check every approximate index needs. Returns one row per method
+    with hits-in-exact-top-10."""
+    exact = set()
+    from nano_vectordb_rs_spark.operators.knn import knn_topk
+
+    for r in knn_topk(spark, sf_dir).collect():
+        exact.add(r["vec_id"])
+    ivf = {r["vec_id"] for r in ann_ivf_topk(spark, sf_dir).collect()}
+    lsh = {r["vec_id"] for r in ann_lsh_topk(spark, sf_dir).collect()}
+    return spark.createDataFrame(
+        [
+            ("ivf", len(ivf & exact), len(exact)),
+            ("lsh", len(lsh & exact), len(exact)),
+        ],
+        "method string, hits int, k int",
+    )

@@ -1,0 +1,210 @@
+"""Text analysis over the documents table — language-ID, quality scoring,
+token counting, fingerprinting (north-star LLM-pipeline surface; the
+reference has no string functions at all, SURVEY.md §2.3).
+
+All hot-path expressions are built-in JVM functions (split/length/replace/
+regexp_extract_all/md5) — no Python UDFs; at 100 TB these are scan-local
+projections followed by a small-keyed aggregation, i.e. embarrassingly
+parallel with a tiny shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nano_vectordb_rs_spark.functions.text import (
+    LANG_MARKERS,
+    lang_score,
+    occurrences,
+    predicted_lang_case,
+)
+from nano_vectordb_rs_spark.sources.tables import load_table
+
+DEC = "decimal(28,10)"
+
+
+# --- token counting ---------------------------------------------------------
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + BPE-ish subword count (greedy ≤4-char chunks
+    via regexp) per source — the budget-estimation primitive for training
+    pipelines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " "))
+    subwords = F.size(F.expr("regexp_extract_all(text, '[a-z]{1,4}', 0)"))
+    return (
+        docs.select("source", toks.alias("t"), subwords.alias("s"), "n_chars")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("t").alias("n_tokens"),
+            F.sum("s").alias("n_subwords"),
+            F.sum("n_chars").alias("n_chars"),
+            F.max("t").alias("max_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+TOKEN_COUNTS_SQL = """
+SELECT source, count(*) AS n_docs,
+       sum(len(string_split(text, ' '))) AS n_tokens,
+       sum(len(regexp_extract_all(text, '[a-z]{1,4}'))) AS n_subwords,
+       sum(n_chars) AS n_chars,
+       max(len(string_split(text, ' '))) AS max_tokens
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --- language identification ------------------------------------------------
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-marker language ID: per-language marker-occurrence scores →
+    argmax with deterministic tie-break → confusion counts vs the labeled
+    ``lang`` column. (Heuristic, deliberately cheap: three substring counts
+    per language, all scan-local.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang",
+        *[
+            F.expr(lang_score("text", lang)).alias(f"score_{lang}")
+            for lang in sorted(LANG_MARKERS)
+        ],
+    )
+    pred = scored.withColumn("predicted_lang", F.expr(predicted_lang_case()))
+    return (
+        pred.groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "predicted_lang")
+    )
+
+
+def _duck_lang_scores() -> str:
+    cols = ", ".join(
+        f"{lang_score('text', lang)} AS score_{lang}" for lang in sorted(LANG_MARKERS)
+    )
+    return f"SELECT lang, {cols} FROM documents"
+
+
+LANG_ID_SQL = f"""
+SELECT lang, predicted_lang, count(*) AS n_docs
+FROM (
+  SELECT lang, {predicted_lang_case()} AS predicted_lang
+  FROM ({_duck_lang_scores()})
+)
+GROUP BY lang, predicted_lang
+ORDER BY lang, predicted_lang
+"""
+
+
+# --- quality scoring --------------------------------------------------------
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic doc-quality heuristic: token count, mean word length,
+    stopword ratio → a [0,1]-ish score; aggregated per (lang, source-bucket).
+
+    Every intermediate is integer or a per-row double op, the aggregate goes
+    through DECIMAL — hash-stable at any parallelism."""
+    docs = load_table(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    n_tok = F.size(F.split("text", " "))
+    n_stop = F.expr(occurrences("concat(' ', text, ' ')", " the ")) + F.expr(
+        occurrences("concat(' ', text, ' ')", " a ")
+    )
+    _ = padded
+    mean_wlen = (F.col("n_chars") - (n_tok - F.lit(1))) / n_tok
+    stop_ratio = n_stop / n_tok
+    length_term = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    score = F.round(
+        F.lit(0.5) * length_term
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+        + F.lit(0.2) * F.least(mean_wlen / F.lit(6.0), F.lit(1.0)),
+        6,
+    )
+    return (
+        docs.select("lang", score.alias("q"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.sum(F.col("q").cast(DEC)).cast("double"), 4).alias("sum_quality"),
+            F.min("q").alias("min_quality"),
+            F.max("q").alias("max_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
+_PADDED = "concat(' ', text, ' ')"
+_STOPS = f"({occurrences(_PADDED, ' the ')} + {occurrences(_PADDED, ' a ')})"
+
+_DUCK_QUALITY_ROW = """
+  SELECT lang,
+         round(0.5 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+             + 0.3 * (1.0 - CAST({stops} AS DOUBLE) / len(string_split(text, ' ')))
+             + 0.2 * least(((n_chars - (len(string_split(text, ' ')) - 1)) / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 6.0, 1.0), 6) AS q
+  FROM documents
+""".format(stops=_STOPS)
+
+QUALITY_SCORES_SQL = f"""
+SELECT lang, count(*) AS n_docs,
+       round(CAST(sum(CAST(q AS DECIMAL(28,10))) AS DOUBLE), 4) AS sum_quality,
+       min(q) AS min_quality, max(q) AS max_quality
+FROM ({_DUCK_QUALITY_ROW})
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# --- fingerprinting ---------------------------------------------------------
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 4-word-shingle fingerprint (winnowing-lite): the minimum md5
+    over a doc's shingles is its fingerprint; report per-source distinct
+    fingerprints + a deterministic sample of fingerprint prefixes."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    shingles = F.expr(
+        "transform(sequence(1, greatest(size(split(text, ' ')) - 3, 1)), "
+        "i -> md5(concat_ws(' ', element_at(split(text, ' '), i), "
+        "element_at(split(text, ' '), i + 1), "
+        "element_at(split(text, ' '), i + 2), "
+        "element_at(split(text, ' '), i + 3))))"
+    )
+    _ = words
+    fp = F.substring(F.array_min(shingles), 1, 16)
+    return (
+        docs.select("source", fp.alias("fingerprint"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("fingerprint").alias("n_distinct_fp"),
+            F.min("fingerprint").alias("min_fp"),
+        )
+        .orderBy("source")
+    )
+
+
+DOC_FINGERPRINTS_SQL = """
+WITH words AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+shingled AS (
+  SELECT doc_id, source,
+         min(md5(w[i.g] || ' ' || w[i.g + 1] || ' ' || w[i.g + 2] || ' ' || w[i.g + 3])) AS full_fp
+  FROM words, UNNEST(generate_series(1, greatest(len(w) - 3, 1))) AS i(g)
+  GROUP BY doc_id, source),
+fps AS (
+  SELECT source, substring(full_fp, 1, 16) AS fingerprint FROM shingled)
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT fingerprint) AS n_distinct_fp,
+       min(fingerprint) AS min_fp
+FROM fps
+GROUP BY source
+ORDER BY source
+"""
