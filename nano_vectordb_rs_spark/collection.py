@@ -83,7 +83,10 @@ class VectorCollection:
             T.StructField(VECTOR_COL, T.ArrayType(T.FloatType()), False),
         ]
         if metadata_schema:
-            fields += list(metadata_schema.fields)
+            # tolerate a full collection schema: reserved cols already present
+            fields += [
+                f for f in metadata_schema.fields if f.name not in (ID_COL, VECTOR_COL)
+            ]
         return spark.createDataFrame([], T.StructType(fields))
 
     @classmethod
@@ -125,8 +128,11 @@ class VectorCollection:
                         f"expected {self.embedding_dim}"
                     )
                 raise ZeroVectorError(f"zero/invalid-norm vector for id={row[ID_COL]!r}")
+        # Bind the norm ONCE per row (array_repeat + zip_with); inlining the
+        # aggregate in a transform lambda would recompute it per element.
         normalized = F.expr(
-            f"transform({v}, x -> CAST(x / {norm_expr(v)} AS FLOAT))"
+            f"zip_with({v}, array_repeat({norm_expr(v)}, size({v})), "
+            "(x, n) -> CAST(x / n AS FLOAT))"
         )
         return batch.filter(dim_ok & (norm > 0)).withColumn(VECTOR_COL, normalized)
 

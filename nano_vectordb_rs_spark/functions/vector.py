@@ -67,8 +67,13 @@ def array_lit(values: list[float]) -> str:
 
 
 def normalize_expr(a: str) -> str:
-    """Unit-normalize an array<double> expression (caller guards zero norm per Q5)."""
-    return f"transform({a}, x -> x / {norm_expr(a)})"
+    """Unit-normalize an array<double> expression (caller guards zero norm per Q5).
+
+    The norm is bound ONCE per row via ``array_repeat`` (evaluated a single
+    time, then zipped element-wise). Inlining ``norm_expr`` inside the
+    ``transform`` lambda instead would re-evaluate the full O(dim) aggregate
+    per ELEMENT — O(dim^2) per row, catastrophic at dim=1024."""
+    return f"zip_with({a}, array_repeat({norm_expr(a)}, size({a})), (x, n) -> x / n)"
 
 
 def normalized_col(vec_col: str) -> Column:

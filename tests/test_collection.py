@@ -1,0 +1,200 @@
+"""Unit edge-case suite for VectorCollection — mirrors the reference's test
+layers (SURVEY.md §5: tests/unit_tests.rs + integration_tests.rs), adapted to
+the divergence decisions Q1-Q7 of SURVEY.md §1.6.
+
+Reference cases covered:
+  self-similarity > 0.99 after upsert+query   (tests/unit_tests.rs:6-33)
+  persistence round-trip                      (tests/unit_tests.rs:36-52)
+  additional_data store/retrieve/persist      (tests/unit_tests.rs:55-79)
+  get with missing ids silently dropped       (tests/unit_tests.rs:82-107)
+  delete then re-query                        (tests/unit_tests.rs:110-142)
+  normalization unit-norm within 1e-5         (tests/unit_tests.rs:208-240)
+  zero-vector rejection                       (tests/unit_tests.rs:243-247)
+  empty-state lifecycle                       (tests/unit_tests.rs:250-278)
+  insert-then-update classification           (tests/integration_tests.rs:41-64)
+Divergence checks (ours, not the reference's):
+  Q1 delete-after-reload works    Q2 upsert replaces metadata
+  Q3 dup-ids-in-batch last-writer-wins        Q4 dim mismatch raises
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import types as T
+
+from nano_vectordb_rs_spark.collection import (
+    DimensionError,
+    VectorCollection,
+    ZeroVectorError,
+)
+
+DIM = 4
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("__id__", T.StringType(), False),
+        T.StructField("vector", T.ArrayType(T.FloatType()), False),
+        T.StructField("tag", T.StringType(), True),
+    ]
+)
+
+
+def make_batch(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], t) for i, v, t in rows], SCHEMA
+    )
+
+
+@pytest.fixture()
+def coll(spark, tmp_path):
+    return VectorCollection.open(spark, DIM, str(tmp_path / "coll"), SCHEMA)
+
+
+def test_empty_lifecycle(coll):
+    assert coll.is_empty()
+    assert coll.count() == 0
+    assert coll.vector_elems() == 0
+    assert coll.query([1.0, 0.0, 0.0, 0.0], top_k=5).count() == 0
+
+
+def test_upsert_query_self_similarity(spark, coll):
+    batch = make_batch(
+        spark, [("a", [1, 2, 3, 4], "x"), ("b", [4, 3, 2, 1], "y"), ("c", [-1, 0, 0, 1], "x")]
+    )
+    report = coll.upsert(batch)
+    assert report == {"updated": 0, "inserted": 3}
+    top = coll.query([1.0, 2.0, 3.0, 4.0], top_k=1).collect()
+    assert top[0]["__id__"] == "a"
+    assert top[0]["__metrics__"] > 0.99  # reference asserts the same bound
+
+
+def test_stored_vectors_are_unit_norm(spark, coll):
+    coll.upsert(make_batch(spark, [("a", [3, 4, 0, 0], None)]))
+    v = coll.df.collect()[0]["vector"]
+    assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-5
+    assert abs(v[0] - 0.6) < 1e-6 and abs(v[1] - 0.8) < 1e-6
+
+
+def test_update_vs_insert_classification(spark, coll):
+    coll.upsert(make_batch(spark, [("a", [1, 0, 0, 0], "old"), ("b", [0, 1, 0, 0], "old")]))
+    report = coll.upsert(
+        make_batch(spark, [("a", [0, 0, 1, 0], "new"), ("z", [0, 0, 0, 1], "new")])
+    )
+    assert report == {"updated": 1, "inserted": 1}
+    assert coll.count() == 3
+    # Q2 decision: full-row replace — metadata updated too (diverges from
+    # the reference, which silently drops metadata updates, src/lib.rs:157-163)
+    row = {r["__id__"]: r for r in coll.df.collect()}
+    assert row["a"]["tag"] == "new"
+    assert row["a"]["vector"][2] == pytest.approx(1.0)
+
+
+def test_dup_ids_in_batch_last_writer_wins(spark, coll):
+    # Q3 decision: the reference would insert both (src/lib.rs:167-170)
+    coll.upsert(
+        make_batch(spark, [("a", [1, 0, 0, 0], "first"), ("a", [0, 1, 0, 0], "second")])
+    )
+    rows = coll.df.collect()
+    assert len(rows) == 1
+    assert rows[0]["tag"] == "second"
+
+
+def test_get_missing_ids_silently_dropped(spark, coll):
+    coll.upsert(make_batch(spark, [("a", [1, 0, 0, 0], None), ("b", [0, 1, 0, 0], None)]))
+    got = coll.get(["a", "nope", "b", "also-nope"])
+    assert sorted(r["__id__"] for r in got.collect()) == ["a", "b"]
+
+
+def test_delete_then_requery(spark, coll):
+    coll.upsert(
+        make_batch(spark, [("a", [1, 0, 0, 0], None), ("b", [0.9, 0.1, 0, 0], None)])
+    )
+    coll.delete(["a"])
+    assert coll.count() == 1
+    top = coll.query([1.0, 0.0, 0.0, 0.0], top_k=1).collect()
+    assert top[0]["__id__"] == "b"
+
+
+def test_persistence_roundtrip_and_delete_after_reload(spark, coll, tmp_path):
+    coll.upsert(
+        make_batch(spark, [("a", [1, 2, 3, 4], "x"), ("b", [4, 3, 2, 1], "y")])
+    )
+    coll.store_additional_data({"model": "test-embedder", "dim": DIM})
+    coll.save()
+
+    re = VectorCollection.open(spark, DIM, coll.path)
+    assert re.count() == 2
+    assert re.additional_data() == {"model": "test-embedder", "dim": DIM}
+    # Q1: the reference corrupts the matrix on delete-after-reload
+    # (src/lib.rs:280-285 + serde-skip vectors); ours must survive it.
+    re.delete(["a"])
+    re.save()
+    re2 = VectorCollection.open(spark, DIM, coll.path)
+    assert re2.count() == 1
+    top = re2.query([4.0, 3.0, 2.0, 1.0], top_k=1).collect()
+    assert top[0]["__id__"] == "b" and top[0]["__metrics__"] > 0.99
+
+
+def test_zero_vector_rejected(spark, coll):
+    with pytest.raises(ZeroVectorError):
+        coll.upsert(make_batch(spark, [("z", [0, 0, 0, 0], None)]))
+
+
+def test_dimension_mismatch_rejected(spark, coll):
+    # Q4 decision: the reference silently corrupts row alignment (src/lib.rs:175)
+    bad = spark.createDataFrame(
+        [("w", [1.0, 2.0], None)],
+        T.StructType(
+            [
+                T.StructField("__id__", T.StringType(), False),
+                T.StructField("vector", T.ArrayType(T.FloatType()), False),
+                T.StructField("tag", T.StringType(), True),
+            ]
+        ),
+    )
+    with pytest.raises(DimensionError):
+        coll.upsert(bad)
+
+
+def test_query_dim_and_zero_query_guards(coll):
+    with pytest.raises(DimensionError):
+        coll.query([1.0, 0.0])
+    with pytest.raises(ZeroVectorError):
+        coll.query([0.0, 0.0, 0.0, 0.0])
+
+
+def test_threshold_boundary(spark, coll):
+    coll.upsert(
+        make_batch(
+            spark,
+            [("pos", [1, 0, 0, 0], None), ("orth", [0, 1, 0, 0], None), ("neg", [-1, 0, 0, 0], None)],
+        )
+    )
+    # better_than is inclusive (score >= t, src/lib.rs:222)
+    ids = {r["__id__"] for r in coll.query([1, 0, 0, 0], 10, better_than=0.0).collect()}
+    assert ids == {"pos", "orth"}
+    ids = {r["__id__"] for r in coll.query([1, 0, 0, 0], 10, better_than=0.5).collect()}
+    assert ids == {"pos"}
+
+
+def test_metadata_filter_pushdown(spark, coll):
+    from pyspark.sql import functions as F
+
+    coll.upsert(
+        make_batch(
+            spark, [("a", [1, 0, 0, 0], "keep"), ("b", [1, 0.01, 0, 0], "drop")]
+        )
+    )
+    rows = coll.query([1, 0, 0, 0], 10, where=F.col("tag") == "keep").collect()
+    assert [r["__id__"] for r in rows] == ["a"]
+
+
+def test_deterministic_tiebreak(spark, coll):
+    # Q7 decision: equal scores order by __id__ asc (reference is nondeterministic)
+    coll.upsert(
+        make_batch(spark, [("b", [1, 0, 0, 0], None), ("a", [2, 0, 0, 0], None)])
+    )
+    rows = coll.query([1, 0, 0, 0], 2).collect()
+    assert [r["__id__"] for r in rows] == ["a", "b"]
