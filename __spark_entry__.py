@@ -17,6 +17,7 @@ from nano_vectordb_rs_spark.operators import (
     dedup,
     events,
     knn,
+    multimodal,
     relational,
     similarity,
     textops,
@@ -69,6 +70,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup_docs": dedup.minhash_near_dup_docs,
         "simhash_docs": dedup.simhash_docs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        # --- multimodal binary columns ---
+        "media_inventory": multimodal.media_inventory,
+        "media_fingerprints": multimodal.media_fingerprints,
         # --- text analysis ---
         "token_counts": textops.token_counts,
         "lang_id": textops.lang_id,
@@ -109,6 +113,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dup_docs": dedup.MINHASH_NEAR_DUP_SQL,
         "simhash_docs": dedup.SIMHASH_DOCS_SQL,
         "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_SQL,
+        "media_inventory": multimodal.MEDIA_INVENTORY_SQL,
+        "media_fingerprints": multimodal.MEDIA_FINGERPRINTS_SQL,
         "token_counts": textops.TOKEN_COUNTS_SQL,
         "lang_id": textops.LANG_ID_SQL,
         "quality_scores": textops.QUALITY_SCORES_SQL,

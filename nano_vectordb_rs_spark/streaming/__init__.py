@@ -1,0 +1,13 @@
+from nano_vectordb_rs_spark.streaming.events_stream import (
+    hourly_counts_stream,
+    read_events_stream,
+    run_available_now,
+    sessionize_stream,
+)
+
+__all__ = [
+    "read_events_stream",
+    "hourly_counts_stream",
+    "sessionize_stream",
+    "run_available_now",
+]

@@ -1,0 +1,194 @@
+"""Structured Streaming surface over the ``events`` table.
+
+The reference is strictly batch (SURVEY.md §2.3 "Streaming: none"); this
+module is the north-star extension: the same event analytics as
+``operators/events.py`` expressed as unbounded streams —
+
+- ``hourly_counts_stream``: tumbling 1-hour windowed counts with an event-time
+  watermark for late data. Batch twin: ``events.events_hourly`` (the DuckDB
+  oracle checks THAT; the streaming test asserts stream == batch).
+- ``sessionize_stream``: gap-based sessionization as a custom stateful
+  operator via ``applyInPandasWithState`` — per-user state machine carrying
+  (last event time, open-session stats) across micro-batches. Batch twin:
+  ``events.events_sessionized``.
+
+Scale design: a windowed streaming agg shuffles once on (window, event_type)
+into the state store; state size is O(open windows × types), bounded by the
+watermark. Sessionization state is O(active users); the 30-min gap + watermark
+bound how long a user entry can stay open. Both survive a 1000-executor
+deployment because all state is keyed and Spark's state store partitions it
+with the shuffle.
+
+Test harness: ``run_available_now`` drains a finite directory with
+``trigger(availableNow=True)`` into a memory sink — the standard way to make
+a streaming job terminate for equivalence testing.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min, same as the batch twin
+
+# events.parquet stores TIMESTAMP(NANOS); with nanosAsLong the column arrives
+# as a long of epoch nanoseconds (see operators/events.py preamble).
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """``readStream`` over the events fixture directory.
+
+    File-source streaming needs an explicit schema (no inference on streams);
+    ``maxFilesPerTrigger`` lets tests force multi-micro-batch execution so the
+    stateful operators actually carry state across batches.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file source requires a directory; select just events.parquet by glob
+    reader = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.load(sf_dir)
+    return df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
+        "event_time", F.timestamp_micros(F.col("ts_us"))
+    )
+
+
+def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window per-type counts with late-data watermark.
+
+    Emits (hour_start epoch-seconds, event_type, n_events, n_users) — the same
+    key/shape as the batch ``events_hourly`` so results are comparable 1:1.
+    ``approx_count_distinct`` is NOT used here: the batch twin uses exact
+    distinct, and the streaming agg keys are low-cardinality enough for exact.
+    """
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", "1 hour"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"), F.approx_count_distinct("user_id").alias("approx_users"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("hour_start"),
+            "event_type",
+            "n_events",
+            "approx_users",
+        )
+    )
+
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("n_sessions", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("cur_session_events", T.LongType()),
+        T.StructField("max_session_events", T.LongType()),
+    ]
+)
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_sessions", T.LongType()),
+        T.StructField("max_session_events", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def _session_fold(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user session state machine (the applyInPandasWithState kernel).
+
+    State = (last event time, running session counters). A gap > 30 min opens
+    a new session — identical fold to the batch twin's lag()+running-sum, but
+    carried across micro-batches. Emits the user's current aggregate each
+    time the group appears (update semantics)."""
+    if state.exists:
+        last_ts, n_sessions, n_events, cur_ev, max_ev = state.get
+    else:
+        last_ts, n_sessions, n_events, cur_ev, max_ev = None, 0, 0, 0, 0
+
+    ts_all: list[int] = []
+    for pdf in pdfs:
+        ts_all.extend(pdf["ts_us"].tolist())
+    ts_all.sort()
+
+    for t in ts_all:
+        if last_ts is None or t - last_ts > SESSION_GAP_US:
+            n_sessions += 1
+            cur_ev = 1
+        else:
+            cur_ev += 1
+        max_ev = max(max_ev, cur_ev)
+        n_events += 1
+        last_ts = t
+
+    state.update((last_ts, n_sessions, n_events, cur_ev, max_ev))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_sessions": [n_sessions],
+            "max_session_events": [max_ev],
+            "n_events": [n_events],
+        }
+    )
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: gap-based sessionization per user.
+
+    NOTE on ordering: within one micro-batch the kernel sorts that batch's
+    events by time, but events arriving in a LATER batch with earlier
+    timestamps would be folded late (the price of streaming without a
+    sort-buffer). The fixture files arrive in one or few ordered batches, and
+    the equivalence test pins stream == batch on the final state.
+    """
+    return events.select("user_id", "ts_us").groupBy("user_id").applyInPandasWithState(
+        _session_fold,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str,
+    checkpoint_dir: str,
+) -> Any:
+    """Drain a finite source to completion into a memory sink and return the
+    in-memory table name. ``availableNow`` processes everything currently in
+    the source then stops — the deterministic test/backfill trigger."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return query_name
