@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from nano_vectordb_rs_spark.operators import (
+    advanced,
     crud,
     dedup,
     events,
@@ -52,6 +53,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": relational.top_customers,
         "region_rollup": relational.region_rollup,
         "parts_brand_stats": relational.parts_brand_stats,
+        "tpch_q6_forecast": advanced.tpch_q6_forecast,
+        "tpch_q10_returned": advanced.tpch_q10_returned,
+        "tpch_q12_latecount": advanced.tpch_q12_latecount,
+        "tpch_q14_promo": advanced.tpch_q14_promo,
+        "tpch_q18_big_orders": advanced.tpch_q18_big_orders,
+        "supplier_nation_rank": advanced.supplier_nation_rank,
+        "customers_without_orders": advanced.customers_without_orders,
+        "orders_cumulative": advanced.orders_cumulative,
+        "events_asof_join": advanced.events_asof_join,
+        "events_value_bands": advanced.events_value_bands,
         # --- events surface ---
         "events_hourly": events.events_hourly,
         "events_user_seq": events.events_user_seq,
@@ -98,6 +109,16 @@ def oracle_sql() -> dict[str, str]:
         "top_customers": relational.TOP_CUSTOMERS_SQL,
         "region_rollup": relational.REGION_ROLLUP_SQL,
         "parts_brand_stats": relational.PARTS_BRAND_SQL,
+        "tpch_q6_forecast": advanced.TPCH_Q6_SQL,
+        "tpch_q10_returned": advanced.TPCH_Q10_SQL,
+        "tpch_q12_latecount": advanced.TPCH_Q12_SQL,
+        "tpch_q14_promo": advanced.TPCH_Q14_SQL,
+        "tpch_q18_big_orders": advanced.TPCH_Q18_SQL,
+        "supplier_nation_rank": advanced.SUPPLIER_NATION_RANK_SQL,
+        "customers_without_orders": advanced.CUSTOMERS_WITHOUT_ORDERS_SQL,
+        "orders_cumulative": advanced.ORDERS_CUMULATIVE_SQL,
+        "events_asof_join": advanced.EVENTS_ASOF_SQL,
+        "events_value_bands": advanced.EVENTS_VALUE_BANDS_SQL,
         "events_hourly": events.EVENTS_HOURLY_SQL,
         "events_user_seq": events.EVENTS_USER_SEQ_SQL,
         "events_sessionized": events.EVENTS_SESSIONIZED_SQL,
