@@ -28,7 +28,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from nano_vectordb_rs_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-RUNS = int(os.environ.get("BENCH_RUNS", "1"))
+RUNS = int(os.environ.get("BENCH_RUNS", "2"))
 MICRO_ROWS = int(os.environ.get("BENCH_MICRO_ROWS", "100000"))
 MICRO_DIM = int(os.environ.get("BENCH_MICRO_DIM", "1024"))
 
@@ -104,24 +104,19 @@ def main() -> None:
     )
 
     # insert = read + normalize + materialize in memory (the reference times
-    # in-memory upsert only, README.md:120)
-    # norm bound once per row (array_repeat + zip_with) — NOT inlined in the
-    # lambda, which would recompute the O(dim) aggregate per element.
-    norm = (
-        "sqrt(aggregate(zip_with(vector, vector, (x, y) -> CAST(x AS DOUBLE) * y), "
-        "0D, (a, x) -> a + x))"
+    # in-memory upsert only, README.md:120). Normalization runs on the Arrow
+    # path: one float32 BLAS pass per batch, no per-element lambda interp.
+    from nano_vectordb_rs_spark.operators.fastknn import (
+        normalize_map_in_arrow,
+        topk_over,
     )
-    normalized = (
-        spark.read.parquet(raw_path)
-        .withColumn(
-            "vector",
-            F.expr(
-                f"zip_with(vector, array_repeat({norm}, size(vector)), "
-                "(x, n) -> CAST(x / n AS FLOAT))"
-            ),
-        )
-        .persist()
-    )
+
+    normalized = normalize_map_in_arrow(spark.read.parquet(raw_path)).persist()
+
+    # Warm the micro path once (Python Arrow workers, JIT, page cache) the
+    # same way the headline loop warms the JVM — the reference's 5-run mean
+    # has no cold-start either (first Rust run is already steady-state).
+    normalized.agg(F.sum(F.expr("element_at(vector, 1)"))).collect()
 
     def micro_insert():
         normalized.unpersist(blocking=True)
@@ -143,17 +138,11 @@ def main() -> None:
     # query = top-10 cosine over the in-memory collection, NumPy/Arrow path
     # (the reference's 13 ms query is in-memory brute force over 100k x 1024)
     from nano_vectordb_rs_spark.functions.vector import deterministic_vector
-    from nano_vectordb_rs_spark.operators.fastknn import cosine_scores_udf
 
-    score = cosine_scores_udf(deterministic_vector(MICRO_DIM, seed=7))
+    qvec = deterministic_vector(MICRO_DIM, seed=7)
 
     def micro_query():
-        (
-            normalized.withColumn("score", score("vector"))
-            .orderBy(F.col("score").desc(), F.col("__id__").asc())
-            .limit(10)
-            .collect()
-        )
+        topk_over(normalized, qvec, k=10, assume_normalized=True).collect()
 
     results["micro_query_100k_1024"] = timed(micro_query)
     normalized.unpersist()

@@ -75,17 +75,20 @@ ORDER BY n_copies
 
 # --- MinHash + LSH ----------------------------------------------------------
 
+# split() is hoisted into its own projection so it evaluates ONCE per row;
+# inlining it in the lambda would re-split the text for every shingle element
+# (lambda bodies are outside Catalyst CSE).
 _SPARK_SHINGLES = (
-    "transform(sequence(1, size(split(text, ' ')) - 2), "
-    "i -> concat_ws(' ', element_at(split(text, ' '), i), "
-    "element_at(split(text, ' '), i + 1), element_at(split(text, ' '), i + 2)))"
+    "transform(sequence(1, size(w) - 2), "
+    "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))"
 )
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle"))
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle"))
         .distinct()
     )
 

@@ -24,6 +24,9 @@ def get_spark(app_name: str = "nano-vectordb-rs-spark", shuffle_partitions: int 
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # high-entropy float vectors don't compress; codec CPU was ~10x the
+        # cache-materialization cost for array<float> collections
+        .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
