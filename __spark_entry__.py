@@ -61,8 +61,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_nation_rank": advanced.supplier_nation_rank,
         "customers_without_orders": advanced.customers_without_orders,
         "orders_cumulative": advanced.orders_cumulative,
+        "order_value_quantiles": advanced.order_value_quantiles,
         "events_asof_join": advanced.events_asof_join,
         "events_value_bands": advanced.events_value_bands,
+        "events_sliding_windows": events.events_sliding_windows,
         # --- events surface ---
         "events_hourly": events.events_hourly,
         "events_user_seq": events.events_user_seq,
@@ -117,8 +119,10 @@ def oracle_sql() -> dict[str, str]:
         "supplier_nation_rank": advanced.SUPPLIER_NATION_RANK_SQL,
         "customers_without_orders": advanced.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "orders_cumulative": advanced.ORDERS_CUMULATIVE_SQL,
+        "order_value_quantiles": advanced.ORDER_VALUE_QUANTILES_SQL,
         "events_asof_join": advanced.EVENTS_ASOF_SQL,
         "events_value_bands": advanced.EVENTS_VALUE_BANDS_SQL,
+        "events_sliding_windows": events.EVENTS_SLIDING_SQL,
         "events_hourly": events.EVENTS_HOURLY_SQL,
         "events_user_seq": events.EVENTS_USER_SEQ_SQL,
         "events_sessionized": events.EVENTS_SESSIONIZED_SQL,

@@ -38,13 +38,22 @@ HEADLINE = [
     "tpch_q1_pricing",
     "tpch_q3_shipping",
     "tpch_q5_regional",
+    "tpch_q6_forecast",
+    "tpch_q10_returned",
+    "tpch_q18_big_orders",
     "top_customers",
+    "supplier_nation_rank",
+    "order_value_quantiles",
     "events_hourly",
     "events_sessionized",
+    "events_sliding_windows",
+    "events_asof_join",
+    "events_value_bands",
     "events_top_users",
     "exact_dedup_docs",
     "minhash_near_dup_docs",
     "simhash_docs",
+    "ngram_jaccard_pairs",
     "token_counts",
     "quality_scores",
     "ann_ivf_topk",

@@ -450,6 +450,42 @@ def events_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- exact quantiles (percentile aggregate) -----------------------------------
+
+QUANTILES = (0.5, 0.9, 0.99)
+
+
+def order_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of order value per status — Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the interpolation
+    definition, so values match bit-for-bit. Exact percentile sorts within
+    groups; at 100 TB swap to ``approx_percentile`` (t-digest, mergeable,
+    one pass) — kept exact here because the oracle must hash-match."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            *[
+                F.round(F.expr(f"percentile(o_totalprice, {q})"), 4).alias(
+                    f"p{int(q * 100)}"
+                )
+                for q in QUANTILES
+            ],
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ORDER_VALUE_QUANTILES_SQL = f"""
+SELECT o_orderstatus, count(*) AS n_orders,
+       {", ".join(f"round(quantile_cont(o_totalprice, {q}), 4) AS p{int(q * 100)}" for q in QUANTILES)}
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 _BANDS_VALUES = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in VALUE_BANDS)
 EVENTS_VALUE_BANDS_SQL = f"""
 SELECT band, count(*) AS n_events,

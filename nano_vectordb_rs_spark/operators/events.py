@@ -247,3 +247,41 @@ SELECT event_type, count(*) AS n_users FROM (
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+SLIDE_US = 30 * 60 * 1_000_000  # 30-min hop
+WIN_HOPS = 2  # 1-hour window = 2 hops
+
+
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows hopping every 30 min, per event_type — the
+    batch equivalent of Structured Streaming's ``window(ts, '1 hour',
+    '30 minutes')``. Each event lands in exactly ``WIN_HOPS`` windows
+    (explode over hop offsets, scan-local), then one shuffle on
+    (window_start, event_type) — the same assign-then-aggregate physical
+    shape the streaming engine uses."""
+    ev = _events(spark, sf_dir)
+    hop_s = SLIDE_US // 1_000_000
+    return (
+        ev.withColumn("i", F.explode(F.expr(f"sequence(0, {WIN_HOPS - 1})")))
+        .withColumn(
+            "window_start",
+            ((F.col("ts_us") / SLIDE_US).cast("long") - F.col("i")) * hop_s,
+        )
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 4).alias("sum_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+EVENTS_SLIDING_SQL = f"""
+SELECT ((epoch_us(ts) // {SLIDE_US}) - i.g) * {SLIDE_US // 1_000_000} AS window_start,
+       event_type, count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 4) AS sum_value
+FROM events, UNNEST(generate_series(0, {WIN_HOPS - 1})) AS i(g)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

@@ -1,5 +1,6 @@
 from nano_vectordb_rs_spark.streaming.events_stream import (
     hourly_counts_stream,
+    purchase_click_join_stream,
     read_events_stream,
     run_available_now,
     sessionize_stream,
@@ -8,6 +9,7 @@ from nano_vectordb_rs_spark.streaming.events_stream import (
 __all__ = [
     "read_events_stream",
     "hourly_counts_stream",
+    "purchase_click_join_stream",
     "sessionize_stream",
     "run_available_now",
 ]

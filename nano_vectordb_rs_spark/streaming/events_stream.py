@@ -173,6 +173,56 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def purchase_click_join_stream(
+    events: DataFrame,
+    lookback: str = "10 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval self-join: every purchase paired with the same
+    user's clicks in the preceding ``lookback`` window (inclusive of equal
+    timestamps) — the streaming sibling of the batch as-of join
+    (operators/advanced.py events_asof_join, which keeps only the latest).
+
+    Both sides carry watermarks + the event-time range condition, so Spark
+    can bound the join state: click state older than watermark+lookback is
+    evicted. Without the range condition the state store would grow without
+    bound — the canonical stream-join pitfall.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("event_time").alias("click_time"),
+        )
+        .withWatermark("click_time", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("event_time").alias("purchase_time"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_time", watermark)
+    )
+    cond = F.expr(
+        f"""
+        p_user_id = c_user_id AND
+        click_time >= purchase_time - INTERVAL {lookback} AND
+        click_time <= purchase_time
+        """
+    )
+    return purchases.join(clicks, cond).select(
+        F.col("p_user_id").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        F.unix_timestamp("purchase_time").alias("purchase_s"),
+        F.unix_timestamp("click_time").alias("click_s"),
+    )
+
+
 def run_available_now(
     stream_df: DataFrame,
     query_name: str,

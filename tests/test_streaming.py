@@ -12,6 +12,7 @@ import pytest
 from nano_vectordb_rs_spark.operators import events as batch_events
 from nano_vectordb_rs_spark.streaming import (
     hourly_counts_stream,
+    purchase_click_join_stream,
     read_events_stream,
     run_available_now,
     sessionize_stream,
@@ -60,6 +61,49 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     want = {
         (r["user_id"]): (r["n_sessions"], r["max_session_events"], r["n_events"])
         for r in batch_events.events_sessionized(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert len(want) > 0
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    stream = read_events_stream(spark, SF_DIR)
+    joined = purchase_click_join_stream(stream)
+    name = run_available_now(
+        joined, "pc_join_stream", "append", str(tmp_path / "ckpt3")
+    )
+    got = {
+        (r["purchase_id"], r["click_id"]) for r in spark.table(name).collect()
+    }
+
+    # batch twin: plain interval join over the same fixture
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("event_time").alias("click_time"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("event_time").alias("purchase_time"),
+    )
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in purchases.join(
+            clicks,
+            F.expr(
+                "p_user_id = c_user_id AND "
+                "click_time >= purchase_time - INTERVAL 10 minutes AND "
+                "click_time <= purchase_time"
+            ),
+        ).collect()
     }
     assert got == want
     assert len(want) > 0
