@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": advanced.customers_without_orders,
         "orders_cumulative": advanced.orders_cumulative,
         "order_value_quantiles": advanced.order_value_quantiles,
+        "skew_salted_join": advanced.skew_salted_join,
         "events_asof_join": advanced.events_asof_join,
         "events_value_bands": advanced.events_value_bands,
         "events_sliding_windows": events.events_sliding_windows,
@@ -120,6 +121,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": advanced.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "orders_cumulative": advanced.ORDERS_CUMULATIVE_SQL,
         "order_value_quantiles": advanced.ORDER_VALUE_QUANTILES_SQL,
+        "skew_salted_join": advanced.SKEW_SALTED_JOIN_SQL,
         "events_asof_join": advanced.EVENTS_ASOF_SQL,
         "events_value_bands": advanced.EVENTS_VALUE_BANDS_SQL,
         "events_sliding_windows": events.EVENTS_SLIDING_SQL,

@@ -450,6 +450,58 @@ def events_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- skew-salted join ---------------------------------------------------------
+
+N_SALTS = 8
+
+
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe fact⋈dim join via explicit salting: the fact side takes a
+    deterministic salt (pmod of a uniform column), the dim side is exploded
+    ×N_SALTS, and the join key becomes (user_id, salt) — one hot user now
+    lands on N_SALTS reducers instead of one.
+
+    This is the manual fallback for when the dim side is too big to
+    broadcast AND AQE's skew-join splitting can't help (e.g. a skewed
+    aggregation feeding a co-partitioned join). Results are identical to the
+    unsalted join — the oracle runs the plain formulation. Enriches every
+    event with its user's activity profile, then aggregates per type."""
+    ev = _events(spark, sf_dir)
+    user_stats = ev.groupBy("user_id").agg(
+        F.count("*").alias("user_events"),
+        F.sum(F.col("value").cast(DEC)).alias("user_total_dec"),
+    )
+    dim = user_stats.withColumn(
+        "salt", F.explode(F.expr(f"sequence(0, {N_SALTS - 1})"))
+    )
+    fact = ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(N_SALTS)).cast("int"))
+    joined = fact.join(dim, ["user_id", "salt"])
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("user_events").alias("sum_user_events"),
+            F.round(F.sum("user_total_dec").cast("double"), 4).alias("sum_user_totals"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SKEW_SALTED_JOIN_SQL = """
+SELECT event_type, count(*) AS n_events,
+       sum(user_events) AS sum_user_events,
+       round(CAST(sum(user_total_dec) AS DOUBLE), 4) AS sum_user_totals
+FROM events e
+JOIN (
+  SELECT user_id, count(*) AS user_events,
+         sum(CAST(value AS DECIMAL(28,10))) AS user_total_dec
+  FROM events GROUP BY user_id) u
+ON e.user_id = u.user_id
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 # --- exact quantiles (percentile aggregate) -----------------------------------
 
 QUANTILES = (0.5, 0.9, 0.99)
