@@ -1,0 +1,81 @@
+"""Physical-plan invariants: the scale claims as executable assertions.
+
+Each assertion here is a design claim from the module docstrings; if a
+refactor regresses one (a dimension stops broadcasting, a filter stops
+pushing down, top-k starts global-sorting), this fails before any benchmark
+notices.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+import __spark_entry__ as entry_mod
+from nano_vectordb_rs_spark.plans import audit_plan
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return entry_mod.queries()
+
+
+def test_knn_topk_is_shuffle_free_bounded_topk(spark, queries):
+    a = audit_plan(queries["knn_topk"](spark, SF_DIR))
+    # scan → score → TakeOrderedAndProject: no Exchange anywhere — each task
+    # returns at most k rows to the driver (reference's fold/reduce shape)
+    assert a["has_take_ordered"]
+    assert a["n_shuffles"] == 0
+
+
+def test_knn_filtered_pushes_label_to_scan(spark, queries):
+    a = audit_plan(queries["knn_filtered"](spark, SF_DIR))
+    assert any("label" in p for p in a["pushed_filters"])
+    assert a["has_take_ordered"] and a["n_shuffles"] == 0
+
+
+def test_tpch_q1_single_shuffle_pushdown(spark, queries):
+    df = queries["tpch_q1_pricing"](spark, SF_DIR)
+    df.collect()  # finalize the AQE plan so codegen stage markers exist
+    a = audit_plan(df)
+    # partial agg → one hash Exchange on the group keys → final agg; the
+    # shipdate predicate reaches the parquet scan; order-by adds one range
+    # Exchange over 6 rows (harmless)
+    assert any("l_shipdate" in p for p in a["pushed_filters"])
+    assert a["n_shuffles"] <= 2
+    assert a["codegen_stages"] >= 1
+
+
+def test_tpch_q3_broadcasts_customer(spark, queries):
+    a = audit_plan(queries["tpch_q3_shipping"](spark, SF_DIR))
+    assert a["n_broadcast_joins"] >= 1
+    assert any("c_mktsegment" in p for p in a["pushed_filters"])
+
+
+def test_tpch_q5_broadcasts_whole_dimension_chain(spark, queries):
+    a = audit_plan(queries["tpch_q5_regional"](spark, SF_DIR))
+    # region→nation→customer collapse into broadcast dims; at fixture scale
+    # AQE may also broadcast the orders side of the fact join — require at
+    # least the dimension broadcasts and no cartesian anywhere
+    assert a["n_broadcast_joins"] >= 2
+    assert a["n_nested_loop_joins"] == 0
+
+
+def test_get_by_ids_is_broadcast_semi_join(spark, queries):
+    a = audit_plan(queries["get_by_ids"](spark, SF_DIR))
+    assert a["n_broadcast_joins"] >= 1
+    assert a["n_sort_merge_joins"] == 0
+
+
+def test_events_range_band_join_is_broadcast_nested_loop(spark, queries):
+    a = audit_plan(queries["events_value_bands"](spark, SF_DIR))
+    # the O(10)-row band table must be the nested-loop build side — a
+    # sort-merge/cartesian here would be a planning regression
+    assert a["n_broadcast_joins"] >= 1
+
+
+def test_q6_predicates_reach_scan(spark, queries):
+    a = audit_plan(queries["tpch_q6_forecast"](spark, SF_DIR))
+    pushed = " ".join(a["pushed_filters"])
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
