@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "ann_recall": similarity.ann_recall,
+        "label_centroids": similarity.label_centroids,
         # --- dedup family ---
         "exact_dedup_docs": dedup.exact_dedup_docs,
         "minhash_near_dup_docs": dedup.minhash_near_dup_docs,
@@ -135,6 +136,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_embeddings": similarity.NEAR_DUP_EMB_SQL,
         "ann_ivf_topk": similarity.ANN_IVF_SQL,
         "ann_lsh_topk": similarity.ANN_LSH_SQL,
+        "label_centroids": similarity.LABEL_CENTROIDS_SQL,
         # ann_recall: driver-side composition over three plans — rows-only check
         "exact_dedup_docs": dedup.EXACT_DEDUP_SQL,
         "minhash_near_dup_docs": dedup.MINHASH_NEAR_DUP_SQL,

@@ -300,6 +300,63 @@ LIMIT 10
 """
 
 
+# --- per-label centroids (grouped-map pandas aggregation) --------------------
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean-vector stats via ``applyInPandas`` — the grouped-map
+    UDAF surface (SURVEY.md §2.3): each label group arrives as one pandas
+    DataFrame, NumPy computes the centroid, one row comes back.
+
+    This is the coarse-quantizer *training* step of the IVF path (the
+    centroids in ann_ivf_topk are literals; a real index build would use
+    exactly this job). One shuffle on label; group payloads stream through
+    Arrow. At 100 TB with giant groups, switch to the mergeable formulation
+    (groupBy(label).agg(sum per dim / count) via posexplode) — same result,
+    partial-aggregatable; kept grouped-map here because exercising the
+    pandas UDAF path is the point."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def centroid(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        c = mat.mean(axis=0)
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "n_vecs": [len(pdf)],
+                "centroid_norm": [round(float(np.sqrt(c @ c)), 6)],
+                "mean_abs": [round(float(np.abs(c).mean()), 6)],
+            }
+        )
+
+    return (
+        emb.groupBy("label")
+        .applyInPandas(
+            centroid,
+            "label int, n_vecs bigint, centroid_norm double, mean_abs double",
+        )
+        .orderBy("label")
+    )
+
+
+LABEL_CENTROIDS_SQL = f"""
+WITH cent AS (
+  SELECT label, i AS dim, avg(CAST(embedding[i] AS DOUBLE)) AS a
+  FROM embeddings, UNNEST(generate_series(1, {EMBEDDING_DIM})) AS t(i)
+  GROUP BY label, dim),
+ns AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label)
+SELECT c.label, ns.n_vecs,
+       round(sqrt(sum(a * a)), 6) AS centroid_norm,
+       round(avg(abs(a)), 6) AS mean_abs
+FROM cent c JOIN ns ON c.label = ns.label
+GROUP BY c.label, ns.n_vecs
+ORDER BY c.label
+"""
+
+
 # --- ANN recall vs exact ----------------------------------------------------
 
 
