@@ -58,6 +58,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12_latecount": advanced.tpch_q12_latecount,
         "tpch_q14_promo": advanced.tpch_q14_promo,
         "tpch_q18_big_orders": advanced.tpch_q18_big_orders,
+        "tpch_q7_nation_trade": advanced.tpch_q7_nation_trade,
+        "part_supplier_diversity": advanced.part_supplier_diversity,
+        "customer_set_ops": advanced.customer_set_ops,
         "supplier_nation_rank": advanced.supplier_nation_rank,
         "customers_without_orders": advanced.customers_without_orders,
         "orders_cumulative": advanced.orders_cumulative,
@@ -118,6 +121,9 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q12_latecount": advanced.TPCH_Q12_SQL,
         "tpch_q14_promo": advanced.TPCH_Q14_SQL,
         "tpch_q18_big_orders": advanced.TPCH_Q18_SQL,
+        "tpch_q7_nation_trade": advanced.TPCH_Q7_SQL,
+        "part_supplier_diversity": advanced.PART_SUPPLIER_DIVERSITY_SQL,
+        "customer_set_ops": advanced.CUSTOMER_SET_OPS_SQL,
         "supplier_nation_rank": advanced.SUPPLIER_NATION_RANK_SQL,
         "customers_without_orders": advanced.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "orders_cumulative": advanced.ORDERS_CUMULATIVE_SQL,

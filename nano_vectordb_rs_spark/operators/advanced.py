@@ -236,6 +236,146 @@ LIMIT 50
 """
 
 
+# --- Q7-style cross-nation trade flow ----------------------------------------
+
+Q7_NATIONS = ("NATION_1", "NATION_2")
+
+
+def tpch_q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue flowing between two nations (supplier nation ≠ customer
+    nation), by ship year — the two-dimension-role join: nation joins the
+    fact twice, once through supplier and once through customer/orders.
+    Both dimension chains broadcast; lineitem⋈orders is the one shuffle."""
+    n1, n2 = Q7_NATIONS
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(load_table(spark, sf_dir, "nation")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+    )
+    return (
+        joined.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(_as_dbl(_dsum("l_extendedprice * (1 - l_discount)")), 4).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+TPCH_Q7_SQL = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE), 4) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE (sn.n_name = '{Q7_NATIONS[0]}' AND cn.n_name = '{Q7_NATIONS[1]}')
+   OR (sn.n_name = '{Q7_NATIONS[1]}' AND cn.n_name = '{Q7_NATIONS[0]}')
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+# --- Q16-style supplier diversity per brand -----------------------------------
+
+
+def part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct suppliers per part brand, derived from lineitem (the fixture
+    has no partsupp table): broadcast part into the fact, then a two-level
+    distinct aggregation. The first groupBy dedups (brand, suppkey) pairs —
+    the shuffle carries pairs, not lineitems."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    pairs = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("p_brand", "l_suppkey")
+        .distinct()
+    )
+    return (
+        pairs.groupBy("p_brand")
+        .agg(F.count("*").alias("n_suppliers"))
+        .orderBy(F.col("n_suppliers").desc(), F.col("p_brand").asc())
+    )
+
+
+PART_SUPPLIER_DIVERSITY_SQL = """
+SELECT p_brand, count(*) AS n_suppliers
+FROM (
+  SELECT DISTINCT p_brand, l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey)
+GROUP BY p_brand
+ORDER BY n_suppliers DESC, p_brand ASC
+"""
+
+
+# --- INTERSECT / EXCEPT over customer sets ------------------------------------
+
+
+def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation surface: customers with returned items INTERSECT
+    big spenders, and big spenders EXCEPT returners — both counted. Spark
+    lowers INTERSECT/EXCEPT to aggregate+join; the inputs here are already
+    distinct key sets, so the shuffles carry only keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    returners = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_custkey")
+        .distinct()
+    )
+    spenders = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("spend"))
+        .filter(F.col("spend") > 1_000_000)
+        .select("o_custkey")
+    )
+    both = returners.intersect(spenders)
+    only_spend = spenders.exceptAll(returners)
+    return (
+        both.agg(F.count("*").alias("n"))
+        .select(F.lit("returner_and_big_spender").alias("segment"), "n")
+        .unionByName(
+            only_spend.agg(F.count("*").alias("n")).select(
+                F.lit("big_spender_no_returns").alias("segment"), "n"
+            )
+        )
+        .orderBy("segment")
+    )
+
+
+CUSTOMER_SET_OPS_SQL = """
+WITH returners AS (
+  SELECT DISTINCT o_custkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'),
+spenders AS (
+  SELECT o_custkey FROM orders
+  GROUP BY o_custkey
+  HAVING sum(CAST(o_totalprice AS DECIMAL(28,10))) > 1000000)
+SELECT 'big_spender_no_returns' AS segment, count(*) AS n
+FROM (SELECT o_custkey FROM spenders EXCEPT SELECT o_custkey FROM returners)
+UNION ALL
+SELECT 'returner_and_big_spender' AS segment, count(*) AS n
+FROM (SELECT o_custkey FROM spenders INTERSECT SELECT o_custkey FROM returners)
+ORDER BY segment
+"""
+
+
 # --- supplier rank per nation (window rank) ----------------------------------
 
 SUPP_TOP_N = 3
