@@ -158,6 +158,17 @@ def main() -> None:
     shutil.rmtree(raw_path, ignore_errors=True)
 
     total = round(sum(results.values()), 4)
+    # explicit comparison to the reference's published microbench (BASELINE.md:
+    # insert ~0.175 s, query ~0.013 s, save file ~540 MB — MacBook M4, 100k x
+    # 1024 f32). Same workload shape; ours runs the full distributed stack.
+    baseline = {
+        "ref_insert_sec": 0.175,
+        "ours_insert_sec": results["micro_insert_100k_1024"],
+        "ref_query_sec": 0.013,
+        "ours_query_sec": results["micro_query_100k_1024"],
+        "ref_file_mb": 540.0,
+        "ours_file_mb": round(size_mb, 1),
+    }
     print(
         json.dumps(
             {
@@ -166,6 +177,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": results,
                 "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "baseline": baseline,
                 "config": {
                     "master": spark.sparkContext.master,
                     "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
