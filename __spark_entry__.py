@@ -20,6 +20,7 @@ from nano_vectordb_rs_spark.operators import (
     knn,
     multimodal,
     relational,
+    relational2,
     similarity,
     textops,
 )
@@ -59,6 +60,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14_promo": advanced.tpch_q14_promo,
         "tpch_q18_big_orders": advanced.tpch_q18_big_orders,
         "tpch_q7_nation_trade": advanced.tpch_q7_nation_trade,
+        "tpch_q8_market_share": relational2.tpch_q8_market_share,
+        "tpch_q13_order_dist": relational2.tpch_q13_order_dist,
+        "tpch_q15_top_supplier": relational2.tpch_q15_top_supplier,
+        "tpch_q17_small_qty": relational2.tpch_q17_small_qty,
+        "tpch_q19_disjunctive": relational2.tpch_q19_disjunctive,
+        "tpch_q21_waiting_supplier": relational2.tpch_q21_waiting_supplier,
+        "tpch_q22_idle_rich": relational2.tpch_q22_idle_rich,
+        "sales_rollup": relational2.sales_rollup,
         "part_supplier_diversity": advanced.part_supplier_diversity,
         "customer_set_ops": advanced.customer_set_ops,
         "supplier_nation_rank": advanced.supplier_nation_rank,
@@ -122,6 +131,14 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q14_promo": advanced.TPCH_Q14_SQL,
         "tpch_q18_big_orders": advanced.TPCH_Q18_SQL,
         "tpch_q7_nation_trade": advanced.TPCH_Q7_SQL,
+        "tpch_q8_market_share": relational2.TPCH_Q8_SQL,
+        "tpch_q13_order_dist": relational2.TPCH_Q13_SQL,
+        "tpch_q15_top_supplier": relational2.TPCH_Q15_SQL,
+        "tpch_q17_small_qty": relational2.TPCH_Q17_SQL,
+        "tpch_q19_disjunctive": relational2.TPCH_Q19_SQL,
+        "tpch_q21_waiting_supplier": relational2.TPCH_Q21_SQL,
+        "tpch_q22_idle_rich": relational2.TPCH_Q22_SQL,
+        "sales_rollup": relational2.SALES_ROLLUP_SQL,
         "part_supplier_diversity": advanced.PART_SUPPLIER_DIVERSITY_SQL,
         "customer_set_ops": advanced.CUSTOMER_SET_OPS_SQL,
         "supplier_nation_rank": advanced.SUPPLIER_NATION_RANK_SQL,

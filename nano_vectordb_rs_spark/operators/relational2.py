@@ -1,0 +1,435 @@
+"""Second wave of TPC-H-shaped relational queries (q8/q13/q15/q17/q19/q21/q22
+adaptations, plus ROLLUP) — filling in the subquery / outer-join / disjunctive
+/ multi-semi-join shapes the first wave (relational.py, advanced.py) did not
+exercise.
+
+The reference engine has none of these (SURVEY.md §2.3: no joins, no
+group-bys, no subqueries anywhere in src/lib.rs); this is north-star
+extension surface. Shapes are adapted to the fixture schema (TESTDATA.md):
+no partsupp table, no l_commitdate/l_receiptdate (lateness := shipdate vs
+orderdate + N days), no c_phone (q22 groups by nation instead of phone
+prefix), no p_container (q17/q19 predicates use p_brand/p_size).
+
+Scale design notes (100 TB):
+- q13: the customer⋈orders outer join shuffles on custkey once; the second
+  aggregation (distribution over order counts) reduces to O(distinct counts)
+  rows — partial-aggregated map-side, trivially small shuffle.
+- q15: revenue-per-supplier is one shuffle on suppkey; the scalar max is a
+  1-row broadcast joined back — never a driver-side collect.
+- q17: the per-part average is computed once via groupBy (NOT a correlated
+  per-row subquery — that would rescan lineitem per part) and broadcast back
+  onto the fact scan.
+- q19: the disjunctive predicate stays a single scan; each disjunct is
+  plain-column comparisons, so Parquet row-group stats can still skip.
+- q21: the EXISTS/NOT-EXISTS pair becomes one aggregated self-profile of
+  lineitem per order (counts of suppliers / late suppliers) joined back —
+  one shuffle on orderkey instead of two correlated rescans.
+- q22: the global average account balance is a 1-row aggregate broadcast
+  into the filter; the "has no orders" test is a left-anti join on custkey.
+- ROLLUP expands each input row into its grouping sets inside the partial
+  aggregate (Expand operator) — the shuffle still carries only group rows.
+
+Determinism: decimal(28,10) sums, round(x, n) on every float output,
+explicit total ordering with tie-breaks (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nano_vectordb_rs_spark.sources.tables import load_table
+
+DEC = "decimal(28,10)"
+
+
+def _dsum(expr: str) -> F.Column:
+    return F.sum(F.expr(expr).cast(DEC))
+
+
+def _as_dbl(c: F.Column) -> F.Column:
+    return c.cast("double")
+
+
+# --- q8: national market share ----------------------------------------------
+
+Q8_REGION = "ASIA"
+Q8_NATION = "NATION_3"
+Q8_TYPE = "PROMO"
+
+
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-year share of ASIA-region PROMO-part revenue supplied by one
+    nation — the two-level-aggregate shape (conditional sum / total sum).
+
+    All five dimension sides (part, supplier, nation×2, region, customer)
+    broadcast; lineitem⋈orders shuffles once on orderkey."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == Q8_TYPE)
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation_s = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    nation_c = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q8_REGION)
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    cust_in_region = customer.join(
+        F.broadcast(nation_c.join(F.broadcast(region), nation_c.n_regionkey == region.r_regionkey)),
+        customer.c_nationkey == nation_c.n_nationkey,
+    ).select("c_custkey")
+
+    base = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_in_region), orders.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation_s), supplier.s_nationkey == F.col("sn_key"))
+    )
+    vol = "l_extendedprice * (1 - l_discount)"
+    return (
+        base.withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .agg(
+            _dsum(vol).alias("_total"),
+            F.sum(
+                F.when(F.col("supp_nation") == Q8_NATION, F.expr(vol)).otherwise(F.lit(0.0)).cast(DEC)
+            ).alias("_nation"),
+        )
+        .select(
+            "o_year",
+            F.round(_as_dbl(F.col("_nation")) / _as_dbl(F.col("_total")), 6).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+TPCH_Q8_SQL = f"""
+SELECT year(o_orderdate) AS o_year,
+       round(CAST(sum(CAST(CASE WHEN n2.n_name = '{Q8_NATION}'
+                                THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END
+                           AS DECIMAL(28,10))) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE),
+             6) AS mkt_share
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = '{Q8_TYPE}' AND r_name = '{Q8_REGION}'
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+# --- q13: customer order-count distribution ----------------------------------
+
+
+def tpch_q13_order_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of customers by how many orders they placed, including
+    zero — the canonical LEFT OUTER JOIN + double aggregation. Customers
+    with no orders surface as c_count = 0 via the null-preserving count."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+TPCH_Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# --- q15: top supplier by revenue --------------------------------------------
+
+Q15_FROM, Q15_TO = "1997-01-01 00:00:00", "1997-04-01 00:00:00"
+
+
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) whose quarterly shipped revenue equals the maximum —
+    the scalar-subquery-on-a-derived-view shape. The 1-row max is joined
+    back by equality on the ROUNDED revenue (both sides round before
+    comparing, so the float boundary is deterministic)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q15_FROM).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(Q15_TO).cast("timestamp_ntz"))
+    )
+    revenue = (
+        li.groupBy("l_suppkey")
+        .agg(F.round(_as_dbl(_dsum("l_extendedprice * (1 - l_discount)")), 4).alias("total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("_max"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        revenue.join(F.broadcast(max_rev), revenue.total_revenue == max_rev._max)
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+TPCH_Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey,
+         round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE), 4)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_FROM}' AND l_shipdate < TIMESTAMP '{Q15_TO}'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+# --- q17: small-quantity-order revenue ---------------------------------------
+
+Q17_BRAND = "Brand#23"
+
+
+def tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average weekly revenue lost to small orders of one brand: lines with
+    quantity below 50% of that part's average quantity.
+
+    The correlated scalar subquery (avg per part) is decorrelated into one
+    groupBy over the SAME filtered fact slice, broadcast back — lineitem is
+    scanned once per side, never per-part."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == Q17_BRAND)
+    li = load_table(spark, sf_dir, "lineitem")
+    brand_lines = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    part_avg = (
+        brand_lines.groupBy(F.col("l_partkey").alias("pa_partkey"))
+        .agg((_as_dbl(_dsum("l_quantity")) / F.count("*")).alias("avg_qty"))
+    )
+    return (
+        brand_lines.join(F.broadcast(part_avg), F.col("l_partkey") == F.col("pa_partkey"))
+        .filter(_as_dbl(F.col("l_quantity")) < 0.5 * F.col("avg_qty"))
+        .agg(F.round(_as_dbl(_dsum("l_extendedprice")) / 7.0, 4).alias("avg_weekly_loss"))
+    )
+
+
+TPCH_Q17_SQL = f"""
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) / 7.0, 4)
+         AS avg_weekly_loss
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand = '{Q17_BRAND}'
+  AND CAST(l_quantity AS DOUBLE) < 0.5 * (
+    SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(28,10))) AS DOUBLE) / count(*)
+    FROM lineitem l2 JOIN part p2 ON l2.l_partkey = p2.p_partkey
+    WHERE l2.l_partkey = lineitem.l_partkey AND p2.p_brand = '{Q17_BRAND}')
+"""
+
+
+# --- q19: disjunctive predicate join -----------------------------------------
+
+
+def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue matching an OR of three (brand, size-band, quantity-band)
+    conjunctions — the shape that exercises predicate normalization. The
+    join key is conjunct to every disjunct, so Catalyst still plans an
+    equi-join (broadcast on part) with the residual OR as a post-filter."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    pred = (
+        ((F.col("p_brand") == "Brand#12") & sz.between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & sz.between(1, 25) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & sz.between(1, 35) & q.between(20, 30))
+    )
+    return j.filter(pred).agg(
+        F.round(_as_dbl(_dsum("l_extendedprice * (1 - l_discount)")), 4).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+TPCH_Q19_SQL = """
+SELECT round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE), 4)
+         AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# --- q21: suppliers who kept orders waiting ----------------------------------
+
+Q21_LATE_DAYS = 60
+
+
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who were the SOLE late shipper on a multi-supplier finished
+    order (lateness := shipped > 60 days after order date, the fixture's
+    proxy for receipt-past-commit).
+
+    The classic formulation is EXISTS(other supplier) AND NOT EXISTS(other
+    late supplier) — two correlated rescans of lineitem. Here both collapse
+    into ONE per-order profile (distinct supplier count, distinct late
+    supplier count) computed in a single groupBy and joined back: at 100 TB
+    that is one shuffle on orderkey instead of three."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+        "is_late",
+        (F.col("l_shipdate") > F.expr(f"o_orderdate + INTERVAL {Q21_LATE_DAYS} DAYS")).cast("int"),
+    )
+    profile = lines.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.count_distinct("l_suppkey").alias("n_supps"),
+        F.count_distinct(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias("n_late_supps"),
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        lines.filter(F.col("is_late") == 1)
+        .join(profile, F.col("l_orderkey") == F.col("po_orderkey"))
+        .filter((F.col("n_supps") > 1) & (F.col("n_late_supps") == 1))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+    )
+
+
+TPCH_Q21_SQL = f"""
+WITH lines AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY THEN 1 ELSE 0 END AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), profile AS (
+  SELECT l_orderkey AS po_orderkey,
+         count(DISTINCT l_suppkey) AS n_supps,
+         count(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END) AS n_late_supps
+  FROM lines GROUP BY l_orderkey
+)
+SELECT s_name, count(*) AS numwait
+FROM (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lines JOIN profile ON l_orderkey = po_orderkey
+  WHERE is_late = 1 AND n_supps > 1 AND n_late_supps = 1
+) sole_late
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
+# --- q22: idle rich customers ------------------------------------------------
+
+
+Q22_IDLE_SINCE = "1999-09-01 00:00:00"
+
+
+def tpch_q22_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per nation: customers with above-average positive balance and no
+    recent orders (q22 with nation standing in for the missing phone prefix,
+    and "idle since {Q22_IDLE_SINCE}" instead of "never ordered" — at the
+    fixture's 10-orders-per-customer ratio a lifetime anti-join is empty).
+
+    The scalar average is a 1-row broadcast; the idle test is a left-anti
+    join against the date-filtered orders — the same physical shape as the
+    collection's delete() (SURVEY.md O5), applied analytically. The date
+    predicate is pushed into the orders scan before the anti join."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(Q22_IDLE_SINCE).cast("timestamp_ntz")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    avg_bal = (
+        customer.filter(F.col("c_acctbal") > 0.0)
+        .agg((_as_dbl(_dsum("c_acctbal")) / F.count("*")).alias("_avg"))
+    )
+    return (
+        customer.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("_avg"))
+        .join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(_as_dbl(_dsum("c_acctbal")), 4).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+TPCH_Q22_SQL = f"""
+SELECT n_name, count(*) AS numcust,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE), 4) AS totacctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (
+    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE) / count(*)
+    FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '{Q22_IDLE_SINCE}')
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+# --- ROLLUP: hierarchical subtotals ------------------------------------------
+
+
+def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by (returnflag, linestatus) with ROLLUP subtotals and a grand
+    total — the Expand-operator grouping-sets shape. GROUPING() flags
+    disambiguate real NULLs from subtotal rows; subtotal keys render as
+    'ALL' so the output is null-free and hash-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").alias("g_flag"),
+            F.grouping("l_linestatus").alias("g_status"),
+            F.count("*").alias("n_lines"),
+            F.round(_as_dbl(_dsum("l_extendedprice * (1 - l_discount)")), 4).alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "g_flag",
+            "g_status",
+            "n_lines",
+            "revenue",
+        )
+        .orderBy("g_flag", "g_status", "returnflag", "linestatus")
+    )
+
+
+SALES_ROLLUP_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(GROUPING(l_returnflag) AS TINYINT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS TINYINT) AS g_status,
+       count(*) AS n_lines,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE), 4)
+         AS revenue
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY g_flag, g_status, returnflag, linestatus
+"""
