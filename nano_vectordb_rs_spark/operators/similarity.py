@@ -120,12 +120,16 @@ def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB pipeline uses with cluster ids from a coarse quantizer (see
     ann_ivf cells) when no natural label exists."""
     emb = load_table(spark, sf_dir, "embeddings")
-    a, b = emb.alias("a"), emb.alias("b")
-    score = F.expr(
-        f"({dot_expr(as_double_array('a.embedding'), as_double_array('b.embedding'))})"
-        f" / ({norm_expr(as_double_array('a.embedding'))}"
-        f" * {norm_expr(as_double_array('b.embedding'))})"
+    # hoist the O(dim) cast + norm out of the pair loop: computed once per ROW
+    # here, instead of once per PAIR (Σ|block|² times) inside the join
+    pre = emb.select(
+        "vec_id",
+        "label",
+        F.expr(as_double_array("embedding")).alias("demb"),
+        F.expr(norm_expr(as_double_array("embedding"))).alias("nrm"),
     )
+    a, b = pre.alias("a"), pre.alias("b")
+    score = F.expr(f"({dot_expr('a.demb', 'b.demb')}) / (a.nrm * b.nrm)")
     pairs = (
         a.join(
             b,

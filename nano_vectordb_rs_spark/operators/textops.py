@@ -169,18 +169,18 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     over a doc's shingles is its fingerprint; report per-source distinct
     fingerprints + a deterministic sample of fingerprint prefixes."""
     docs = load_table(spark, sf_dir, "documents")
-    words = F.split("text", " ")
+    # bind split() ONCE as a column: Catalyst cannot CSE a subexpression into
+    # a lambda body, so inlining split(text) there would re-tokenize the whole
+    # document for every shingle term — O(words²) instead of O(words)
+    tokenized = docs.select("source", F.split("text", " ").alias("w"))
     shingles = F.expr(
-        "transform(sequence(1, greatest(size(split(text, ' ')) - 3, 1)), "
-        "i -> md5(concat_ws(' ', element_at(split(text, ' '), i), "
-        "element_at(split(text, ' '), i + 1), "
-        "element_at(split(text, ' '), i + 2), "
-        "element_at(split(text, ' '), i + 3))))"
+        "transform(sequence(1, greatest(size(w) - 3, 1)), "
+        "i -> md5(concat_ws(' ', element_at(w, i), element_at(w, i + 1), "
+        "element_at(w, i + 2), element_at(w, i + 3))))"
     )
-    _ = words
     fp = F.substring(F.array_min(shingles), 1, 16)
     return (
-        docs.select("source", fp.alias("fingerprint"))
+        tokenized.select("source", fp.alias("fingerprint"))
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
