@@ -68,6 +68,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21_waiting_supplier": relational2.tpch_q21_waiting_supplier,
         "tpch_q22_idle_rich": relational2.tpch_q22_idle_rich,
         "sales_rollup": relational2.sales_rollup,
+        "orders_pivot": relational2.orders_pivot,
+        "customer_balance_quartiles": relational2.customer_balance_quartiles,
+        "parts_cube": relational2.parts_cube,
+        "lineitem_stats": relational2.lineitem_stats,
         "part_supplier_diversity": advanced.part_supplier_diversity,
         "customer_set_ops": advanced.customer_set_ops,
         "supplier_nation_rank": advanced.supplier_nation_rank,
@@ -85,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_stats": events.events_json_stats,
         "events_top_users": events.events_top_users,
         "events_union_slices": events.events_union_slices,
+        "events_distinct_sketch": events.events_distinct_sketch,
         # --- similarity search / ANN (SURVEY.md §7.5 + north star) ---
         "knn_join": similarity.knn_join,
         "near_dup_embeddings": similarity.near_dup_embeddings,
@@ -139,6 +144,12 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q21_waiting_supplier": relational2.TPCH_Q21_SQL,
         "tpch_q22_idle_rich": relational2.TPCH_Q22_SQL,
         "sales_rollup": relational2.SALES_ROLLUP_SQL,
+        "orders_pivot": relational2.ORDERS_PIVOT_SQL,
+        "customer_balance_quartiles": relational2.CUSTOMER_QUARTILES_SQL,
+        "parts_cube": relational2.PARTS_CUBE_SQL,
+        "lineitem_stats": relational2.LINEITEM_STATS_SQL,
+        # events_distinct_sketch: HLL impl differs per engine — rows-only check,
+        # tolerance-vs-exact asserted in tests/test_oracle_parity.py
         "part_supplier_diversity": advanced.PART_SUPPLIER_DIVERSITY_SQL,
         "customer_set_ops": advanced.CUSTOMER_SET_OPS_SQL,
         "supplier_nation_rank": advanced.SUPPLIER_NATION_RANK_SQL,

@@ -285,3 +285,24 @@ FROM events, UNNEST(generate_series(0, {WIN_HOPS - 1})) AS i(g)
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+def events_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event type via HyperLogLog++ — the
+    sketch path for cardinality at 100 TB, where exact countDistinct's
+    two-phase shuffle (dedup then count) is the bottleneck. HLL registers
+    merge map-side and are order-independent, so the estimate is
+    deterministic for fixed data.
+
+    No DuckDB oracle (its approx_count_distinct is a different HLL
+    implementation — rows-only driver check); tests/test_oracle_parity.py
+    asserts the estimate lands within 5% of the exact twin instead."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        )
+        .orderBy("event_type")
+    )

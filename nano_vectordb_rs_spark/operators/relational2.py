@@ -433,3 +433,161 @@ FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 ORDER BY g_flag, g_status, returnflag, linestatus
 """
+
+
+# --- PIVOT: priority × year order counts -------------------------------------
+
+PIVOT_YEARS = list(range(1995, 2002))
+
+
+def orders_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts pivoted to one column per order year.
+
+    The year values are passed to ``pivot()`` explicitly so Spark skips the
+    extra distinct-values collection pass — at 100 TB the implicit variant
+    would scan the fact table twice. A pivot is just a conditional-sum
+    aggregate (one shuffle on the groupBy key); the oracle spells that out."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_orderpriority")
+        .pivot("o_year", PIVOT_YEARS)
+        .count()
+        .select(
+            "o_orderpriority",
+            *[F.coalesce(F.col(str(y)), F.lit(0)).alias(f"y{y}") for y in PIVOT_YEARS],
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORDERS_PIVOT_SQL = f"""
+SELECT o_orderpriority,
+       {', '.join(f"sum(CASE WHEN year(o_orderdate) = {y} THEN 1 ELSE 0 END) AS y{y}" for y in PIVOT_YEARS)}
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --- NTILE: balance quartiles -------------------------------------------------
+
+
+def customer_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers bucketed into balance quartiles via ntile(4), with per-
+    quartile stats.
+
+    A global ntile needs a total order — one single-partition window, the
+    one shape here that does NOT scale horizontally. The 100 TB variant
+    computes quartile BOUNDARIES with approx_percentile (map-side sketch
+    merge) and buckets by comparison; this exact version exists because the
+    fixture sizes allow it and it hash-checks against the oracle."""
+    customer = load_table(spark, sf_dir, "customer")
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return (
+        customer.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.round(_as_dbl(_dsum("c_acctbal")), 4).alias("sum_bal"),
+        )
+        .orderBy("quartile")
+    )
+
+
+CUSTOMER_QUARTILES_SQL = """
+SELECT quartile, count(*) AS n_customers,
+       round(min(c_acctbal), 2) AS min_bal,
+       round(max(c_acctbal), 2) AS max_bal,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE), 4) AS sum_bal
+FROM (
+  SELECT c_acctbal,
+         ntile(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile
+  FROM customer)
+GROUP BY quartile
+ORDER BY quartile
+"""
+
+
+# --- CUBE: part catalog cross-totals -----------------------------------------
+
+
+def parts_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part counts/prices across ALL subtotal combinations of (type, brand)
+    — CUBE, the full-lattice sibling of ROLLUP's hierarchy. Same Expand-
+    operator plan: each row fans into its 4 grouping sets before the partial
+    aggregate, so the shuffle still carries only group rows."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.cube("p_type", "p_brand")
+        .agg(
+            F.grouping("p_type").alias("g_type"),
+            F.grouping("p_brand").alias("g_brand"),
+            F.count("*").alias("n_parts"),
+            F.round(_as_dbl(_dsum("p_retailprice")), 4).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("p_type", F.lit("ALL")).alias("ptype"),
+            F.coalesce("p_brand", F.lit("ALL")).alias("brand"),
+            "g_type",
+            "g_brand",
+            "n_parts",
+            "sum_price",
+        )
+        .orderBy("g_type", "g_brand", "ptype", "brand")
+    )
+
+
+PARTS_CUBE_SQL = """
+SELECT coalesce(p_type, 'ALL') AS ptype,
+       coalesce(p_brand, 'ALL') AS brand,
+       CAST(GROUPING(p_type) AS TINYINT) AS g_type,
+       CAST(GROUPING(p_brand) AS TINYINT) AS g_brand,
+       count(*) AS n_parts,
+       round(CAST(sum(CAST(p_retailprice AS DECIMAL(28,10))) AS DOUBLE), 4) AS sum_price
+FROM part
+GROUP BY CUBE (p_type, p_brand)
+ORDER BY g_type, g_brand, ptype, brand
+"""
+
+
+# --- statistical aggregates ---------------------------------------------------
+
+
+def lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag correlation / spread statistics — the numeric-moment
+    aggregate family (corr, covariance, stddev). These merge partial moment
+    tuples map-side, so the shuffle carries O(groups) rows.
+
+    Determinism note: moment aggregates are float-order-dependent in ANY
+    engine; with ~10^5 well-conditioned doubles the relative wobble is
+    ~1e-12, far inside the round() below (corr/1e-6, others/1e-2 of values
+    in the 10^3..10^4 range)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_cov"),
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_sd"),
+            F.round(F.var_samp("l_discount"), 6).alias("disc_var"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+LINEITEM_STATS_SQL = """
+SELECT l_returnflag, count(*) AS n_lines,
+       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_cov,
+       round(stddev_samp(l_extendedprice), 2) AS price_sd,
+       round(var_samp(l_discount), 6) AS disc_var
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""

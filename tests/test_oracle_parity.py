@@ -84,3 +84,22 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert df.columns == ["vec_id", "label", "score"]
+
+
+def test_distinct_sketch_within_tolerance(spark, duck):
+    """events_distinct_sketch has no value oracle (HLL impls differ across
+    engines); pin the estimate to within 5% of the exact cardinality."""
+    from nano_vectordb_rs_spark.operators.events import events_distinct_sketch
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in events_distinct_sketch(spark, SF_DIR).collect()
+    }
+    exact = dict(
+        duck.execute(
+            "SELECT event_type, count(DISTINCT user_id) FROM events GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(approx) == set(exact)
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= max(1, 0.05 * n), (et, approx[et], n)
