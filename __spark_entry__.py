@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup_docs": dedup.minhash_near_dup_docs,
         "simhash_docs": dedup.simhash_docs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "normalized_dedup_docs": dedup.normalized_dedup_docs,
         # --- multimodal binary columns ---
         "media_inventory": multimodal.media_inventory,
         "media_fingerprints": multimodal.media_fingerprints,
@@ -110,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": textops.lang_id,
         "quality_scores": textops.quality_scores,
         "doc_fingerprints": textops.doc_fingerprints,
+        "docs_split_assignment": textops.docs_split_assignment,
     }
 
 
@@ -176,10 +178,12 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dup_docs": dedup.MINHASH_NEAR_DUP_SQL,
         "simhash_docs": dedup.SIMHASH_DOCS_SQL,
         "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_SQL,
+        "normalized_dedup_docs": dedup.NORMALIZED_DEDUP_SQL,
         "media_inventory": multimodal.MEDIA_INVENTORY_SQL,
         "media_fingerprints": multimodal.MEDIA_FINGERPRINTS_SQL,
         "token_counts": textops.TOKEN_COUNTS_SQL,
         "lang_id": textops.LANG_ID_SQL,
         "quality_scores": textops.QUALITY_SCORES_SQL,
         "doc_fingerprints": textops.DOC_FINGERPRINTS_SQL,
+        "docs_split_assignment": textops.DOCS_SPLIT_SQL,
     }

@@ -344,3 +344,47 @@ WHERE round(n_inter / CAST(s1.n + s2.n - n_inter AS DOUBLE), 6) >= 0.6
 ORDER BY jaccard DESC, doc1, doc2
 LIMIT 100
 """
+
+
+# --- normalization-aware dedup ------------------------------------------------
+
+
+def normalized_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-exact dedup after canonical text normalization (lowercase, strip
+    non-alphanumerics, collapse whitespace) — catches the reformatted copies
+    that byte-exact md5 dedup (exact_dedup_docs) misses. The normalization
+    chain is pure JVM string expressions in one projection; the groupBy on
+    the 128-bit hash is the only shuffle, carrying (hash, doc_id) not text."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    groups = docs.select("lang", "doc_id", F.md5(norm).alias("h")).groupBy(
+        "lang", "h"
+    ).agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    return (
+        groups.groupBy("lang")
+        .agg(
+            F.sum("n_copies").alias("n_docs"),
+            F.count("*").alias("n_distinct_norm"),
+            F.sum(F.col("n_copies") - 1).alias("n_removable"),
+            F.min("keep_id").alias("min_keep_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+NORMALIZED_DEDUP_SQL = """
+SELECT lang, sum(n_copies) AS n_docs, count(*) AS n_distinct_norm,
+       sum(n_copies - 1) AS n_removable, min(keep_id) AS min_keep_id
+FROM (
+  SELECT lang,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                 ' +', ' ', 'g'))) AS h,
+         min(doc_id) AS keep_id, count(*) AS n_copies
+  FROM documents GROUP BY 1, 2)
+GROUP BY lang
+ORDER BY lang
+"""

@@ -208,3 +208,54 @@ FROM fps
 GROUP BY source
 ORDER BY source
 """
+
+
+# --- deterministic train/valid/test split -------------------------------------
+
+SPLIT_TRAIN_PCT, SPLIT_VALID_PCT = 80, 10  # remainder = test
+
+
+def docs_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 80/10/10 train/valid/test split by content-independent id
+    hashing — the pattern a training pipeline needs so the split is stable
+    across reruns, engines and partitionings (no rand(), no row_number over
+    arbitrary order). bucket = first 32 md5 bits of the doc id, mod 100;
+    both Spark and DuckDB compute the identical bucket, so the assignment
+    itself is oracle-checked, not just the counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VALID_PCT, "valid")
+        .otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+DOCS_SPLIT_SQL = f"""
+SELECT CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN bucket < {SPLIT_TRAIN_PCT + SPLIT_VALID_PCT} THEN 'valid'
+            ELSE 'test' END AS split,
+       lang, count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+       sum(doc_id) AS id_checksum
+FROM (
+  SELECT lang, doc_id,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+           AS bucket
+  FROM documents)
+GROUP BY 1, 2
+ORDER BY split, lang
+"""
