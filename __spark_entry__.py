@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_users": events.events_top_users,
         "events_union_slices": events.events_union_slices,
         "events_distinct_sketch": events.events_distinct_sketch,
+        "events_session_window": events.events_session_window,
+        "events_value_percentiles_approx": events.events_value_percentiles_approx,
         # --- similarity search / ANN (SURVEY.md §7.5 + north star) ---
         "knn_join": similarity.knn_join,
         "near_dup_embeddings": similarity.near_dup_embeddings,
@@ -152,6 +154,9 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_stats": relational2.LINEITEM_STATS_SQL,
         # events_distinct_sketch: HLL impl differs per engine — rows-only check,
         # tolerance-vs-exact asserted in tests/test_oracle_parity.py
+        # events_value_percentiles_approx: GK sketch is engine-specific —
+        # rows-only check + rank-error tolerance test
+        "events_session_window": events.EVENTS_SESSIONIZED_SQL,
         "part_supplier_diversity": advanced.PART_SUPPLIER_DIVERSITY_SQL,
         "customer_set_ops": advanced.CUSTOMER_SET_OPS_SQL,
         "supplier_nation_rank": advanced.SUPPLIER_NATION_RANK_SQL,

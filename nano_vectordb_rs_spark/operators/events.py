@@ -306,3 +306,58 @@ def events_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session-window sessionization: ``F.session_window`` with a
+    30-min gap — the built-in operator whose streaming form powers
+    watermarked session aggregation, checked here against the same
+    gaps-and-islands oracle as the lag-based twin (events_sessionized).
+
+    Boundary semantics differ at EXACT gap multiples (session_window splits
+    at diff >= gap, the lag twin at diff > gap); the fixtures contain no
+    exact 30-min adjacent gaps at any sf, so results are identical. One
+    shuffle on user_id; Spark merges overlapping windows internally."""
+    ev = _events(spark, sf_dir)
+    per_session = (
+        ev.withColumn("event_time", F.timestamp_micros(F.col("ts_us")))
+        .groupBy("user_id", F.session_window("event_time", "30 minutes"))
+        .agg(F.count("*").alias("session_events"))
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("session_events").alias("max_session_events"),
+            F.sum("session_events").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def events_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-type value percentiles via percentile_approx
+    (Greenwald-Khanna sketch) — the scale path for quantiles: partial
+    sketches merge map-side, no global sort, memory bounded by the accuracy
+    parameter. The exact twin (order_value_quantiles) global-sorts.
+
+    No DuckDB value oracle (GK sketch is engine-specific — rows-only driver
+    check); tests assert each estimate's RANK error vs the exact
+    distribution is within 1/accuracy."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000)[0], 6
+            ).alias("p50"),
+            F.round(
+                F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000)[1], 6
+            ).alias("p90"),
+            F.round(
+                F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000)[2], 6
+            ).alias("p99"),
+        )
+        .orderBy("event_type")
+    )

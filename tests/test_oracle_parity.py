@@ -103,3 +103,25 @@ def test_distinct_sketch_within_tolerance(spark, duck):
     assert set(approx) == set(exact)
     for et, n in exact.items():
         assert abs(approx[et] - n) <= max(1, 0.05 * n), (et, approx[et], n)
+
+
+def test_percentile_approx_rank_error(spark, duck):
+    """events_value_percentiles_approx has no value oracle (GK sketch);
+    assert each estimate's rank in the exact distribution is within 1% of
+    the target percentile (accuracy=10000 guarantees 1/10000; 1% is slack
+    for the per-partition merge)."""
+    from nano_vectordb_rs_spark.operators.events import events_value_percentiles_approx
+
+    rows = events_value_percentiles_approx(spark, SF_DIR).collect()
+    for r in rows:
+        vals = [
+            v[0]
+            for v in duck.execute(
+                "SELECT value FROM events WHERE event_type = ? ORDER BY value",
+                [r["event_type"]],
+            ).fetchall()
+        ]
+        n = len(vals)
+        for pct, est in ((0.5, r["p50"]), (0.9, r["p90"]), (0.99, r["p99"])):
+            rank = sum(1 for v in vals if v <= est) / n
+            assert abs(rank - pct) <= 0.01 + 1.0 / n, (r["event_type"], pct, est, rank)
