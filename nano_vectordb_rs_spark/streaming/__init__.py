@@ -1,3 +1,4 @@
+from nano_vectordb_rs_spark.streaming.collection_stream import stream_upsert
 from nano_vectordb_rs_spark.streaming.events_stream import (
     hourly_counts_stream,
     purchase_click_join_stream,
@@ -12,4 +13,5 @@ __all__ = [
     "purchase_click_join_stream",
     "sessionize_stream",
     "run_available_now",
+    "stream_upsert",
 ]

@@ -107,3 +107,48 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_stream_upsert_into_collection(spark, tmp_path):
+    """Incremental checkpointed ingest: two availableNow runs over a growing
+    source directory; the second run processes ONLY the new file (checkpoint
+    offsets) and update-by-id semantics hold across runs."""
+    from nano_vectordb_rs_spark.collection import VectorCollection
+    from nano_vectordb_rs_spark.streaming.collection_stream import stream_upsert
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "`__id__` string, vector array<float>, tag string"
+    spark.createDataFrame(
+        [("a", [1.0, 0.0, 0.0, 0.0], "x"), ("b", [0.0, 1.0, 0.0, 0.0], "y")], schema
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "batch1"))
+
+    coll_path = str(tmp_path / "coll")
+    ckpt = str(tmp_path / "ckpt")
+    coll = VectorCollection.open(spark, 4, coll_path)
+
+    def read_src():
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .format("parquet")
+            .load(str(src))
+        )
+
+    stream_upsert(coll, read_src(), ckpt)
+    assert coll.count() == 2
+
+    # second file: b replaced (new vector + tag), c inserted
+    spark.createDataFrame(
+        [("b", [0.0, 0.0, 1.0, 0.0], "y2"), ("c", [0.0, 0.0, 0.0, 1.0], "z")], schema
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "batch2"))
+
+    coll2 = VectorCollection.open(spark, 4, coll_path)
+    stream_upsert(coll2, read_src(), ckpt)
+
+    final = VectorCollection.open(spark, 4, coll_path)
+    rows = {r["__id__"]: r for r in final.df.collect()}
+    assert set(rows) == {"a", "b", "c"}
+    assert rows["b"]["tag"] == "y2"
+    assert rows["b"]["vector"] == [0.0, 0.0, 1.0, 0.0]  # unit already
