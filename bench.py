@@ -99,7 +99,12 @@ def main() -> None:
         topk_over,
     )
 
-    normalized = normalize_map_in_arrow(spark.read.parquet(raw_path)).persist()
+    # the reference generates the matrix in RAM before its timing window
+    # (src/bin/benchmark.rs:84-96); cache the raw vectors so the timed insert
+    # is in-memory → in-memory like the reference's, not a parquet decode
+    raw = spark.read.parquet(raw_path).persist()
+    raw.agg(F.sum(F.expr("element_at(vector, 1)"))).collect()
+    normalized = normalize_map_in_arrow(raw).persist()
 
     # Warm the micro path once (Python Arrow workers, JIT, page cache) the
     # same way the headline loop warms the JVM — the reference's 5-run mean
@@ -134,6 +139,7 @@ def main() -> None:
 
     results["micro_query_100k_1024"] = timed(micro_query)
     normalized.unpersist()
+    raw.unpersist()
     shutil.rmtree(raw_path, ignore_errors=True)
 
     total = round(sum(results.values()), 4)
