@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_balance_quartiles": relational2.customer_balance_quartiles,
         "parts_cube": relational2.parts_cube,
         "lineitem_stats": relational2.lineitem_stats,
+        "supplier_trailing_revenue": relational2.supplier_trailing_revenue,
         "part_supplier_diversity": advanced.part_supplier_diversity,
         "customer_set_ops": advanced.customer_set_ops,
         "supplier_nation_rank": advanced.supplier_nation_rank,
@@ -152,6 +153,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_balance_quartiles": relational2.CUSTOMER_QUARTILES_SQL,
         "parts_cube": relational2.PARTS_CUBE_SQL,
         "lineitem_stats": relational2.LINEITEM_STATS_SQL,
+        "supplier_trailing_revenue": relational2.SUPPLIER_TRAILING_SQL,
         # events_distinct_sketch: HLL impl differs per engine — rows-only check,
         # tolerance-vs-exact asserted in tests/test_oracle_parity.py
         # events_value_percentiles_approx: GK sketch is engine-specific —

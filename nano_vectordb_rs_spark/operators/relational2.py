@@ -591,3 +591,58 @@ FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
+
+
+# --- RANGE-frame window: trailing 90-day revenue ------------------------------
+
+TRAIL_EPOCH = "1995-01-01"
+TRAIL_DAYS = 90
+TRAIL_SUPP_MAX = 5
+
+
+def supplier_trailing_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier trailing-90-day revenue at each active ship day — the
+    RANGE-frame window shape (value-based frame bounds, vs the ROWS frames
+    used elsewhere). Days are integers (datediff from a fixed epoch) so the
+    frame is integer-exact in both engines; per-day revenue is pre-aggregated
+    so the window slides over O(active days), not O(lineitems).
+
+    Scale: one shuffle on suppkey for both the pre-aggregate and the window
+    (same key — Catalyst reuses the partitioning); the frame scan is linear
+    per partition with a sliding two-pointer, spill-aware WindowExec."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < TRAIL_SUPP_MAX)
+    daily = (
+        li.withColumn("day", F.datediff(F.col("l_shipdate"), F.lit(TRAIL_EPOCH).cast("date")))
+        .groupBy("l_suppkey", "day")
+        .agg(_dsum("l_extendedprice * (1 - l_discount)").alias("day_rev_dec"))
+    )
+    w = Window.partitionBy("l_suppkey").orderBy("day").rangeBetween(-TRAIL_DAYS, 0)
+    return (
+        daily.select(
+            "l_suppkey",
+            "day",
+            F.round(_as_dbl(F.col("day_rev_dec")), 4).alias("day_rev"),
+            F.round(_as_dbl(F.sum("day_rev_dec").over(w)), 4).alias("trail90_rev"),
+        )
+        .orderBy("l_suppkey", "day")
+    )
+
+
+SUPPLIER_TRAILING_SQL = f"""
+WITH daily AS (
+  SELECT l_suppkey, datediff('day', DATE '{TRAIL_EPOCH}', l_shipdate) AS day,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS day_rev_dec
+  FROM lineitem
+  WHERE l_suppkey < {TRAIL_SUPP_MAX}
+  GROUP BY 1, 2)
+SELECT l_suppkey, day,
+       round(CAST(day_rev_dec AS DOUBLE), 4) AS day_rev,
+       round(CAST(sum(day_rev_dec) OVER (
+           PARTITION BY l_suppkey ORDER BY day
+           RANGE BETWEEN {TRAIL_DAYS} PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
+         AS trail90_rev
+FROM daily
+ORDER BY l_suppkey, day
+"""
