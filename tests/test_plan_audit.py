@@ -79,3 +79,39 @@ def test_q6_predicates_reach_scan(spark, queries):
     a = audit_plan(queries["tpch_q6_forecast"](spark, SF_DIR))
     pushed = " ".join(a["pushed_filters"])
     assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_tpch_q8_star_broadcasts_every_dimension(spark, queries):
+    a = audit_plan(queries["tpch_q8_market_share"](spark, SF_DIR))
+    # part, cust-in-region, supplier, nation x2 (region folded into the
+    # customer pre-join) all broadcast; only the fact-to-fact join and the
+    # year aggregation may shuffle
+    assert a["n_broadcast_joins"] >= 5
+    assert a["n_shuffles"] <= 3
+    assert any("p_type" in p for p in a["pushed_filters"])
+
+
+def test_tpch_q19_disjunctive_predicate_reaches_scan(spark, queries):
+    a = audit_plan(queries["tpch_q19_disjunctive"](spark, SF_DIR))
+    # the OR-of-conjunctions on plain columns must push to the lineitem scan
+    # (row-group skipping), not evaluate post-join only
+    assert any("Or" in p or "l_quantity" in p for p in a["pushed_filters"])
+    assert a["n_broadcast_joins"] >= 1
+
+
+def test_trailing_revenue_reuses_suppkey_partitioning(spark, queries):
+    a = audit_plan(queries["supplier_trailing_revenue"](spark, SF_DIR))
+    # day pre-aggregate shuffles on (suppkey, day); the window needs suppkey
+    # partitioning; plus the output sort — bounded small constant, and the
+    # suppkey filter reaches the scan
+    assert a["n_shuffles"] <= 3
+    assert any("l_suppkey" in p for p in a["pushed_filters"])
+
+
+def test_docs_split_is_scan_local_single_agg_shuffle(spark, queries):
+    df = queries["docs_split_assignment"](spark, SF_DIR)
+    df.collect()
+    a = audit_plan(df)
+    # md5-bucket assignment is a projection; only the groupBy + output sort
+    # shuffle
+    assert a["n_shuffles"] <= 2
