@@ -244,6 +244,21 @@ class VectorCollection:
         self.path = path
         self._df = self.spark.read.parquet(path)
 
+    def compact(self, target_rows_per_file: int = 500_000) -> int:
+        """Rewrite the collection into ``ceil(count / target)`` parquet files
+        and save. The streaming/batch upsert path accretes one file set per
+        micro-batch (the classic small-files problem); at scale thousands of
+        tiny files dominate scan planning time. No analogue in the reference
+        (its whole store is one JSON file, src/lib.rs:289-293).
+
+        Returns the resulting file count. round_robin repartition (no
+        column argument) spreads rows evenly without a shuffle key."""
+        n = self.count()
+        n_files = max(1, -(-n // max(1, target_rows_per_file)))
+        self._df = self._df.repartition(n_files)
+        self.save()
+        return n_files
+
     # -- O7/O8: collection metadata ----------------------------------------
 
     def additional_data(self) -> dict[str, Any]:

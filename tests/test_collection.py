@@ -198,3 +198,30 @@ def test_deterministic_tiebreak(spark, coll):
     )
     rows = coll.query([1, 0, 0, 0], 2).collect()
     assert [r["__id__"] for r in rows] == ["a", "b"]
+
+
+def test_compact_merges_small_files(spark, tmp_path):
+    """Many tiny per-batch file sets collapse to the computed file count with
+    identical contents."""
+    import os
+
+    from nano_vectordb_rs_spark.collection import VectorCollection
+
+    path = str(tmp_path / "frag")
+    c = VectorCollection.open(spark, 4, path)
+    schema = "`__id__` string, vector array<float>, tag string"
+    for b in range(5):  # five upsert+save cycles → five file generations
+        c.upsert(
+            spark.createDataFrame(
+                [(f"id{b}-{i}", [1.0, float(b), float(i), 0.0], f"t{b}") for i in range(4)],
+                schema,
+            )
+        )
+        c.save()
+    before = {r["__id__"] for r in c.df.collect()}
+    n_files = c.compact(target_rows_per_file=10)
+    parquet_files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert n_files == 2  # 20 rows / 10 per file
+    assert len(parquet_files) == n_files
+    after = {r["__id__"] for r in VectorCollection.open(spark, 4, path).df.collect()}
+    assert after == before and len(after) == 20
