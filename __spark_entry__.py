@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- events surface ---
         "events_hourly": events.events_hourly,
         "events_user_seq": events.events_user_seq,
+        "events_next_transition": events.events_next_transition,
         "events_sessionized": events.events_sessionized,
         "events_json_stats": events.events_json_stats,
         "events_top_users": events.events_top_users,
@@ -171,6 +172,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding_windows": events.EVENTS_SLIDING_SQL,
         "events_hourly": events.EVENTS_HOURLY_SQL,
         "events_user_seq": events.EVENTS_USER_SEQ_SQL,
+        "events_next_transition": events.EVENTS_NEXT_TRANSITION_SQL,
         "events_sessionized": events.EVENTS_SESSIONIZED_SQL,
         "events_json_stats": events.EVENTS_JSON_SQL,
         "events_top_users": events.EVENTS_TOP_USERS_SQL,

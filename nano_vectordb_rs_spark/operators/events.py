@@ -361,3 +361,47 @@ def events_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("event_type")
     )
+
+
+def events_next_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-looking window functions per user: next event type + time to
+    it (lead), and the user's first/last event types over the full frame —
+    the transition-modeling shape (what follows a click?) that completes the
+    window family (lag twin: events_user_seq). One shuffle on user_id for
+    all four window expressions (same spec)."""
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.row_number().over(w).alias("seq"),
+            F.lead("event_type", 1).over(w).alias("next_type"),
+            (F.lead("ts_us", 1).over(w) - F.col("ts_us")).alias("us_to_next"),
+            F.first("event_type").over(w_full).alias("first_type"),
+            F.last("event_type").over(w_full).alias("last_type"),
+        )
+        .filter(F.col("seq") <= 5)
+        .orderBy("user_id", "seq")
+    )
+
+
+EVENTS_NEXT_TRANSITION_SQL = """
+SELECT user_id, event_id, event_type, seq, next_type, us_to_next, first_type, last_type
+FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER w AS seq,
+         lead(event_type, 1) OVER w AS next_type,
+         lead(epoch_us(ts), 1) OVER w - epoch_us(ts) AS us_to_next,
+         first_value(event_type) OVER w_full AS first_type,
+         last_value(event_type) OVER w_full AS last_type
+  FROM events
+  WHERE user_id < 20
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
+         w_full AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+WHERE seq <= 5
+ORDER BY user_id, seq
+"""
