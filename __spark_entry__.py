@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "ann_recall": similarity.ann_recall,
         "label_centroids": similarity.label_centroids,
+        "semantic_search_docs": similarity.semantic_search_docs,
+        "crossmodal_dup_check": similarity.crossmodal_dup_check,
         # --- dedup family ---
         "exact_dedup_docs": dedup.exact_dedup_docs,
         "minhash_near_dup_docs": dedup.minhash_near_dup_docs,
@@ -182,6 +184,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": similarity.ANN_IVF_SQL,
         "ann_lsh_topk": similarity.ANN_LSH_SQL,
         "label_centroids": similarity.LABEL_CENTROIDS_SQL,
+        "semantic_search_docs": similarity.SEMANTIC_SEARCH_SQL,
+        "crossmodal_dup_check": similarity.CROSSMODAL_DUP_SQL,
         # ann_recall: driver-side composition over three plans — rows-only check
         "exact_dedup_docs": dedup.EXACT_DEDUP_SQL,
         "minhash_near_dup_docs": dedup.MINHASH_NEAR_DUP_SQL,

@@ -382,3 +382,137 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "method string, hits int, k int",
     )
+
+
+# --- doc-store retrieval join -------------------------------------------------
+
+
+def semantic_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-augmented lookup: cosine top-10 over the embedding index,
+    then join the winners back to the document store for their metadata —
+    the two-table shape every RAG pipeline runs (index answers WHICH, doc
+    store answers WHAT). The 10-row top-k broadcasts into the documents
+    join, so the doc store is probed, never shuffled."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    topk = (
+        emb.select(
+            "vec_id",
+            F.round(F.expr(cosine_expr("embedding", QUERY_VECTOR)), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    return (
+        docs.join(F.broadcast(topk), docs.doc_id == topk.vec_id)
+        .select("doc_id", "lang", "source", "n_chars", "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    )
+
+
+SEMANTIC_SEARCH_SQL = f"""
+WITH topk AS (
+  SELECT vec_id, round({duck_cosine_lit("embedding", QUERY_VECTOR, EMBEDDING_DIM)}, 6) AS score
+  FROM embeddings
+  ORDER BY score DESC, vec_id ASC
+  LIMIT 10)
+SELECT doc_id, lang, source, n_chars, score
+FROM documents JOIN topk ON doc_id = vec_id
+ORDER BY score DESC, doc_id ASC
+"""
+
+
+# --- cross-modal duplicate verification ---------------------------------------
+
+
+def crossmodal_dup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup candidates verified against TEXT token-set Jaccard
+    — the cross-modal confirmation step real dedup pipelines run before
+    dropping documents (embedding similarity proposes, lexical overlap
+    confirms or refutes).
+
+    The candidate pair set (small) drives everything: token sets are only
+    computed/joined for documents appearing in a pair, never corpus-wide."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+
+    pre = emb.select(
+        "vec_id",
+        "label",
+        F.expr(as_double_array("embedding")).alias("demb"),
+        F.expr(norm_expr(as_double_array("embedding"))).alias("nrm"),
+    )
+    a, b = pre.alias("a"), pre.alias("b")
+    cos = F.expr(f"({dot_expr('a.demb', 'b.demb')}) / (a.nrm * b.nrm)")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id1"),
+            F.col("b.vec_id").alias("id2"),
+            F.round(cos, 6).alias("cos_score"),
+        )
+        .filter(F.col("cos_score") >= NEAR_DUP_MIN)
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    t1, t2 = toks.alias("t1"), toks.alias("t2")
+    inter = (
+        pairs.join(t1, F.col("id1") == F.col("t1.doc_id"))
+        .join(
+            t2,
+            (F.col("id2") == F.col("t2.doc_id"))
+            & (F.col("t1.tok") == F.col("t2.tok")),
+        )
+        .groupBy("id1", "id2", "cos_score")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    s1, s2 = sizes.alias("s1"), sizes.alias("s2")
+    joined = (
+        pairs.join(inter.drop("cos_score"), ["id1", "id2"], "left_outer")
+        .join(s1, F.col("id1") == F.col("s1.doc_id"))
+        .join(s2, F.col("id2") == F.col("s2.doc_id"))
+    )
+    jac = F.round(
+        F.coalesce(F.col("n_inter"), F.lit(0))
+        / (F.col("s1.n_tok") + F.col("s2.n_tok") - F.coalesce(F.col("n_inter"), F.lit(0))),
+        6,
+    )
+    return (
+        joined.select("id1", "id2", "cos_score", jac.alias("text_jaccard"))
+        .orderBy(F.col("cos_score").desc(), "id1", "id2")
+        .limit(50)
+    )
+
+
+CROSSMODAL_DUP_SQL = f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         round({duck_cosine_pair('a.embedding', 'b.embedding', EMBEDDING_DIM)}, 6) AS cos_score
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE round({duck_cosine_pair('a.embedding', 'b.embedding', EMBEDDING_DIM)}, 6) >= {NEAR_DUP_MIN}),
+toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+sizes AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT id1, id2, count(*) AS n_inter
+  FROM pairs
+  JOIN toks t1 ON id1 = t1.doc_id
+  JOIN toks t2 ON id2 = t2.doc_id AND t1.tok = t2.tok
+  GROUP BY id1, id2)
+SELECT id1, id2, cos_score,
+       round(coalesce(n_inter, 0) / CAST(s1.n_tok + s2.n_tok - coalesce(n_inter, 0) AS DOUBLE), 6)
+         AS text_jaccard
+FROM pairs
+LEFT OUTER JOIN inter USING (id1, id2)
+JOIN sizes s1 ON id1 = s1.doc_id
+JOIN sizes s2 ON id2 = s2.doc_id
+ORDER BY cos_score DESC, id1, id2
+LIMIT 50
+"""
