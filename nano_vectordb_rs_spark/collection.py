@@ -202,6 +202,46 @@ class VectorCollection:
             df = df.filter(F.col(METRICS_COL) >= float(better_than))
         return df.orderBy(F.col(METRICS_COL).desc(), F.col(ID_COL).asc()).limit(top_k)
 
+    def query_batch(
+        self,
+        queries: DataFrame,
+        top_k: int = 10,
+        better_than: float | None = None,
+        where: Column | str | None = None,
+    ) -> DataFrame:
+        """Top-k for EACH row of a query DataFrame (``__id__``, ``vector``)
+        in one distributed plan — the scale-out generalization the reference
+        lacks (its query() is one vector per call, src/lib.rs:188-260; N
+        calls = N full scans; here N queries share ONE corpus scan).
+
+        The query block is broadcast and normalized on the fly; ranking is a
+        per-query-id window, so the shuffle carries only scored pairs.
+        Returns (query_id, __id__, metadata..., __metrics__, rank)."""
+        from pyspark.sql.window import Window
+
+        qnorm = self._validate_and_normalize(queries).select(
+            F.col(ID_COL).alias("__query_id__"),
+            F.col(VECTOR_COL).alias("__query_vec__"),
+        )
+        df = self._df
+        if where is not None:
+            df = df.filter(where)
+        score = F.expr(
+            dot_expr(as_double_array(VECTOR_COL), as_double_array("__query_vec__"))
+        )
+        scored = df.join(F.broadcast(qnorm)).withColumn(METRICS_COL, score)
+        if better_than is not None:
+            scored = scored.filter(F.col(METRICS_COL) >= float(better_than))
+        w = Window.partitionBy("__query_id__").orderBy(
+            F.col(METRICS_COL).desc(), F.col(ID_COL).asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k)
+            .drop("__query_vec__")
+            .orderBy("__query_id__", "rank")
+        )
+
     # -- O4/O5: get / delete ------------------------------------------------
 
     def get(self, ids: list[str]) -> DataFrame:

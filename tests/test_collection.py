@@ -225,3 +225,33 @@ def test_compact_merges_small_files(spark, tmp_path):
     assert len(parquet_files) == n_files
     after = {r["__id__"] for r in VectorCollection.open(spark, 4, path).df.collect()}
     assert after == before and len(after) == 20
+
+
+def test_query_batch_matches_single_queries(spark, tmp_path):
+    """query_batch(N queries) row-for-row equals N single query() calls."""
+    from nano_vectordb_rs_spark.collection import VectorCollection
+
+    c = VectorCollection.open(spark, 4, str(tmp_path / "qb"))
+    schema = "`__id__` string, vector array<float>, tag string"
+    c.upsert(
+        spark.createDataFrame(
+            [(f"v{i}", [float(i % 3 + 1), float(i % 5), 1.0, 0.5], f"t{i % 2}") for i in range(30)],
+            schema,
+        )
+    )
+    qvecs = [[1.0, 0.0, 0.0, 0.0], [0.0, 2.0, 1.0, 0.0]]
+    queries = spark.createDataFrame(
+        [(f"q{j}", v, "q") for j, v in enumerate(qvecs)], schema
+    )
+    batch = c.query_batch(queries, top_k=3, better_than=0.1)
+    got = {
+        (r["__query_id__"], r["rank"]): (r["__id__"], round(r["__metrics__"], 6))
+        for r in batch.collect()
+    }
+    for j, v in enumerate(qvecs):
+        singles = c.query(v, top_k=3, better_than=0.1).collect()
+        for rank, r in enumerate(singles, start=1):
+            assert got[(f"q{j}", rank)] == (r["__id__"], round(r["__metrics__"], 6))
+    # where-predicate restriction applies per query
+    filtered = c.query_batch(queries, top_k=3, where="tag = 't1'")
+    assert all(r["tag"] == "t1" for r in filtered.collect())
