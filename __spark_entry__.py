@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": textops.quality_scores,
         "doc_fingerprints": textops.doc_fingerprints,
         "docs_split_assignment": textops.docs_split_assignment,
+        "corpus_budget_report": textops.corpus_budget_report,
     }
 
 
@@ -199,4 +200,5 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": textops.QUALITY_SCORES_SQL,
         "doc_fingerprints": textops.DOC_FINGERPRINTS_SQL,
         "docs_split_assignment": textops.DOCS_SPLIT_SQL,
+        "corpus_budget_report": textops.CORPUS_BUDGET_SQL,
     }

@@ -259,3 +259,75 @@ FROM (
 GROUP BY 1, 2
 ORDER BY split, lang
 """
+
+
+# --- end-to-end corpus budget report ------------------------------------------
+
+BUDGET_QUALITY_MIN = 0.5
+
+
+def corpus_budget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline-composition query: per train/valid/test split, how many
+    documents and whitespace tokens survive the quality gate vs get dropped
+    — split assignment (md5 bucket), quality scoring and token counting
+    fused into ONE declarative plan (single scan, single aggregation
+    shuffle), exactly how a 100 TB corpus-curation job should run: no
+    intermediate materialization between "stages"."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VALID_PCT, "valid")
+        .otherwise("test")
+    )
+    n_tok = F.size(F.split("text", " "))
+    n_stop = F.expr(occurrences("concat(' ', text, ' ')", " the ")) + F.expr(
+        occurrences("concat(' ', text, ' ')", " a ")
+    )
+    mean_wlen = (F.col("n_chars") - (n_tok - F.lit(1))) / n_tok
+    score = F.round(
+        F.lit(0.5) * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - n_stop / n_tok)
+        + F.lit(0.2) * F.least(mean_wlen / F.lit(6.0), F.lit(1.0)),
+        6,
+    )
+    keep = score >= BUDGET_QUALITY_MIN
+    return (
+        docs.select(split.alias("split"), n_tok.alias("t"), keep.alias("keep"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("t")).otherwise(0)).alias("kept_tokens"),
+            F.sum(F.when(F.col("keep"), 0).otherwise(F.col("t"))).alias("dropped_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
+CORPUS_BUDGET_SQL = f"""
+WITH scored AS (
+  SELECT CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN bucket < {SPLIT_TRAIN_PCT + SPLIT_VALID_PCT} THEN 'valid'
+              ELSE 'test' END AS split,
+         t,
+         round(0.5 * least(t / 100.0, 1.0)
+             + 0.3 * (1.0 - CAST({_STOPS} AS DOUBLE) / t)
+             + 0.2 * least(((n_chars - (t - 1)) / CAST(t AS DOUBLE)) / 6.0, 1.0), 6)
+           >= {BUDGET_QUALITY_MIN} AS keep
+  FROM (
+    SELECT text, n_chars, len(string_split(text, ' ')) AS t,
+           CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+             AS bucket
+    FROM documents))
+SELECT split, count(*) AS n_docs,
+       sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+       sum(CASE WHEN keep THEN t ELSE 0 END) AS kept_tokens,
+       sum(CASE WHEN keep THEN 0 ELSE t END) AS dropped_tokens
+FROM scored
+GROUP BY split
+ORDER BY split
+"""
