@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": events.events_hourly,
         "events_user_seq": events.events_user_seq,
         "events_next_transition": events.events_next_transition,
+        "events_daily_full_outer": events.events_daily_full_outer,
+        "supplier_percent_rank": relational2.supplier_percent_rank,
         "events_sessionized": events.events_sessionized,
         "events_json_stats": events.events_json_stats,
         "events_top_users": events.events_top_users,
@@ -176,6 +178,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": events.EVENTS_HOURLY_SQL,
         "events_user_seq": events.EVENTS_USER_SEQ_SQL,
         "events_next_transition": events.EVENTS_NEXT_TRANSITION_SQL,
+        "events_daily_full_outer": events.EVENTS_DAILY_FULL_OUTER_SQL,
+        "supplier_percent_rank": relational2.SUPPLIER_PERCENT_RANK_SQL,
         "events_sessionized": events.EVENTS_SESSIONIZED_SQL,
         "events_json_stats": events.EVENTS_JSON_SQL,
         "events_top_users": events.EVENTS_TOP_USERS_SQL,

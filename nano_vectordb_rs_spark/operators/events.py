@@ -405,3 +405,52 @@ FROM (
 WHERE seq <= 5
 ORDER BY user_id, seq
 """
+
+
+DAY_US = 24 * HOUR_US
+
+
+def events_daily_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily purchases vs clicks via FULL OUTER join — days where only one
+    side has activity survive with zeros (the reconciliation shape; the one
+    join kind not exercised elsewhere). Both sides pre-aggregate to O(days)
+    rows before joining, so the outer join is tiny regardless of |events|."""
+    ev = _events(spark, sf_dir).withColumn("day", F.expr(f"ts_us div {DAY_US}"))
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 4).alias("purchase_value"),
+        )
+    )
+    c = ev.filter(F.col("event_type") == "click").groupBy(
+        F.col("day").alias("c_day")
+    ).agg(F.count("*").alias("n_clicks"))
+    return (
+        p.join(c, p.day == c.c_day, "full_outer")
+        .select(
+            F.coalesce("day", "c_day").alias("day"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+            F.coalesce("purchase_value", F.lit(0.0)).alias("purchase_value"),
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+        )
+        .orderBy("day")
+    )
+
+
+EVENTS_DAILY_FULL_OUTER_SQL = f"""
+WITH p AS (
+  SELECT epoch_us(ts) // {DAY_US} AS day, count(*) AS n_purchases,
+         round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 4) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+c AS (
+  SELECT epoch_us(ts) // {DAY_US} AS c_day, count(*) AS n_clicks
+  FROM events WHERE event_type = 'click' GROUP BY 1)
+SELECT coalesce(day, c_day) AS day,
+       coalesce(n_purchases, 0) AS n_purchases,
+       coalesce(purchase_value, 0.0) AS purchase_value,
+       coalesce(n_clicks, 0) AS n_clicks
+FROM p FULL OUTER JOIN c ON day = c_day
+ORDER BY day
+"""

@@ -646,3 +646,39 @@ SELECT l_suppkey, day,
 FROM daily
 ORDER BY l_suppkey, day
 """
+
+
+# --- relative-rank windows ----------------------------------------------------
+
+
+def supplier_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist of each supplier's balance within its nation
+    — the relative-standing window pair ((rank-1)/(n-1) and rank/n, exact
+    small rationals, identical doubles in both engines). Tie-break on
+    suppkey makes rank assignment total."""
+    from pyspark.sql.window import Window
+
+    supplier = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").asc(), F.col("s_suppkey").asc()
+    )
+    return (
+        supplier.select(
+            "s_nationkey",
+            "s_suppkey",
+            F.round(F.col("s_acctbal"), 2).alias("acctbal"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("s_nationkey", "s_suppkey")
+    )
+
+
+SUPPLIER_PERCENT_RANK_SQL = """
+SELECT s_nationkey, s_suppkey, round(s_acctbal, 2) AS acctbal,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal ASC, s_suppkey ASC)
+ORDER BY s_nationkey, s_suppkey
+"""
