@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_next_transition": events.events_next_transition,
         "events_daily_full_outer": events.events_daily_full_outer,
         "supplier_percent_rank": relational2.supplier_percent_rank,
+        "nation_supplier_lists": relational2.nation_supplier_lists,
         "events_sessionized": events.events_sessionized,
         "events_json_stats": events.events_json_stats,
         "events_top_users": events.events_top_users,
@@ -180,6 +181,7 @@ def oracle_sql() -> dict[str, str]:
         "events_next_transition": events.EVENTS_NEXT_TRANSITION_SQL,
         "events_daily_full_outer": events.EVENTS_DAILY_FULL_OUTER_SQL,
         "supplier_percent_rank": relational2.SUPPLIER_PERCENT_RANK_SQL,
+        "nation_supplier_lists": relational2.NATION_SUPPLIER_LISTS_SQL,
         "events_sessionized": events.EVENTS_SESSIONIZED_SQL,
         "events_json_stats": events.EVENTS_JSON_SQL,
         "events_top_users": events.EVENTS_TOP_USERS_SQL,

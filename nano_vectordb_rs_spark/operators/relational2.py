@@ -682,3 +682,36 @@ FROM supplier
 WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal ASC, s_suppkey ASC)
 ORDER BY s_nationkey, s_suppkey
 """
+
+
+# --- nested-array aggregation -------------------------------------------------
+
+
+def nation_supplier_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per nation: the sorted array of its supplier names plus balance total
+    — array-valued aggregation output (collect_list → sort_array makes the
+    nondeterministic collection order canonical; DuckDB's list() ordered the
+    same way via ORDER BY inside the aggregate)."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sort_array(F.collect_list("s_name")).alias("suppliers"),
+            F.count("*").alias("n_suppliers"),
+            F.round(_as_dbl(_dsum("s_acctbal")), 4).alias("total_bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+NATION_SUPPLIER_LISTS_SQL = """
+SELECT n_name,
+       list(s_name ORDER BY s_name) AS suppliers,
+       count(*) AS n_suppliers,
+       round(CAST(sum(CAST(s_acctbal AS DECIMAL(28,10))) AS DOUBLE), 4) AS total_bal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
