@@ -1,0 +1,73 @@
+"""Property-based checks (hypothesis): the collection's query pipeline
+agrees with an independent NumPy brute-force oracle on ARBITRARY inputs, not
+just the fixture tables — dimension guards, normalization, threshold and
+tie-break semantics all at once.
+
+derandomize=True: the same example set every run (no flaky CI), still far
+wider than hand-picked cases. One shared collection-per-example would leak
+Spark plans; examples are small (≤12 rows, dim ≤ 6) so each runs in ~100 ms.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from nano_vectordb_rs_spark.collection import VectorCollection
+
+DIM = 4
+
+finite_f = st.floats(
+    min_value=-8.0, max_value=8.0, allow_nan=False, allow_infinity=False, width=32
+)
+vec = st.lists(finite_f, min_size=DIM, max_size=DIM).filter(
+    lambda v: math.sqrt(sum(x * x for x in v)) > 1e-3
+)
+
+
+@settings(max_examples=25, deadline=None, derandomize=True)
+@given(
+    vectors=st.lists(vec, min_size=1, max_size=12),
+    query=vec,
+    k=st.integers(min_value=1, max_value=5),
+    threshold=st.one_of(st.none(), st.floats(min_value=-1.0, max_value=1.0)),
+)
+def test_query_matches_numpy_oracle(spark_session, vectors, query, k, threshold):
+    spark = spark_session
+    c = VectorCollection(spark, DIM, VectorCollection._empty_df(spark, None), None)
+    ids = [f"v{i:03d}" for i in range(len(vectors))]
+    c.upsert(
+        spark.createDataFrame(
+            list(zip(ids, vectors)), "`__id__` string, vector array<float>"
+        )
+    )
+
+    got = c.query(list(query), top_k=k, better_than=threshold).collect()
+
+    # independent oracle: float32 storage normalization, float64 scoring —
+    # mirrors the engine's declared numeric contract
+    m = np.array(vectors, dtype=np.float32)
+    m = m / np.linalg.norm(m.astype(np.float64), axis=1, keepdims=True).astype(
+        np.float32
+    )
+    q = np.array(query, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    scores = m.astype(np.float64) @ q
+    order = sorted(range(len(ids)), key=lambda i: (-scores[i], ids[i]))
+    want = [
+        (ids[i], scores[i])
+        for i in order
+        if threshold is None or scores[i] >= threshold
+    ][:k]
+
+    assert [r["__id__"] for r in got] == [w[0] for w in want]
+    for r, w in zip(got, want):
+        assert r["__metrics__"] == pytest.approx(w[1], abs=1e-5)
+
+
+@pytest.fixture(scope="module")
+def spark_session(spark):
+    return spark
