@@ -154,25 +154,34 @@ def main() -> None:
         "ref_file_mb": 540.0,
         "ours_file_mb": round(size_mb, 1),
     }
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": results,
-                "sf": SF_DIR.rstrip("/").split("sf")[-1],
-                "baseline": baseline,
-                "config": {
-                    "master": spark.sparkContext.master,
-                    "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
-                    "runs": RUNS,
-                    "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
-                    "micro_file_mb": round(size_mb, 1),
-                },
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "headline_total_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": results,
+            "sf": SF_DIR.rstrip("/").split("sf")[-1],
+            "baseline": baseline,
+            "config": {
+                "master": spark.sparkContext.master,
+                "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+                "runs": RUNS,
+                "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+                "micro_file_mb": round(size_mb, 1),
+            },
+        }
     )
+    # Durable copy first — BENCH_r01/r02 both recorded ``parsed: null``
+    # because Spark's async stdout chatter interleaved with the JSON line.
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json")
+    with open(out_path, "w") as fh:
+        fh.write(payload + "\n")
+    # Stop Spark BEFORE printing so no executor/log output can trail or
+    # interleave; then emit the JSON alone as the true final stdout line.
+    spark.stop()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    print(payload, flush=True)
 
 
 if __name__ == "__main__":

@@ -138,13 +138,17 @@ class VectorCollection:
 
     # -- O2: upsert ---------------------------------------------------------
 
-    def upsert(self, batch: DataFrame) -> dict[str, int]:
+    def upsert(self, batch: DataFrame) -> dict[str, list[str]]:
         """Join-based merge with full-row-replace semantics (decision Q2) and
         last-writer-wins for duplicate ids within a batch (decision Q3).
 
-        Returns ``{"updated": n, "inserted": n}`` — the reference's
-        (updated_ids, inserted_ids) report (src/lib.rs:184) as counts.
-        The batch is broadcast; the base collection does not shuffle.
+        Returns ``{"updated": [ids...], "inserted": [ids...]}`` — the
+        reference's (updated_ids, inserted_ids) report (src/lib.rs:184),
+        each list in batch order.  The id lists are driver-side by API
+        contract (the reference materializes them too); an upsert batch is
+        the small side of the merge, so collecting its ids is O(|batch|),
+        never O(|collection|).  The batch is broadcast; the base collection
+        does not shuffle.
         """
         from pyspark.sql.window import Window
 
@@ -156,16 +160,29 @@ class VectorCollection:
         batch = (
             batch.withColumn("__rn__", F.row_number().over(w))
             .filter(F.col("__rn__") == 1)
-            .drop("__rn__", "__batch_pos__")
         )
         batch = batch.cache()
-        n_batch = batch.count()
-        n_updated = self._df.join(F.broadcast(batch), ID_COL, "left_semi").count()
+        batch_ids = [
+            r[ID_COL]
+            for r in batch.select(ID_COL, "__batch_pos__")
+            .orderBy("__batch_pos__")
+            .collect()
+        ]
+        batch = batch.drop("__rn__", "__batch_pos__")
+        existing = {
+            r[ID_COL]
+            for r in self._df.join(F.broadcast(batch), ID_COL, "left_semi")
+            .select(ID_COL)
+            .collect()
+        }
         merged = self._df.join(F.broadcast(batch), ID_COL, "left_anti").unionByName(
             batch, allowMissingColumns=True
         )
         self._df = merged
-        return {"updated": n_updated, "inserted": n_batch - n_updated}
+        return {
+            "updated": [i for i in batch_ids if i in existing],
+            "inserted": [i for i in batch_ids if i not in existing],
+        }
 
     # -- O3: query ----------------------------------------------------------
 
@@ -244,8 +261,21 @@ class VectorCollection:
 
     # -- O4/O5: get / delete ------------------------------------------------
 
-    def get(self, ids: list[str]) -> DataFrame:
-        """Point lookup; missing ids silently dropped (src/lib.rs:263-270)."""
+    def get(self, ids: list[str], ordered: bool = False) -> DataFrame:
+        """Point lookup; missing ids silently dropped (src/lib.rs:263-270).
+
+        ``ordered=True`` returns rows in requested-id order, matching the
+        reference's sequential lookup loop — a broadcast inner join tagged
+        with the request position, so still a single scan, no shuffle."""
+        if ordered:
+            ids_df = self.spark.createDataFrame(
+                [(str(i), p) for p, i in enumerate(ids)], f"{ID_COL} string, __pos__ int"
+            )
+            return (
+                self._df.join(F.broadcast(ids_df), ID_COL)
+                .orderBy("__pos__")
+                .drop("__pos__")
+            )
         ids_df = self.spark.createDataFrame([(str(i),) for i in ids], f"{ID_COL} string")
         return self._df.join(F.broadcast(ids_df), ID_COL, "left_semi")
 
@@ -311,6 +341,10 @@ class VectorCollection:
 
     def count(self) -> int:
         return self._df.count()
+
+    def __len__(self) -> int:
+        """``len(collection)`` — the reference's O9 surface verbatim."""
+        return self.count()
 
     def is_empty(self) -> bool:
         return self._df.isEmpty()

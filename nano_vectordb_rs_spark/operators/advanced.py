@@ -151,8 +151,8 @@ def tpch_q12_latecount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TPCH_Q12_SQL = f"""
 SELECT l_returnflag,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate > o_orderdate + INTERVAL {Q12_LATE_DAYS} DAY
 GROUP BY l_returnflag
@@ -446,7 +446,7 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CUSTOMERS_WITHOUT_ORDERS_SQL = """
 SELECT n_name, count(*) AS n_customers,
-       sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_never_ordered,
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_never_ordered,
        round(CAST(sum(CASE WHEN o_custkey IS NULL THEN CAST(c_acctbal AS DECIMAL(28,10))
                       ELSE CAST(0 AS DECIMAL(28,10)) END) AS DOUBLE), 4) AS idle_acctbal
 FROM customer
@@ -629,7 +629,7 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SKEW_SALTED_JOIN_SQL = """
 SELECT event_type, count(*) AS n_events,
-       sum(user_events) AS sum_user_events,
+       CAST(sum(user_events) AS BIGINT) AS sum_user_events,
        round(CAST(sum(user_total_dec) AS DOUBLE), 4) AS sum_user_totals
 FROM events e
 JOIN (

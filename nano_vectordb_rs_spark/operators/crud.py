@@ -81,7 +81,7 @@ def delete_by_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 DELETE_BY_IDS_SQL = f"""
 SELECT label,
        count(*) AS n_vectors,
-       sum(len(embedding)) AS vector_elems,
+       CAST(sum(len(embedding)) AS BIGINT) AS vector_elems,
        min(vec_id) AS min_vec_id,
        max(vec_id) AS max_vec_id
 FROM embeddings
@@ -197,7 +197,7 @@ def count_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 COUNT_STATS_SQL = """
 SELECT count(*) AS n_rows,
        CAST(count(*) = 0 AS INT) AS is_empty,
-       sum(len(embedding)) AS vector_elems,
+       CAST(sum(len(embedding)) AS BIGINT) AS vector_elems,
        count(DISTINCT label) AS n_labels
 FROM embeddings
 """

@@ -63,7 +63,7 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXACT_DEDUP_SQL = """
-SELECT n_copies, count(*) AS n_groups, sum(n_copies - 1) AS n_dropped,
+SELECT n_copies, count(*) AS n_groups, CAST(sum(n_copies - 1) AS BIGINT) AS n_dropped,
        min(keep_id) AS min_keep_id
 FROM (
   SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -255,7 +255,7 @@ weighted AS (
 sums AS (SELECT doc_id, bit, sum(weight) AS s FROM weighted GROUP BY doc_id, bit),
 sig AS (
   SELECT doc_id,
-         sum(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS simhash
+         CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
   FROM sums GROUP BY doc_id)
 SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc_id
 FROM sig
@@ -377,8 +377,8 @@ def normalized_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NORMALIZED_DEDUP_SQL = """
-SELECT lang, sum(n_copies) AS n_docs, count(*) AS n_distinct_norm,
-       sum(n_copies - 1) AS n_removable, min(keep_id) AS min_keep_id
+SELECT lang, CAST(sum(n_copies) AS BIGINT) AS n_docs, count(*) AS n_distinct_norm,
+       CAST(sum(n_copies - 1) AS BIGINT) AS n_removable, min(keep_id) AS min_keep_id
 FROM (
   SELECT lang,
          md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),

@@ -144,7 +144,7 @@ per_session AS (
   SELECT user_id, session_id, count(*) AS session_events
   FROM sessioned GROUP BY user_id, session_id)
 SELECT user_id, count(*) AS n_sessions, max(session_events) AS max_session_events,
-       sum(session_events) AS n_events
+       CAST(sum(session_events) AS BIGINT) AS n_events
 FROM per_session GROUP BY user_id ORDER BY user_id
 """
 
@@ -171,7 +171,7 @@ def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_JSON_SQL = """
 SELECT event_type, count(*) AS n_events,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
        count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k

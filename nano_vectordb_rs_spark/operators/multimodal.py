@@ -204,7 +204,7 @@ def media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_items"),
             F.sum(F.length("payload")).alias("total_bytes"),
-            F.max(F.length("payload")).alias("max_bytes"),
+            F.max(F.length("payload")).cast("bigint").alias("max_bytes"),
             F.avg("width").alias("avg_width"),
             F.sum(F.col("width") * F.col("height") * F.col("channels")).alias("total_pixels"),
         )
@@ -223,10 +223,10 @@ WITH media AS (
   FROM documents)
 SELECT media_type,
        count(*) AS n_items,
-       sum(octet_length(payload)) AS total_bytes,
-       max(octet_length(payload)) AS max_bytes,
+       CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
+       CAST(max(octet_length(payload)) AS BIGINT) AS max_bytes,
        avg(width) AS avg_width,
-       sum(width * height * channels) AS total_pixels
+       CAST(sum(width * height * channels) AS BIGINT) AS total_pixels
 FROM media GROUP BY media_type ORDER BY media_type
 """
 

@@ -463,7 +463,7 @@ def orders_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORDERS_PIVOT_SQL = f"""
 SELECT o_orderpriority,
-       {', '.join(f"sum(CASE WHEN year(o_orderdate) = {y} THEN 1 ELSE 0 END) AS y{y}" for y in PIVOT_YEARS)}
+       {', '.join(f"CAST(sum(CASE WHEN year(o_orderdate) = {y} THEN 1 ELSE 0 END) AS BIGINT) AS y{y}" for y in PIVOT_YEARS)}
 FROM orders
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
@@ -688,17 +688,18 @@ ORDER BY s_nationkey, s_suppkey
 
 
 def nation_supplier_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per nation: the sorted array of its supplier names plus balance total
-    — array-valued aggregation output (collect_list → sort_array makes the
-    nondeterministic collection order canonical; DuckDB's list() ordered the
-    same way via ORDER BY inside the aggregate)."""
+    """Per nation: the sorted list of its supplier names plus balance total
+    — list-valued aggregation (collect_list → sort_array makes the
+    nondeterministic collection order canonical), emitted as a '|'-joined
+    string so the result is hashable by flat tabular comparators; DuckDB's
+    string_agg orders the same way via ORDER BY inside the aggregate."""
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     return (
         supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.sort_array(F.collect_list("s_name")).alias("suppliers"),
+            F.array_join(F.sort_array(F.collect_list("s_name")), "|").alias("suppliers"),
             F.count("*").alias("n_suppliers"),
             F.round(_as_dbl(_dsum("s_acctbal")), 4).alias("total_bal"),
         )
@@ -708,7 +709,7 @@ def nation_supplier_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NATION_SUPPLIER_LISTS_SQL = """
 SELECT n_name,
-       list(s_name ORDER BY s_name) AS suppliers,
+       string_agg(s_name, '|' ORDER BY s_name) AS suppliers,
        count(*) AS n_suppliers,
        round(CAST(sum(CAST(s_acctbal AS DECIMAL(28,10))) AS DOUBLE), 4) AS total_bal
 FROM supplier JOIN nation ON s_nationkey = n_nationkey

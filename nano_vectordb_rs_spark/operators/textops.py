@@ -50,9 +50,9 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOKEN_COUNTS_SQL = """
 SELECT source, count(*) AS n_docs,
-       sum(len(string_split(text, ' '))) AS n_tokens,
-       sum(len(regexp_extract_all(text, '[a-z]{1,4}'))) AS n_subwords,
-       sum(n_chars) AS n_chars,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(sum(len(regexp_extract_all(text, '[a-z]{1,4}'))) AS BIGINT) AS n_subwords,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
        max(len(string_split(text, ' '))) AS max_tokens
 FROM documents
 GROUP BY source
@@ -250,7 +250,7 @@ SELECT CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
             WHEN bucket < {SPLIT_TRAIN_PCT + SPLIT_VALID_PCT} THEN 'valid'
             ELSE 'test' END AS split,
        lang, count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc,
-       sum(doc_id) AS id_checksum
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
 FROM (
   SELECT lang, doc_id,
          CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
@@ -324,9 +324,9 @@ WITH scored AS (
              AS bucket
     FROM documents))
 SELECT split, count(*) AS n_docs,
-       sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
-       sum(CASE WHEN keep THEN t ELSE 0 END) AS kept_tokens,
-       sum(CASE WHEN keep THEN 0 ELSE t END) AS dropped_tokens
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN keep THEN t ELSE 0 END) AS BIGINT) AS kept_tokens,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE t END) AS BIGINT) AS dropped_tokens
 FROM scored
 GROUP BY split
 ORDER BY split

@@ -64,7 +64,8 @@ def test_upsert_query_self_similarity(spark, coll):
         spark, [("a", [1, 2, 3, 4], "x"), ("b", [4, 3, 2, 1], "y"), ("c", [-1, 0, 0, 1], "x")]
     )
     report = coll.upsert(batch)
-    assert report == {"updated": 0, "inserted": 3}
+    # reference returns (updated_ids, inserted_ids), src/lib.rs:184
+    assert report == {"updated": [], "inserted": ["a", "b", "c"]}
     top = coll.query([1.0, 2.0, 3.0, 4.0], top_k=1).collect()
     assert top[0]["__id__"] == "a"
     assert top[0]["__metrics__"] > 0.99  # reference asserts the same bound
@@ -82,7 +83,7 @@ def test_update_vs_insert_classification(spark, coll):
     report = coll.upsert(
         make_batch(spark, [("a", [0, 0, 1, 0], "new"), ("z", [0, 0, 0, 1], "new")])
     )
-    assert report == {"updated": 1, "inserted": 1}
+    assert report == {"updated": ["a"], "inserted": ["z"]}
     assert coll.count() == 3
     # Q2 decision: full-row replace — metadata updated too (diverges from
     # the reference, which silently drops metadata updates, src/lib.rs:157-163)
@@ -105,6 +106,34 @@ def test_get_missing_ids_silently_dropped(spark, coll):
     coll.upsert(make_batch(spark, [("a", [1, 0, 0, 0], None), ("b", [0, 1, 0, 0], None)]))
     got = coll.get(["a", "nope", "b", "also-nope"])
     assert sorted(r["__id__"] for r in got.collect()) == ["a", "b"]
+
+
+def test_get_ordered_matches_request_order(spark, coll):
+    # reference's get() walks the requested ids sequentially
+    # (src/lib.rs:263-270) so output order == request order
+    coll.upsert(
+        make_batch(
+            spark,
+            [("a", [1, 0, 0, 0], None), ("b", [0, 1, 0, 0], None), ("c", [0, 0, 1, 0], None)],
+        )
+    )
+    got = coll.get(["c", "missing", "a", "b"], ordered=True)
+    assert [r["__id__"] for r in got.collect()] == ["c", "a", "b"]
+    assert "__pos__" not in got.columns
+
+
+def test_len_and_dup_batch_report(spark, coll):
+    # mirrors reference unit_tests.rs:82-107: upsert report ids + len()
+    assert len(coll) == 0
+    report = coll.upsert(
+        make_batch(spark, [("a", [1, 0, 0, 0], "first"), ("a", [0, 1, 0, 0], "second")])
+    )
+    # LWW dedup within the batch: one surviving row, reported once
+    assert report == {"updated": [], "inserted": ["a"]}
+    assert len(coll) == 1
+    report = coll.upsert(make_batch(spark, [("a", [0, 0, 1, 0], "third")]))
+    assert report == {"updated": ["a"], "inserted": []}
+    assert len(coll) == 1
 
 
 def test_delete_then_requery(spark, coll):

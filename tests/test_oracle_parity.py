@@ -1,9 +1,17 @@
-"""Oracle-differential gate mirror.
+"""Oracle-differential gate mirror — deliberately STRICTER than the driver.
 
 Runs every ``__spark_entry__.queries()`` entry on sf0.001 and compares it to
-its ``oracle_sql()`` DuckDB result the same way the driver does: row count,
-column names, and an order-insensitive value hash with columns sorted by
-name. This is the strongest local predictor of CORRECTNESS_r{N}.json.
+its ``oracle_sql()`` DuckDB result through pandas, the way the driver does
+(both sides → pandas → columns sorted by name → order-insensitive value
+hash).  Two failure modes the driver has that a naive tuple comparison
+misses, both now hard failures here:
+
+* list/array-typed output cells — the driver's pandas canonicalizer raises
+  ``unhashable type: 'list'`` and aborts the WHOLE gate (CORRECTNESS_r01/r02
+  ``nation_supplier_lists``);
+* dtype-class mismatches — DuckDB ``sum(<integer>)`` yields HUGEINT which
+  lands in pandas as float64/object while Spark emits int64; values that
+  print identically then hash differently (the 6 hash-fails of r01/r02).
 """
 
 from __future__ import annotations
@@ -12,35 +20,77 @@ import datetime
 import hashlib
 import math
 
+import numpy as np
 import pytest
 
 import __spark_entry__ as entry_mod
 from tests.conftest import SF_DIR
 
+_UNHASHABLE = (list, tuple, dict, set, np.ndarray)
+
+
+def _is_missing(v) -> bool:
+    return v is None or (isinstance(v, float) and math.isnan(v))
+
+
+def _col_class(s) -> str:
+    """Coarse dtype class for a pandas column; engines must agree on it."""
+    k = s.dtype.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k in "mM":
+        return "datetime"
+    for v in s:
+        if _is_missing(v):
+            continue
+        if isinstance(v, _UNHASHABLE):
+            return "unhashable"
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return "datetime"
+        if isinstance(v, (bool, np.bool_)):
+            return "bool"
+        if isinstance(v, float):
+            return "float"
+        # object-boxed ints (e.g. DuckDB HUGEINT overflow path) are NOT the
+        # same class as a native int64 column — the driver hashes them apart
+        if isinstance(v, (int, np.integer)):
+            return "objint"
+        if isinstance(v, bytes):
+            return "bytes"
+        if isinstance(v, str):
+            return "str"
+        return f"other:{type(v).__name__}"
+    return "empty"
+
 
 def _canon(v):
-    if v is None:
+    if isinstance(v, np.generic):
+        v = v.item()
+    if _is_missing(v):
         return "∅"
     if isinstance(v, bool):
         return str(int(v))
     if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(round(v, 9))
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat(sep=" ")
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_canon(x) for x in v) + "]"
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
 
 
-def _hash_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("|".join(_canon(r[i]) for i in order) for r in rows)
+def _hash_frame(df):
+    cols = sorted(df.columns)
+    lines = sorted(
+        "|".join(_canon(v) for v in row)
+        for row in df[cols].itertuples(index=False, name=None)
+    )
     return hashlib.sha256("\n".join(lines).encode()).hexdigest()
 
 
@@ -52,28 +102,41 @@ def test_query_matches_oracle(spark, duck, name):
     q = entry_mod.queries()[name]
     oracles = entry_mod.oracle_sql()
     sdf = q(spark, SF_DIR)
-    spark_rows = [tuple(r) for r in sdf.collect()]
-    spark_cols = sdf.columns
+    spdf = sdf.toPandas()
+
+    # list-typed Spark output crashes the driver canonicalizer even for
+    # rows-only queries — reject it unconditionally
+    for c in spdf.columns:
+        assert _col_class(spdf[c]) != "unhashable", (
+            f"{name}: spark column {c!r} emits list/array cells — the driver "
+            f"gate aborts on these (unhashable in pandas)"
+        )
 
     if name not in oracles:
-        assert len(spark_rows) >= 0  # rows-only check, like the driver
+        assert len(spdf) >= 0  # rows-only check, like the driver
         return
 
-    res = duck.execute(oracles[name])
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    ddf = duck.execute(oracles[name]).df()
 
-    assert sorted(spark_cols) == sorted(duck_cols), (
-        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    assert sorted(spdf.columns) == sorted(ddf.columns), (
+        f"{name}: column mismatch {list(spdf.columns)} vs {list(ddf.columns)}"
     )
-    assert len(spark_rows) == len(duck_rows), (
-        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    assert len(spdf) == len(ddf), (
+        f"{name}: row count {len(spdf)} vs {len(ddf)}"
     )
-    h_s = _hash_rows(spark_cols, spark_rows)
-    h_d = _hash_rows(duck_cols, duck_rows)
+    for c in sorted(spdf.columns):
+        cs, cd = _col_class(spdf[c]), _col_class(ddf[c])
+        assert cd != "unhashable", f"{name}: oracle column {c!r} emits list cells"
+        assert cs == cd, (
+            f"{name}: column {c!r} dtype-class mismatch — spark {cs} "
+            f"({spdf[c].dtype}) vs oracle {cd} ({ddf[c].dtype}); the driver "
+            f"hashes these apart (DuckDB HUGEINT sums need CAST AS BIGINT)"
+        )
+    h_s, h_d = _hash_frame(spdf), _hash_frame(ddf)
     if h_s != h_d:
-        s_sorted = sorted(map(str, spark_rows))[:5]
-        d_sorted = sorted(map(str, duck_rows))[:5]
+        cols = sorted(spdf.columns)
+        s_sorted = sorted(map(str, spdf[cols].itertuples(index=False, name=None)))[:5]
+        d_sorted = sorted(map(str, ddf[cols].itertuples(index=False, name=None)))[:5]
         raise AssertionError(
             f"{name}: value hash mismatch\nspark: {s_sorted}\nduck : {d_sorted}"
         )
