@@ -70,6 +70,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_rollup": relational2.sales_rollup,
         "orders_pivot": relational2.orders_pivot,
         "customer_balance_quartiles": relational2.customer_balance_quartiles,
+        # scale twin of the above: sketch boundaries + comparison bucketing —
+        # engine-specific sketch ⇒ rows-only driver check + tolerance test
+        "customer_balance_quartiles_approx": relational2.customer_balance_quartiles_approx,
         "parts_cube": relational2.parts_cube,
         "lineitem_stats": relational2.lineitem_stats,
         "supplier_trailing_revenue": relational2.supplier_trailing_revenue,

@@ -11,6 +11,20 @@ Two groups:
 
 Protocol: per-query best-of-N wall-clock (N = $BENCH_RUNS, default 2, first
 run warms the JVM/code cache the same way the reference's 5-run mean does).
+
+micro_insert floor analysis (measured local[32], 100k x 1024 f32 = 400 MB):
+  - identity mapInArrow round trip (no compute at all):        0.545 s
+  - normalize mapInArrow (BLAS norm + divide per batch):       0.515-0.66 s
+  - cached-raw columnar scan + element_at agg alone:           0.19 s
+  - JVM HOF normalize (zip_with + array_repeat), no Python:    0.86 s
+The timed step is bounded below by ~0.55 s: the 2x400 MB Arrow IPC through
+the Python worker channel plus the columnar cache read — compute is fully
+overlapped (identity ~= normalize). The reference does the same work
+in-process at memory bandwidth (0.175 s); closing past ~3x would require a
+JVM-native vector kernel (no Python hop), and the measured JVM HOF path is
+slower than the Arrow hop, not faster. 3.1-3.9x is therefore the structural
+position of this design on a single node; the Arrow path's advantage is that
+it scales out per-executor while the reference's ceiling is one machine.
 """
 
 from __future__ import annotations

@@ -513,6 +513,44 @@ ORDER BY quartile
 """
 
 
+def customer_balance_quartiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB twin of customer_balance_quartiles: quartile BOUNDARIES
+    from a mergeable approx_percentile sketch (GK, map-side partial merge —
+    one pass, no global sort anywhere), then bucket each row by comparison
+    against the broadcast 3-value boundary row. The exact ntile version
+    needs a single-partition total-order window — the one shape that cannot
+    scale horizontally; this one is all scan-local except two tiny shuffles
+    (sketch merge to one row, final 4-group aggregate).
+
+    Sketch boundaries are engine-specific, so this is a rows-only driver
+    check; tests/test_oracle_parity.py pins per-quartile counts to the exact
+    twin within the GK rank-error bound."""
+    customer = load_table(spark, sf_dir, "customer")
+    bounds = customer.agg(
+        F.expr(
+            "approx_percentile(c_acctbal, array(0.25, 0.5, 0.75), 10000)"
+        ).alias("_b")
+    )
+    quartile = (
+        F.when(F.col("c_acctbal") <= F.col("_b")[0], 1)
+        .when(F.col("c_acctbal") <= F.col("_b")[1], 2)
+        .when(F.col("c_acctbal") <= F.col("_b")[2], 3)
+        .otherwise(4)
+    )
+    return (
+        customer.join(F.broadcast(bounds))
+        .select(quartile.alias("quartile"), "c_acctbal")
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.round(_as_dbl(_dsum("c_acctbal")), 4).alias("sum_bal"),
+        )
+        .orderBy("quartile")
+    )
+
+
 # --- CUBE: part catalog cross-totals -----------------------------------------
 
 

