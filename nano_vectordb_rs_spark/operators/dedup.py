@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from nano_vectordb_rs_spark.sources.tables import load_table
 
@@ -269,11 +270,21 @@ LIMIT 100
 # --- n-gram (token) Jaccard inside blocks ------------------------------------
 
 
+NGRAM_JACCARD_MIN = 0.6
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard for all pairs inside (lang, source) blocks —
-    the blocked-exact complement to the MinHash path. Blocking bounds the
-    pair space (|block|² instead of |corpus|²); the intersection is an
-    exploded-token equi-join, not an array loop."""
+    """Exact token-set Jaccard ≥ 0.6 inside (lang, source) blocks, with
+    PREFIX-FILTER candidate generation (the AllPairs/PPJoin technique):
+    order each document's tokens globally rarest-first; for Jaccard ≥ t two
+    sets MUST share a token among their first ``n − ⌈t·n⌉ + 1`` tokens, so
+    only documents sharing a prefix token become candidates — lossless, and
+    the pair space is driven by RARE-token co-occurrence instead of the
+    near-quadratic "any shared token" join (every pair shares 'the'). The
+    previous formulation equi-joined ALL tokens inside (lang, source)
+    blocks; block count is constant in the data, so its pair space grew
+    quadratically with the corpus. Candidates then get the exact
+    intersection count and threshold; results are provably identical."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "lang",
@@ -282,65 +293,96 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
     )
     sizes = toks.groupBy("lang", "source", "doc_id").agg(F.count("*").alias("n"))
-    t1, t2 = toks.alias("t1"), toks.alias("t2")
+    # global rarity: corpus-wide token frequency; (cnt, tok) is a unique,
+    # engine-stable ordering — no dense global rank materialized
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    wd = Window.partitionBy("doc_id").orderBy("cnt", "tok")
+    pref = (
+        toks.join(vocab, "tok")
+        .join(sizes.select("doc_id", "n"), "doc_id")
+        .withColumn("pos", F.row_number().over(wd))
+        .filter(
+            F.col("pos")
+            <= F.col("n") - F.ceil(F.lit(NGRAM_JACCARD_MIN) * F.col("n")) + 1
+        )
+        .select("lang", "source", "doc_id", "tok")
+    )
+    p1, p2 = pref.alias("p1"), pref.alias("p2")
+    cand = (
+        p1.join(
+            p2,
+            (F.col("p1.lang") == F.col("p2.lang"))
+            & (F.col("p1.source") == F.col("p2.source"))
+            & (F.col("p1.tok") == F.col("p2.tok"))
+            & (F.col("p1.doc_id") < F.col("p2.doc_id")),
+        )
+        .select(
+            F.col("p1.lang").alias("lang"),
+            F.col("p1.doc_id").alias("doc1"),
+            F.col("p2.doc_id").alias("doc2"),
+        )
+        .distinct()
+    )
+    vtoks = toks.select("doc_id", "tok")
+    t1, t2 = vtoks.alias("t1"), vtoks.alias("t2")
     inter = (
-        t1.join(
+        cand.join(t1, F.col("doc1") == F.col("t1.doc_id"))
+        .join(
             t2,
-            (F.col("t1.lang") == F.col("t2.lang"))
-            & (F.col("t1.source") == F.col("t2.source"))
-            & (F.col("t1.tok") == F.col("t2.tok"))
-            & (F.col("t1.doc_id") < F.col("t2.doc_id")),
+            (F.col("doc2") == F.col("t2.doc_id"))
+            & (F.col("t1.tok") == F.col("t2.tok")),
         )
-        .groupBy(
-            F.col("t1.lang").alias("lang"),
-            F.col("t1.doc_id").alias("doc1"),
-            F.col("t2.doc_id").alias("doc2"),
-        )
+        .groupBy("lang", "doc1", "doc2")
         .agg(F.count("*").alias("n_inter"))
     )
-    s1, s2 = sizes.alias("s1"), sizes.alias("s2")
-    i = inter.alias("i")
-    joined = i.join(
-        s1,
-        (F.col("i.doc1") == F.col("s1.doc_id")) & (F.col("i.lang") == F.col("s1.lang")),
-    ).join(
-        s2,
-        (F.col("i.doc2") == F.col("s2.doc_id")) & (F.col("i.lang") == F.col("s2.lang")),
+    nsz = sizes.select("doc_id", "n")
+    s1, s2 = nsz.alias("s1"), nsz.alias("s2")
+    joined = inter.join(s1, F.col("doc1") == F.col("s1.doc_id")).join(
+        s2, F.col("doc2") == F.col("s2.doc_id")
     )
     jac = F.round(
-        F.col("i.n_inter") / (F.col("s1.n") + F.col("s2.n") - F.col("i.n_inter")), 6
+        F.col("n_inter") / (F.col("s1.n") + F.col("s2.n") - F.col("n_inter")), 6
     )
     return (
-        joined.select(
-            F.col("i.lang").alias("lang"),
-            F.col("i.doc1").alias("doc1"),
-            F.col("i.doc2").alias("doc2"),
-            jac.alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.6)
+        joined.select("lang", "doc1", "doc2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= NGRAM_JACCARD_MIN)
         .orderBy(F.col("jaccard").desc(), "doc1", "doc2")
         .limit(100)
     )
 
 
-NGRAM_JACCARD_SQL = """
+NGRAM_JACCARD_SQL = f"""
 WITH toks AS (
   SELECT DISTINCT lang, source, doc_id, unnest(string_split(text, ' ')) AS tok
   FROM documents),
 sizes AS (
-  SELECT lang, source, doc_id, count(*) AS n FROM toks GROUP BY lang, source, doc_id),
+  SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+vocab AS (
+  SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+pref AS (
+  SELECT lang, source, doc_id, tok
+  FROM (
+    SELECT t.lang, t.source, t.doc_id, t.tok, s.n,
+           row_number() OVER (PARTITION BY t.doc_id ORDER BY v.cnt, t.tok) AS pos
+    FROM toks t JOIN vocab v USING (tok) JOIN sizes s USING (doc_id))
+  WHERE pos <= n - ceil({NGRAM_JACCARD_MIN} * n) + 1),
+cand AS (
+  SELECT DISTINCT p1.lang AS lang, p1.doc_id AS doc1, p2.doc_id AS doc2
+  FROM pref p1
+  JOIN pref p2 ON p1.lang = p2.lang AND p1.source = p2.source
+              AND p1.tok = p2.tok AND p1.doc_id < p2.doc_id),
 inter AS (
-  SELECT t1.lang AS lang, t1.doc_id AS doc1, t2.doc_id AS doc2, count(*) AS n_inter
-  FROM toks t1
-  JOIN toks t2 ON t1.lang = t2.lang AND t1.source = t2.source
-              AND t1.tok = t2.tok AND t1.doc_id < t2.doc_id
-  GROUP BY t1.lang, t1.doc_id, t2.doc_id)
+  SELECT cand.lang AS lang, doc1, doc2, count(*) AS n_inter
+  FROM cand
+  JOIN toks t1 ON doc1 = t1.doc_id
+  JOIN toks t2 ON doc2 = t2.doc_id AND t1.tok = t2.tok
+  GROUP BY cand.lang, doc1, doc2)
 SELECT i.lang, doc1, doc2,
        round(n_inter / CAST(s1.n + s2.n - n_inter AS DOUBLE), 6) AS jaccard
 FROM inter i
-JOIN sizes s1 ON doc1 = s1.doc_id AND i.lang = s1.lang
-JOIN sizes s2 ON doc2 = s2.doc_id AND i.lang = s2.lang
-WHERE round(n_inter / CAST(s1.n + s2.n - n_inter AS DOUBLE), 6) >= 0.6
+JOIN sizes s1 ON doc1 = s1.doc_id
+JOIN sizes s2 ON doc2 = s2.doc_id
+WHERE round(n_inter / CAST(s1.n + s2.n - n_inter AS DOUBLE), 6) >= {NGRAM_JACCARD_MIN}
 ORDER BY jaccard DESC, doc1, doc2
 LIMIT 100
 """
