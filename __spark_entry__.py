@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": dedup.simhash_docs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "normalized_dedup_docs": dedup.normalized_dedup_docs,
+        "contamination_check": dedup.contamination_check,
         # --- multimodal binary columns ---
         "media_inventory": multimodal.media_inventory,
         "media_fingerprints": multimodal.media_fingerprints,
@@ -125,6 +126,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": textops.doc_fingerprints,
         "docs_split_assignment": textops.docs_split_assignment,
         "corpus_budget_report": textops.corpus_budget_report,
+        "idf_top_terms": textops.idf_top_terms,
+        "repetition_scores": textops.repetition_scores,
+        "domain_mixture_weights": textops.domain_mixture_weights,
     }
 
 
@@ -210,4 +214,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": textops.DOC_FINGERPRINTS_SQL,
         "docs_split_assignment": textops.DOCS_SPLIT_SQL,
         "corpus_budget_report": textops.CORPUS_BUDGET_SQL,
+        "contamination_check": dedup._contamination_sql(),
+        "idf_top_terms": textops.IDF_TOP_TERMS_SQL,
+        "repetition_scores": textops.REPETITION_SCORES_SQL,
+        "domain_mixture_weights": textops.DOMAIN_MIXTURE_SQL,
     }

@@ -201,6 +201,103 @@ LIMIT 100
 """
 
 
+# --- benchmark decontamination ------------------------------------------------
+
+CONTAM_MIN_SHARED = 3  # distinct shared shingles to flag a train doc
+CONTAM_MAX_DF = 50  # stop-shingle cap: shingles in more docs are dropped
+CONTAM_TOP = 50
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train-split documents that share ≥ 3
+    distinct 3-gram shingles with any test-split document (splits via the
+    same deterministic md5 bucketing as docs_split_assignment — the holdout
+    IS the benchmark). Shingles occurring in more than CONTAM_MAX_DF
+    documents are dropped first, the standard stop-shingle step: it removes
+    boilerplate false-positives AND caps the equi-join's per-key fan-out,
+    which is exactly the skew bound that keeps this join safe at corpus
+    scale (test-side shingle sets are small; the join is candidate-driven,
+    never train × test)."""
+    from nano_vectordb_rs_spark.operators.textops import (
+        SPLIT_TRAIN_PCT,
+        SPLIT_VALID_PCT,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VALID_PCT, "valid")
+        .otherwise("test")
+    )
+    splits = docs.select("doc_id", split.alias("split"))
+    sh = _shingles(spark, sf_dir)
+    rare = sh.groupBy("shingle").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= CONTAM_MAX_DF
+    )
+    tagged = sh.join(rare.select("shingle"), "shingle").join(splits, "doc_id")
+    tr = tagged.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    )
+    te = tagged.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_doc"), "shingle"
+    )
+    hits = (
+        tr.join(te, "shingle")
+        .groupBy("train_doc")
+        .agg(
+            F.countDistinct("shingle").alias("n_shared"),
+            F.countDistinct("test_doc").alias("n_test_docs"),
+            F.min("test_doc").alias("first_test_doc"),
+        )
+        .filter(F.col("n_shared") >= CONTAM_MIN_SHARED)
+    )
+    return hits.orderBy(
+        F.col("n_shared").desc(), F.col("train_doc").asc()
+    ).limit(CONTAM_TOP)
+
+
+def _contamination_sql() -> str:
+    from nano_vectordb_rs_spark.operators.textops import (
+        SPLIT_TRAIN_PCT,
+        SPLIT_VALID_PCT,
+    )
+
+    return f"""
+WITH splits AS (
+  SELECT doc_id,
+         CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN bucket < {SPLIT_TRAIN_PCT + SPLIT_VALID_PCT} THEN 'valid'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+             AS bucket
+    FROM documents)),
+shingles AS ({_DUCK_SHINGLES}),
+rare AS (SELECT shingle FROM shingles GROUP BY shingle HAVING count(*) <= {CONTAM_MAX_DF}),
+tagged AS (
+  SELECT s.doc_id, s.shingle, sp.split
+  FROM shingles s JOIN rare USING (shingle) JOIN splits sp USING (doc_id))
+SELECT train_doc, n_shared, n_test_docs, first_test_doc
+FROM (
+  SELECT tr.doc_id AS train_doc,
+         count(DISTINCT tr.shingle) AS n_shared,
+         count(DISTINCT te.doc_id) AS n_test_docs,
+         min(te.doc_id) AS first_test_doc
+  FROM tagged tr
+  JOIN tagged te ON tr.shingle = te.shingle
+  WHERE tr.split = 'train' AND te.split = 'test'
+  GROUP BY tr.doc_id)
+WHERE n_shared >= {CONTAM_MIN_SHARED}
+ORDER BY n_shared DESC, train_doc ASC
+LIMIT {CONTAM_TOP}
+"""
+
+
 # --- SimHash ----------------------------------------------------------------
 
 

@@ -308,6 +308,172 @@ def corpus_budget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- distinctive terms (TF-IDF-shaped, rational arithmetic) -------------------
+
+IDF_TOP_K = 5
+
+
+def idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-5 distinctive terms: tf(lang, term) × N / df(term) —
+    TF-IDF with the log dropped in favor of a pure-rational score, because
+    log() is not required to be correctly rounded and the last ulp can
+    differ between libm implementations; ratios of integers in doubles are
+    bit-identical everywhere. Plan: one token explode, two small-keyed
+    aggregations (term stats are vocabulary-sized, not corpus-sized), a
+    broadcast of the 1-row corpus count, and a per-lang rank window over
+    vocabulary-sized input."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    toks = docs.select("lang", "doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("lang", "tok").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    total = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .join(F.broadcast(total))
+        .withColumn(
+            "score", F.round(F.col("tf") * F.col("n_docs") / F.col("df").cast("double"), 6)
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("score").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= IDF_TOP_K)
+        .select("lang", "rank", "tok", "tf", "df", "score")
+        .orderBy("lang", "rank")
+    )
+
+
+IDF_TOP_TERMS_SQL = f"""
+WITH toks AS (
+  SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+tf AS (SELECT lang, tok, count(*) AS tf FROM toks GROUP BY lang, tok),
+dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+total AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT lang, tok, tf, df,
+         round(tf * n_docs / CAST(df AS DOUBLE), 6) AS score
+  FROM tf JOIN dfreq USING (tok) CROSS JOIN total)
+SELECT lang, rank, tok, tf, df, score
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY score DESC, tok ASC) AS rank
+  FROM scored)
+WHERE rank <= {IDF_TOP_K}
+ORDER BY lang, rank
+"""
+
+
+# --- repetition scoring -------------------------------------------------------
+
+REPETITION_TOP = 20
+
+
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 20 most internally-repetitive documents: repetition = 1 −
+    distinct_tokens / total_tokens — a standard low-quality signal (boiler-
+    plate, keyword stuffing, degenerate generations). Computed entirely
+    scan-local with array expressions (size/array_distinct — no explode, no
+    shuffle), then a bounded top-k; at 100 TB this is a pure map + per-
+    partition heap."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_tok = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    rep = F.round(F.lit(1.0) - n_distinct / n_tok.cast("double"), 6)
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            n_tok.cast("bigint").alias("n_tokens"),
+            n_distinct.cast("bigint").alias("n_distinct"),
+            rep.alias("repetition"),
+        )
+        .orderBy(F.col("repetition").desc(), F.col("doc_id").asc())
+        .limit(REPETITION_TOP)
+    )
+
+
+REPETITION_SCORES_SQL = f"""
+SELECT doc_id, lang,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+       round(1.0 - len(list_distinct(string_split(text, ' ')))
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS repetition
+FROM documents
+ORDER BY repetition DESC, doc_id ASC
+LIMIT {REPETITION_TOP}
+"""
+
+
+# --- domain mixture weights ---------------------------------------------------
+
+# target language mixture for the training corpus (share of tokens)
+MIXTURE_TARGET = [
+    ("en", 0.4),
+    ("zh", 0.2),
+    ("de", 0.15),
+    ("fr", 0.15),
+    ("es", 0.1),
+]
+
+
+def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling weights that re-shape the corpus to a target language
+    mixture: weight = target_share / corpus_token_share (weight > 1 ⇒
+    upsample / extra epochs, < 1 ⇒ downsample). The per-lang token counts
+    are one scan-local projection + one 5-key aggregate; the corpus total
+    broadcasts as a 1-row literal join, and the target mixture is a literal
+    VALUES table — nothing here grows with the data except the first scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    per_lang = (
+        docs.select("lang", n_tok.alias("t"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("t").alias("n_tokens"))
+    )
+    total = per_lang.agg(F.sum("n_tokens").alias("total_tokens"))
+    target = spark.createDataFrame(MIXTURE_TARGET, "lang string, target_share double")
+    share = F.round(F.col("n_tokens") / F.col("total_tokens").cast("double"), 6)
+    weight = F.round(
+        F.col("target_share") * F.col("total_tokens") / F.col("n_tokens").cast("double"), 6
+    )
+    return (
+        per_lang.join(F.broadcast(total))
+        .join(F.broadcast(target), "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            share.alias("corpus_share"),
+            "target_share",
+            weight.alias("weight"),
+        )
+        .orderBy("lang")
+    )
+
+
+_MIXTURE_VALUES = ", ".join(
+    f"('{lang}', CAST({share!r} AS DOUBLE))" for lang, share in MIXTURE_TARGET
+)
+
+DOMAIN_MIXTURE_SQL = f"""
+WITH per_lang AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang),
+total AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM per_lang)
+SELECT lang, n_docs, n_tokens,
+       round(n_tokens / CAST(total_tokens AS DOUBLE), 6) AS corpus_share,
+       target_share,
+       round(target_share * total_tokens / CAST(n_tokens AS DOUBLE), 6) AS weight
+FROM per_lang
+CROSS JOIN total
+JOIN (VALUES {_MIXTURE_VALUES}) AS t(lang, target_share) USING (lang)
+ORDER BY lang
+"""
+
+
 CORPUS_BUDGET_SQL = f"""
 WITH scored AS (
   SELECT CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
