@@ -136,8 +136,10 @@ ORDER BY query_id, rank
 N_DUP_PROBE = 4
 
 
-def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate-blocked near-dup pairs: IVF-cell blocking + exact verify.
+def _blocked_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, id1, id2, score) for every cell-blocked candidate pair with
+    cosine ≥ NEAR_DUP_MIN — the shared candidate engine behind
+    near_dup_embeddings and crossmodal_dup_check.
 
     The MinHash-dedup shape (dedup.py minhash_near_dup_docs) applied to
     embedding space: each vector is assigned to its N_DUP_PROBE nearest
@@ -202,12 +204,18 @@ def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("nrm2"),
     )
     score = F.expr(f"({dot_expr('demb1', 'demb2')}) / (nrm1 * nrm2)")
-    pairs = (
+    return (
         cand.join(p1, "id1")
         .join(p2, "id2")
         .select("label", "id1", "id2", F.round(score, 6).alias("score"))
         .filter(F.col("score") >= NEAR_DUP_MIN)
     )
+
+
+def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 embedding near-dup pairs via the cell-blocked candidate
+    engine (see _blocked_near_dup_pairs)."""
+    pairs = _blocked_near_dup_pairs(spark, sf_dir)
     return pairs.orderBy(F.col("score").desc(), "id1", "id2").limit(100)
 
 
@@ -227,22 +235,20 @@ def _duck_topcells_sql(n_probe: int) -> str:
   WHERE rn <= {n_probe}"""
 
 
-# formatted into NEAR_DUP_EMB_SQL below, after _duck_cell_sql is defined
-_NEAR_DUP_EMB_TEMPLATE = f"""
-WITH assign AS ({{assign}}),
+# the shared blocked-pairs CTE chain (assign → cand → bpairs) is built by
+# _blocked_pairs_cte() below, after _duck_cell_sql is defined
+_BLOCKED_PAIRS_CTE_TEMPLATE = f"""assign AS ({{assign}}),
 cand AS (
   SELECT DISTINCT a.label AS label, a.vec_id AS id1, b.vec_id AS id2
   FROM assign a
-  JOIN assign b ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id)
-SELECT c.label AS label, id1, id2,
-       round({duck_cosine_pair('e1.embedding', 'e2.embedding', EMBEDDING_DIM)}, 6) AS score
-FROM cand c
-JOIN embeddings e1 ON id1 = e1.vec_id
-JOIN embeddings e2 ON id2 = e2.vec_id
-WHERE round({duck_cosine_pair('e1.embedding', 'e2.embedding', EMBEDDING_DIM)}, 6) >= {NEAR_DUP_MIN}
-ORDER BY score DESC, id1, id2
-LIMIT 100
-"""
+  JOIN assign b ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id),
+bpairs AS (
+  SELECT c.label AS label, id1, id2,
+         round({duck_cosine_pair('e1.embedding', 'e2.embedding', EMBEDDING_DIM)}, 6) AS score
+  FROM cand c
+  JOIN embeddings e1 ON id1 = e1.vec_id
+  JOIN embeddings e2 ON id2 = e2.vec_id
+  WHERE round({duck_cosine_pair('e1.embedding', 'e2.embedding', EMBEDDING_DIM)}, 6) >= {NEAR_DUP_MIN})"""
 
 
 # --- IVF (coarse-quantizer cells) -------------------------------------------
@@ -312,7 +318,16 @@ def _duck_cell_sql() -> str:
     return f"SELECT vec_id, label, embedding, {score_cols} FROM embeddings"
 
 
-NEAR_DUP_EMB_SQL = _NEAR_DUP_EMB_TEMPLATE.format(assign=_duck_topcells_sql(N_DUP_PROBE))
+def _blocked_pairs_cte() -> str:
+    return _BLOCKED_PAIRS_CTE_TEMPLATE.format(assign=_duck_topcells_sql(N_DUP_PROBE))
+
+
+NEAR_DUP_EMB_SQL = f"""
+WITH {_blocked_pairs_cte()}
+SELECT label, id1, id2, score FROM bpairs
+ORDER BY score DESC, id1, id2
+LIMIT 100
+"""
 
 
 ANN_IVF_SQL = f"""
@@ -521,31 +536,13 @@ def crossmodal_dup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropping documents (embedding similarity proposes, lexical overlap
     confirms or refutes).
 
-    The candidate pair set (small) drives everything: token sets are only
-    computed/joined for documents appearing in a pair, never corpus-wide."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    The candidate pair set (small) drives everything: pairs come from the
+    cell-blocked candidate engine (_blocked_near_dup_pairs — subquadratic,
+    not label-wide all-pairs), and token sets are only computed/joined for
+    documents appearing in a pair, never corpus-wide."""
     docs = load_table(spark, sf_dir, "documents")
-
-    pre = emb.select(
-        "vec_id",
-        "label",
-        F.expr(as_double_array("embedding")).alias("demb"),
-        F.expr(norm_expr(as_double_array("embedding"))).alias("nrm"),
-    )
-    a, b = pre.alias("a"), pre.alias("b")
-    cos = F.expr(f"({dot_expr('a.demb', 'b.demb')}) / (a.nrm * b.nrm)")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("id1"),
-            F.col("b.vec_id").alias("id2"),
-            F.round(cos, 6).alias("cos_score"),
-        )
-        .filter(F.col("cos_score") >= NEAR_DUP_MIN)
+    pairs = _blocked_near_dup_pairs(spark, sf_dir).select(
+        "id1", "id2", F.col("score").alias("cos_score")
     )
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
@@ -581,12 +578,8 @@ def crossmodal_dup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CROSSMODAL_DUP_SQL = f"""
-WITH pairs AS (
-  SELECT a.vec_id AS id1, b.vec_id AS id2,
-         round({duck_cosine_pair('a.embedding', 'b.embedding', EMBEDDING_DIM)}, 6) AS cos_score
-  FROM embeddings a
-  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-  WHERE round({duck_cosine_pair('a.embedding', 'b.embedding', EMBEDDING_DIM)}, 6) >= {NEAR_DUP_MIN}),
+WITH {_blocked_pairs_cte()},
+pairs AS (SELECT id1, id2, score AS cos_score FROM bpairs),
 toks AS (
   SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
 sizes AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
