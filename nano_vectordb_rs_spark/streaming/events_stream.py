@@ -223,6 +223,32 @@ def purchase_click_join_stream(
     )
 
 
+def dedup_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once ingestion dedup: at-least-once delivery (replays, retried
+    producers) collapsed by ``dropDuplicatesWithinWatermark`` keyed on
+    event_id, then the same tumbling per-type counts as
+    ``hourly_counts_stream`` — the front door of a streaming training-data
+    ingest pipeline.
+
+    State design: the dedup key store holds only ids younger than the
+    watermark horizon (older keys are evicted), so state is O(arrival rate ×
+    watermark), never O(stream length) — the property that lets this run
+    forever. A plain ``dropDuplicates`` on a stream would grow state without
+    bound. Keyed state partitions with the shuffle across executors."""
+    deduped = events.withWatermark("event_time", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    return (
+        deduped.groupBy(F.window("event_time", "1 hour"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("hour_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 def run_available_now(
     stream_df: DataFrame,
     query_name: str,

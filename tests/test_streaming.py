@@ -11,6 +11,7 @@ import pytest
 
 from nano_vectordb_rs_spark.operators import events as batch_events
 from nano_vectordb_rs_spark.streaming import (
+    dedup_counts_stream,
     hourly_counts_stream,
     purchase_click_join_stream,
     read_events_stream,
@@ -104,6 +105,45 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
                 "click_time <= purchase_time"
             ),
         ).collect()
+    }
+    assert got == want
+    assert len(want) > 0
+
+
+def test_dedup_stream_collapses_replayed_source(spark, tmp_path):
+    """At-least-once delivery simulated by copying the events file TWICE into
+    the source dir; maxFilesPerTrigger=1 forces the replay into a separate
+    micro-batch, so the dedup must happen through the cross-batch state
+    store, not within one batch. Deduped per-window counts must equal the
+    batch counts over a SINGLE copy."""
+    import shutil
+
+    from nano_vectordb_rs_spark.streaming.events_stream import EVENTS_SCHEMA
+
+    src = tmp_path / "dupsrc"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", str(src / "delivery1.parquet"))
+    shutil.copy(f"{SF_DIR}/events.parquet", str(src / "delivery2.parquet"))
+
+    import pyspark.sql.functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = dedup_counts_stream(stream)
+    name = run_available_now(agg, "dedup_stream", "complete", str(tmp_path / "ckpt4"))
+    got = {
+        (r["hour_start"], r["event_type"]): r["n_events"]
+        for r in spark.table(name).collect()
+    }
+    want = {
+        (r["hour_start"], r["event_type"]): r["n_events"]
+        for r in batch_events.events_hourly(spark, SF_DIR).collect()
     }
     assert got == want
     assert len(want) > 0
