@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_seq": events.events_user_seq,
         "events_next_transition": events.events_next_transition,
         "events_daily_full_outer": events.events_daily_full_outer,
+        "events_funnel": events.events_funnel,
         "supplier_percent_rank": relational2.supplier_percent_rank,
         "nation_supplier_lists": relational2.nation_supplier_lists,
         "events_sessionized": events.events_sessionized,
@@ -187,6 +188,7 @@ def oracle_sql() -> dict[str, str]:
         "events_user_seq": events.EVENTS_USER_SEQ_SQL,
         "events_next_transition": events.EVENTS_NEXT_TRANSITION_SQL,
         "events_daily_full_outer": events.EVENTS_DAILY_FULL_OUTER_SQL,
+        "events_funnel": events.EVENTS_FUNNEL_SQL,
         "supplier_percent_rank": relational2.SUPPLIER_PERCENT_RANK_SQL,
         "nation_supplier_lists": relational2.NATION_SUPPLIER_LISTS_SQL,
         "events_sessionized": events.EVENTS_SESSIONIZED_SQL,

@@ -454,3 +454,100 @@ SELECT coalesce(day, c_day) AS day,
 FROM p FULL OUTER JOIN c ON day = c_day
 ORDER BY day
 """
+
+
+# --- conversion funnel --------------------------------------------------------
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase conversion funnel: per user, the earliest
+    view, the earliest click strictly after it, and the earliest purchase
+    strictly after that; reported as one global row of stage counts plus the
+    mean full-funnel latency.
+
+    Single-shuffle formulation: one window over (user_id, time) computes the
+    running earliest-qualifying-event per stage (each stage's qualification
+    reads the previous stage's running min — stacked window expressions, no
+    per-stage re-join), then a per-user aggregate and a 1-row global
+    aggregate. At 100 TB this is exactly one exchange on user_id; the
+    orderBy inside the window is the per-partition sort AQE already
+    schedules for sessionization-shaped work."""
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts_us", "event_id")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tv_run = F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(w)
+    staged = ev.withColumn("tv_run", tv_run).withColumn(
+        "click_ts",
+        F.when(
+            (F.col("event_type") == "click")
+            & F.col("tv_run").isNotNull()
+            & (F.col("ts_us") > F.col("tv_run")),
+            F.col("ts_us"),
+        ),
+    )
+    tc_run = F.min("click_ts").over(w)
+    staged = staged.withColumn("tc_run", tc_run).withColumn(
+        "purchase_ts",
+        F.when(
+            (F.col("event_type") == "purchase")
+            & F.col("tc_run").isNotNull()
+            & (F.col("ts_us") > F.col("tc_run")),
+            F.col("ts_us"),
+        ),
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).alias("tv"),
+        F.min("click_ts").alias("tc"),
+        F.min("purchase_ts").alias("tp"),
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("tv").alias("n_viewed"),
+        F.count("tc").alias("n_clicked_after_view"),
+        F.count("tp").alias("n_purchased_after_click"),
+        F.round(F.avg(F.col("tp") - F.col("tv")) / 1000000.0, 4).alias(
+            "avg_funnel_secs"
+        ),
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events),
+s1 AS (
+  SELECT *,
+         min(CASE WHEN event_type = 'view' THEN ts_us END)
+           OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tv_run
+  FROM ev),
+s2 AS (
+  SELECT *,
+         CASE WHEN event_type = 'click' AND tv_run IS NOT NULL AND ts_us > tv_run
+              THEN ts_us END AS click_ts
+  FROM s1),
+s3 AS (
+  SELECT *,
+         min(click_ts) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tc_run
+  FROM s2),
+s4 AS (
+  SELECT *,
+         CASE WHEN event_type = 'purchase' AND tc_run IS NOT NULL AND ts_us > tc_run
+              THEN ts_us END AS purchase_ts
+  FROM s3),
+per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts_us END) AS tv,
+         min(click_ts) AS tc,
+         min(purchase_ts) AS tp
+  FROM s4 GROUP BY user_id)
+SELECT count(*) AS n_users,
+       count(tv) AS n_viewed,
+       count(tc) AS n_clicked_after_view,
+       count(tp) AS n_purchased_after_click,
+       round(avg(tp - tv) / 1000000.0, 4) AS avg_funnel_secs
+FROM per_user
+"""
