@@ -401,13 +401,21 @@ def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     disambiguate real NULLs from subtotal rows; subtotal keys render as
     'ALL' so the output is null-free and hash-stable."""
     li = load_table(spark, sf_dir, "lineitem")
+    # pre-project the decimal revenue ONCE per input row — the Expand
+    # operator replicates each row into its grouping sets, and an expression
+    # left inside agg() would be recomputed per replica (3x here)
+    pre = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.expr("l_extendedprice * (1 - l_discount)").cast(DEC).alias("rev"),
+    )
     return (
-        li.rollup("l_returnflag", "l_linestatus")
+        pre.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.grouping("l_returnflag").alias("g_flag"),
             F.grouping("l_linestatus").alias("g_status"),
             F.count("*").alias("n_lines"),
-            F.round(_as_dbl(_dsum("l_extendedprice * (1 - l_discount)")), 4).alias("revenue"),
+            F.round(_as_dbl(F.sum("rev")), 4).alias("revenue"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
