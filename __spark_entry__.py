@@ -120,6 +120,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- multimodal binary columns ---
         "media_inventory": multimodal.media_inventory,
         "media_fingerprints": multimodal.media_fingerprints,
+        # fake-codec kernel queries: deterministic but not SQL-expressible
+        # (MD5 byte expansion) — rows-only driver check; independent
+        # pure-Python oracle in tests/test_multimodal.py
+        "media_frame_sample": multimodal.media_frame_sample,
+        "media_feature_stats": multimodal.media_feature_stats,
         # --- text analysis ---
         "token_counts": textops.token_counts,
         "lang_id": textops.lang_id,

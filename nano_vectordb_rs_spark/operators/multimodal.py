@@ -67,38 +67,58 @@ def as_media(documents: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def decode_payload(payload: bytes, width: int, height: int, channels: int, codec: str = "fake") -> np.ndarray:
-    """Decode a binary payload into an (height, width, channels) uint8 array.
+def _make_decode_payload():
+    """Factory so the decoder pickles BY VALUE into mapInPandas closures
+    (same rationale as fastknn._make_batch_matrix): a plain module-level
+    function would pickle by reference, and executors whose Python workers
+    start outside this repo's path could not import it."""
 
-    ``codec='fake'``: deterministic pseudo-decode — MD5-expand the payload
-    into exactly the right number of bytes. Reproducible everywhere, no
-    external libs, preserves the real decoder's contract (shape + dtype).
+    def decode_payload(
+        payload: bytes, width: int, height: int, channels: int, codec: str = "fake"
+    ) -> np.ndarray:
+        """Decode a binary payload into an (height, width, channels) uint8 array.
 
-    Any real codec raises: the image/audio libs are not in this container.
-    Swap this branch for ``PIL.Image.open(io.BytesIO(payload))`` in a real
-    deployment — the Spark plumbing above it does not change.
-    """
-    if codec != "fake":
-        raise NotImplementedError(
-            f"codec {codec!r} needs an image/audio library not present in this "
-            "environment; the 'fake' codec exercises the identical plumbing"
+        ``codec='fake'``: deterministic pseudo-decode — MD5-expand the payload
+        into exactly the right number of bytes. Reproducible everywhere, no
+        external libs, preserves the real decoder's contract (shape + dtype).
+
+        Any real codec raises: the image/audio libs are not in this container.
+        Swap this branch for ``PIL.Image.open(io.BytesIO(payload))`` in a real
+        deployment — the Spark plumbing above it does not change.
+        """
+        if codec != "fake":
+            raise NotImplementedError(
+                f"codec {codec!r} needs an image/audio library not present in this "
+                "environment; the 'fake' codec exercises the identical plumbing"
+            )
+        need = width * height * channels
+        out = bytearray()
+        counter = 0
+        seed = hashlib.md5(payload).digest()
+        while len(out) < need:
+            out += hashlib.md5(seed + counter.to_bytes(4, "little")).digest()
+            counter += 1
+        return np.frombuffer(bytes(out[:need]), dtype=np.uint8).reshape(
+            height, width, channels
         )
-    need = width * height * channels
-    out = bytearray()
-    counter = 0
-    seed = hashlib.md5(payload).digest()
-    while len(out) < need:
-        out += hashlib.md5(seed + counter.to_bytes(4, "little")).digest()
-        counter += 1
-    return np.frombuffer(bytes(out[:need]), dtype=np.uint8).reshape(height, width, channels)
+
+    return decode_payload
 
 
-def _resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
-    """Nearest-neighbor resize in pure NumPy (no PIL dependency)."""
-    h, w = img.shape[:2]
-    rows = (np.arange(out_h) * h // out_h).astype(np.int64)
-    cols = (np.arange(out_w) * w // out_w).astype(np.int64)
-    return img[rows][:, cols]
+def _make_resize_nearest():
+    """Nearest-neighbor resize, factory-wrapped for by-value pickling."""
+
+    def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+        h, w = img.shape[:2]
+        rows = (np.arange(out_h) * h // out_h).astype(np.int64)
+        cols = (np.arange(out_w) * w // out_w).astype(np.int64)
+        return img[rows][:, cols]
+
+    return resize_nearest
+
+
+decode_payload = _make_decode_payload()
+_resize_nearest = _make_resize_nearest()
 
 
 # ---------------------------------------------------------------------------
@@ -262,3 +282,41 @@ SELECT doc_id,
        md5(text) AS digest
 FROM documents WHERE doc_id < 50 ORDER BY doc_id
 """
+
+
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query over the frame-sampling kernel: 4 evenly-spaced frames
+    per video (doc_id < 30 bounds the fixture slice), each fake-decoded to
+    its per-frame mean pixel value. Fully deterministic (MD5-expansion
+    decode) but not SQL-expressible, so the driver records a rows-only
+    check; tests/test_multimodal.py re-derives expected values with an
+    INDEPENDENT pure-Python reimplementation of the fake codec."""
+    media = as_media(load_table(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") < 30
+    )
+    return (
+        sample_frames(media, k=4)
+        .withColumn("mean_px", F.round("mean_px", 6))
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query over the decode + feature-extraction kernel: per media
+    type, aggregate pixel statistics of the fake-decoded payloads (doc_id <
+    30). Rows-only driver check (MD5-expansion decode is not
+    SQL-expressible); determinism pinned by the independent-oracle pytest."""
+    media = as_media(load_table(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") < 30
+    )
+    feats = extract_features(media)
+    return (
+        feats.groupBy("media_type")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg("mean_px"), 6).alias("avg_mean_px"),
+            F.round(F.min("std_px"), 6).alias("min_std_px"),
+        )
+        .orderBy("media_type")
+    )

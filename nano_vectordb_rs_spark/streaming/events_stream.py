@@ -115,44 +115,54 @@ SESSION_OUTPUT_SCHEMA = T.StructType(
 )
 
 
-def _session_fold(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Per-user session state machine (the applyInPandasWithState kernel).
+def _make_session_fold(session_gap_us: int):
+    """Factory so the stateful kernel pickles BY VALUE (module-level defs
+    pickle by reference and break when executor Python workers start outside
+    this repo's import path — same rationale as fastknn._make_batch_matrix)."""
 
-    State = (last event time, running session counters). A gap > 30 min opens
-    a new session — identical fold to the batch twin's lag()+running-sum, but
-    carried across micro-batches. Emits the user's current aggregate each
-    time the group appears (update semantics)."""
-    if state.exists:
-        last_ts, n_sessions, n_events, cur_ev, max_ev = state.get
-    else:
-        last_ts, n_sessions, n_events, cur_ev, max_ev = None, 0, 0, 0, 0
+    def session_fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Per-user session state machine (the applyInPandasWithState kernel).
 
-    ts_all: list[int] = []
-    for pdf in pdfs:
-        ts_all.extend(pdf["ts_us"].tolist())
-    ts_all.sort()
-
-    for t in ts_all:
-        if last_ts is None or t - last_ts > SESSION_GAP_US:
-            n_sessions += 1
-            cur_ev = 1
+        State = (last event time, running session counters). A gap > 30 min
+        opens a new session — identical fold to the batch twin's
+        lag()+running-sum, but carried across micro-batches. Emits the user's
+        current aggregate each time the group appears (update semantics)."""
+        if state.exists:
+            last_ts, n_sessions, n_events, cur_ev, max_ev = state.get
         else:
-            cur_ev += 1
-        max_ev = max(max_ev, cur_ev)
-        n_events += 1
-        last_ts = t
+            last_ts, n_sessions, n_events, cur_ev, max_ev = None, 0, 0, 0, 0
 
-    state.update((last_ts, n_sessions, n_events, cur_ev, max_ev))
-    yield pd.DataFrame(
-        {
-            "user_id": [key[0]],
-            "n_sessions": [n_sessions],
-            "max_session_events": [max_ev],
-            "n_events": [n_events],
-        }
-    )
+        ts_all: list[int] = []
+        for pdf in pdfs:
+            ts_all.extend(pdf["ts_us"].tolist())
+        ts_all.sort()
+
+        for t in ts_all:
+            if last_ts is None or t - last_ts > session_gap_us:
+                n_sessions += 1
+                cur_ev = 1
+            else:
+                cur_ev += 1
+            max_ev = max(max_ev, cur_ev)
+            n_events += 1
+            last_ts = t
+
+        state.update((last_ts, n_sessions, n_events, cur_ev, max_ev))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_sessions": [n_sessions],
+                "max_session_events": [max_ev],
+                "n_events": [n_events],
+            }
+        )
+
+    return session_fold
+
+
+_session_fold = _make_session_fold(SESSION_GAP_US)
 
 
 def sessionize_stream(events: DataFrame) -> DataFrame:

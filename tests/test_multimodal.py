@@ -72,3 +72,57 @@ def test_sample_frames(media):
         per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
     for idxs in per_doc.values():
         assert len(set(idxs)) == k  # evenly spaced, distinct
+
+
+def _fake_decode_pure(payload: bytes, width: int, height: int, channels: int) -> list[int]:
+    """Independent pure-Python (no numpy) reimplementation of the fake codec
+    — the oracle for the rows-only declared kernel queries."""
+    import hashlib
+
+    need = width * height * channels
+    out = bytearray()
+    counter = 0
+    seed = hashlib.md5(payload).digest()
+    while len(out) < need:
+        out += hashlib.md5(seed + counter.to_bytes(4, "little")).digest()
+        counter += 1
+    return list(out[:need])
+
+
+def test_media_frame_sample_matches_pure_python_oracle(spark, duck):
+    """media_frame_sample (rows-only in the driver) pinned to an independent
+    pure-Python derivation: same split of frame indices, same MD5 expansion,
+    mean computed with exact integer arithmetic then divided once."""
+    from nano_vectordb_rs_spark.operators.multimodal import media_frame_sample
+
+    rows = media_frame_sample(spark, SF_DIR).collect()
+    docs = dict(
+        duck.execute("SELECT doc_id, text FROM documents WHERE doc_id < 30").fetchall()
+    )
+    expected = []
+    for doc_id in sorted(docs):
+        if doc_id % 3 != 2:  # media_type cycles image/audio/video by doc_id
+            continue
+        payload = docs[doc_id].encode("utf-8")
+        width = doc_id % 64 + 16
+        height = doc_id % 48 + 16
+        n_frames = (doc_id % 30 + 1) * 24
+        for i in range(4):
+            frame_idx = i * n_frames // 4
+            px = _fake_decode_pure(
+                payload + frame_idx.to_bytes(4, "little"), width, height, 3
+            )
+            expected.append((doc_id, frame_idx, round(sum(px) / len(px), 6)))
+    got = [(r["doc_id"], r["frame_idx"], r["mean_px"]) for r in rows]
+    assert got == expected
+    assert len(got) > 0
+
+
+def test_media_feature_stats_shape_and_determinism(spark):
+    from nano_vectordb_rs_spark.operators.multimodal import media_feature_stats
+
+    a = [tuple(r) for r in media_feature_stats(spark, SF_DIR).collect()]
+    b = [tuple(r) for r in media_feature_stats(spark, SF_DIR).collect()]
+    assert a == b
+    assert [r[0] for r in a] == ["audio", "image", "video"]
+    assert all(r[1] > 0 for r in a)
