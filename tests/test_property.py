@@ -71,3 +71,44 @@ def test_query_matches_numpy_oracle(spark_session, vectors, query, k, threshold)
 @pytest.fixture(scope="module")
 def spark_session(spark):
     return spark
+
+
+# ---------------------------------------------------------------------------
+# prefix-filter losslessness (the PPJoin bound behind ngram_jaccard_pairs)
+# ---------------------------------------------------------------------------
+
+token = st.integers(min_value=0, max_value=30)  # small alphabet → many collisions
+tokset = st.frozensets(token, min_size=1, max_size=12)
+
+
+@settings(max_examples=200, deadline=None, derandomize=True)
+@given(sets=st.lists(tokset, min_size=2, max_size=10))
+def test_prefix_filter_never_drops_a_qualifying_pair(sets):
+    """Pure-combinatorics property behind dedup.ngram_jaccard_pairs: with
+    tokens ordered rarest-first (by corpus frequency, then token), any two
+    sets with Jaccard >= t MUST share a token within each other's first
+    n - ceil(t*n) + 1 tokens. If this bound were wrong, the candidate join
+    would silently drop qualifying pairs at any scale."""
+    import math as m
+
+    t = 0.6
+    freq: dict[int, int] = {}
+    for s in sets:
+        for tok in s:
+            freq[tok] = freq.get(tok, 0) + 1
+
+    def prefix(s):
+        ordered = sorted(s, key=lambda tok: (freq[tok], tok))
+        keep = len(s) - m.ceil(t * len(s)) + 1
+        return set(ordered[:keep])
+
+    prefixes = [prefix(s) for s in sets]
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            inter = len(sets[i] & sets[j])
+            union = len(sets[i] | sets[j])
+            if union and inter / union >= t:
+                assert prefixes[i] & prefixes[j], (
+                    f"pair {i},{j} has J={inter/union:.3f} >= {t} but shares "
+                    f"no prefix token: {sets[i]} / {sets[j]}"
+                )
