@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pure-Python oracle in tests/test_multimodal.py
         "media_frame_sample": multimodal.media_frame_sample,
         "media_feature_stats": multimodal.media_feature_stats,
+        "media_resize_summary": multimodal.media_resize_summary,
         # --- text analysis ---
         "token_counts": textops.token_counts,
         "lang_id": textops.lang_id,

@@ -320,3 +320,32 @@ def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+def media_resize_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared query over the thumbnail/resize kernel: every image payload
+    (doc_id < 30) fake-decoded, nearest-neighbor resized to 8x8, and
+    fingerprinted (md5 of the resized bytes + output size). Deterministic
+    end-to-end but not SQL-expressible (MD5-expansion decode), so the driver
+    records a rows-only check; tests pin values via the independent
+    pure-Python codec reimplementation."""
+    media = as_media(load_table(spark, sf_dir, "documents")).filter(
+        F.col("doc_id") < 30
+    )
+    resized = resize_images(media, out_w=8, out_h=8)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(len),
+                    "digest": pdf["payload"].map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                }
+            )
+
+    return resized.mapInPandas(
+        kernel, "doc_id bigint, n_bytes bigint, digest string"
+    ).orderBy("doc_id")

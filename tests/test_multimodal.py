@@ -118,6 +118,39 @@ def test_media_frame_sample_matches_pure_python_oracle(spark, duck):
     assert len(got) > 0
 
 
+def test_media_resize_summary_matches_pure_python_oracle(spark, duck):
+    """media_resize_summary pinned to an independent pure-Python derivation:
+    decode via the reimplemented fake codec, nearest-neighbor index math in
+    plain ints, md5 over the resized bytes."""
+    import hashlib
+
+    from nano_vectordb_rs_spark.operators.multimodal import media_resize_summary
+
+    rows = media_resize_summary(spark, SF_DIR).collect()
+    docs = dict(
+        duck.execute("SELECT doc_id, text FROM documents WHERE doc_id < 30").fetchall()
+    )
+    expected = []
+    for doc_id in sorted(docs):
+        if doc_id % 3 != 0:  # images only
+            continue
+        width = doc_id % 64 + 16
+        height = doc_id % 48 + 16
+        px = _fake_decode_pure(docs[doc_id].encode("utf-8"), width, height, 3)
+        # nearest-neighbor 8x8: out[r][c][ch] = px[(r*h//8)*w*3 + (c*w//8)*3 + ch]
+        out = bytearray()
+        for r in range(8):
+            sr = r * height // 8
+            for c in range(8):
+                sc = c * width // 8
+                base = (sr * width + sc) * 3
+                out += bytes(px[base : base + 3])
+        expected.append((doc_id, 8 * 8 * 3, hashlib.md5(bytes(out)).hexdigest()))
+    got = [(r["doc_id"], r["n_bytes"], r["digest"]) for r in rows]
+    assert got == expected
+    assert len(got) > 0
+
+
 def test_media_feature_stats_shape_and_determinism(spark):
     from nano_vectordb_rs_spark.operators.multimodal import media_feature_stats
 
