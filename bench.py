@@ -43,6 +43,9 @@ from nano_vectordb_rs_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = int(os.environ.get("BENCH_RUNS", "2"))
+# the micros are the headline baseline comparison and ~1 s each, so they can
+# afford best-of-3 — machine-load variance was ±40% on best-of-2
+MICRO_RUNS = int(os.environ.get("BENCH_MICRO_RUNS", "3"))
 MICRO_ROWS = int(os.environ.get("BENCH_MICRO_ROWS", "100000"))
 MICRO_DIM = int(os.environ.get("BENCH_MICRO_DIM", "1024"))
 
@@ -51,9 +54,9 @@ MICRO_DIM = int(os.environ.get("BENCH_MICRO_DIM", "1024"))
 SKIP = {"ann_recall"}
 
 
-def timed(fn) -> float:
+def timed(fn, runs: int | None = None) -> float:
     best = float("inf")
-    for _ in range(RUNS):
+    for _ in range(runs or RUNS):
         t0 = time.perf_counter()
         fn()
         best = min(best, time.perf_counter() - t0)
@@ -132,11 +135,11 @@ def main() -> None:
         # Catalyst prune the normalize projection away entirely)
         normalized.agg(F.sum(F.expr("element_at(vector, 1)"))).collect()
 
-    results["micro_insert_100k_1024"] = timed(micro_insert)
+    results["micro_insert_100k_1024"] = timed(micro_insert, runs=MICRO_RUNS)
 
     # save = persist the collection to Parquet (reference: 540 MB JSON)
     results["micro_save_100k_1024"] = timed(
-        lambda: normalized.write.mode("overwrite").parquet(tmp)
+        lambda: normalized.write.mode("overwrite").parquet(tmp), runs=MICRO_RUNS
     )
     size_mb = sum(
         os.path.getsize(os.path.join(tmp, f)) for f in os.listdir(tmp)
@@ -151,7 +154,7 @@ def main() -> None:
     def micro_query():
         topk_over(normalized, qvec, k=10, assume_normalized=True).collect()
 
-    results["micro_query_100k_1024"] = timed(micro_query)
+    results["micro_query_100k_1024"] = timed(micro_query, runs=MICRO_RUNS)
     normalized.unpersist()
     raw.unpersist()
     shutil.rmtree(raw_path, ignore_errors=True)
