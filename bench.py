@@ -44,8 +44,10 @@ from nano_vectordb_rs_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = int(os.environ.get("BENCH_RUNS", "2"))
 # the micros are the headline baseline comparison and ~1 s each, so they can
-# afford best-of-3 — machine-load variance was ±40% on best-of-2
-MICRO_RUNS = int(os.environ.get("BENCH_MICRO_RUNS", "3"))
+# afford 5 runs (the reference's own protocol: 5 runs, mean ± std,
+# src/bin/benchmark.rs:10,137-141) — machine-load variance was ±40% on
+# best-of-2
+MICRO_RUNS = int(os.environ.get("BENCH_MICRO_RUNS", "5"))
 MICRO_ROWS = int(os.environ.get("BENCH_MICRO_ROWS", "100000"))
 MICRO_DIM = int(os.environ.get("BENCH_MICRO_DIM", "1024"))
 
@@ -54,13 +56,27 @@ MICRO_DIM = int(os.environ.get("BENCH_MICRO_DIM", "1024"))
 SKIP = {"ann_recall"}
 
 
-def timed(fn, runs: int | None = None) -> float:
-    best = float("inf")
-    for _ in range(runs or RUNS):
+def timed_all(fn, runs: int) -> list[float]:
+    times = []
+    for _ in range(runs):
         t0 = time.perf_counter()
         fn()
-        best = min(best, time.perf_counter() - t0)
-    return round(best, 4)
+        times.append(round(time.perf_counter() - t0, 4))
+    return times
+
+
+def timed(fn, runs: int | None = None) -> float:
+    return round(min(timed_all(fn, runs or RUNS)), 4)
+
+
+def micro_timed(fn, stats: dict, name: str) -> float:
+    """Reference protocol for the baseline micros: N runs, record all of
+    them plus mean ± std; the headline number stays best-of-N."""
+    times = timed_all(fn, MICRO_RUNS)
+    mean = sum(times) / len(times)
+    std = (sum((t - mean) ** 2 for t in times) / len(times)) ** 0.5
+    stats[name] = {"runs": times, "mean": round(mean, 4), "std": round(std, 4)}
+    return round(min(times), 4)
 
 
 def main() -> None:
@@ -135,11 +151,16 @@ def main() -> None:
         # Catalyst prune the normalize projection away entirely)
         normalized.agg(F.sum(F.expr("element_at(vector, 1)"))).collect()
 
-    results["micro_insert_100k_1024"] = timed(micro_insert, runs=MICRO_RUNS)
+    micro_stats: dict = {}
+    results["micro_insert_100k_1024"] = micro_timed(
+        micro_insert, micro_stats, "micro_insert_100k_1024"
+    )
 
     # save = persist the collection to Parquet (reference: 540 MB JSON)
-    results["micro_save_100k_1024"] = timed(
-        lambda: normalized.write.mode("overwrite").parquet(tmp), runs=MICRO_RUNS
+    results["micro_save_100k_1024"] = micro_timed(
+        lambda: normalized.write.mode("overwrite").parquet(tmp),
+        micro_stats,
+        "micro_save_100k_1024",
     )
     size_mb = sum(
         os.path.getsize(os.path.join(tmp, f)) for f in os.listdir(tmp)
@@ -154,7 +175,9 @@ def main() -> None:
     def micro_query():
         topk_over(normalized, qvec, k=10, assume_normalized=True).collect()
 
-    results["micro_query_100k_1024"] = timed(micro_query, runs=MICRO_RUNS)
+    results["micro_query_100k_1024"] = micro_timed(
+        micro_query, micro_stats, "micro_query_100k_1024"
+    )
     normalized.unpersist()
     raw.unpersist()
     shutil.rmtree(raw_path, ignore_errors=True)
@@ -179,6 +202,7 @@ def main() -> None:
             "queries": results,
             "sf": SF_DIR.rstrip("/").split("sf")[-1],
             "baseline": baseline,
+            "micro_stats": micro_stats,
             "config": {
                 "master": spark.sparkContext.master,
                 "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
