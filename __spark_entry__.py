@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_next_transition": events.events_next_transition,
         "events_daily_full_outer": events.events_daily_full_outer,
         "events_funnel": events.events_funnel,
+        "events_retention": events.events_retention,
         "supplier_percent_rank": relational2.supplier_percent_rank,
         "nation_supplier_lists": relational2.nation_supplier_lists,
         "events_sessionized": events.events_sessionized,
@@ -134,6 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_split_assignment": textops.docs_split_assignment,
         "corpus_budget_report": textops.corpus_budget_report,
         "idf_top_terms": textops.idf_top_terms,
+        "docs_length_histogram": textops.docs_length_histogram,
         "repetition_scores": textops.repetition_scores,
         "domain_mixture_weights": textops.domain_mixture_weights,
     }
@@ -195,6 +197,8 @@ def oracle_sql() -> dict[str, str]:
         "events_next_transition": events.EVENTS_NEXT_TRANSITION_SQL,
         "events_daily_full_outer": events.EVENTS_DAILY_FULL_OUTER_SQL,
         "events_funnel": events.EVENTS_FUNNEL_SQL,
+        "events_retention": events.EVENTS_RETENTION_SQL,
+        "docs_length_histogram": textops.DOCS_LENGTH_HIST_SQL,
         "supplier_percent_rank": relational2.SUPPLIER_PERCENT_RANK_SQL,
         "nation_supplier_lists": relational2.NATION_SUPPLIER_LISTS_SQL,
         "events_sessionized": events.EVENTS_SESSIONIZED_SQL,

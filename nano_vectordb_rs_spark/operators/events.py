@@ -551,3 +551,56 @@ SELECT count(*) AS n_users,
        round(avg(tp - tv) / 1000000.0, 4) AS avg_funnel_secs
 FROM per_user
 """
+
+
+# --- cohort retention ---------------------------------------------------------
+
+
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-day retention: for each day, how many distinct users were active
+    and how many of them were also active the following day — the
+    engagement metric every event pipeline reports.
+
+    Plan: one distinct (day, user) projection (single shuffle), self-joined
+    on (user, day+1) — both sides are the SAME deduplicated relation, so at
+    scale the join is co-partitioned on user_id and the fact table is
+    scanned once. Rates are exact integer ratios rounded at the end."""
+    ev = _events(spark, sf_dir)
+    active = (
+        ev.select(F.expr(f"ts_us div {DAY_US}").alias("day"), "user_id")
+        .distinct()
+    )
+    nxt = active.select(
+        (F.col("day") - 1).alias("day"), F.col("user_id").alias("u2")
+    )
+    per_day = (
+        active.join(
+            nxt,
+            (active.day == nxt.day) & (active.user_id == F.col("u2")),
+            "left_outer",
+        )
+        .groupBy(active.day.alias("day"))
+        .agg(
+            F.count("*").alias("n_active"),
+            F.count("u2").alias("n_retained"),
+        )
+        .withColumn(
+            "retention",
+            F.round(F.col("n_retained") / F.col("n_active").cast("double"), 6),
+        )
+    )
+    return per_day.orderBy("day")
+
+
+EVENTS_RETENTION_SQL = f"""
+WITH active AS (
+  SELECT DISTINCT epoch_us(ts) // {DAY_US} AS day, user_id FROM events)
+SELECT a.day AS day,
+       count(*) AS n_active,
+       count(b.user_id) AS n_retained,
+       round(count(b.user_id) / CAST(count(*) AS DOUBLE), 6) AS retention
+FROM active a
+LEFT OUTER JOIN active b ON b.day = a.day + 1 AND b.user_id = a.user_id
+GROUP BY a.day
+ORDER BY a.day
+"""

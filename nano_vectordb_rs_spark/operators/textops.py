@@ -497,3 +497,33 @@ FROM scored
 GROUP BY split
 ORDER BY split
 """
+
+
+# --- length histogram ---------------------------------------------------------
+
+LEN_BUCKET = 50  # chars per histogram bucket
+
+
+def docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram in fixed 50-char buckets, per language —
+    the first plot anyone makes before setting min/max-length curation
+    filters. Integer bucket arithmetic (no width_bucket, whose edge
+    semantics differ between engines), one scan + one small aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("n_chars") / LEN_BUCKET).cast("bigint") * LEN_BUCKET
+    return (
+        docs.select("lang", bucket.alias("len_bucket"))
+        .groupBy("lang", "len_bucket")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "len_bucket")
+    )
+
+
+DOCS_LENGTH_HIST_SQL = f"""
+SELECT lang,
+       CAST(n_chars // {LEN_BUCKET} AS BIGINT) * {LEN_BUCKET} AS len_bucket,
+       count(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+ORDER BY lang, len_bucket
+"""
