@@ -50,19 +50,32 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp_ntz")
     )
+    # pre-project the five decimal measures once per row — leaving the casts
+    # and products inside agg() re-evaluates them per aggregate expression
+    # (codegen subexpression elimination does not fully collapse them;
+    # measured 1.3s -> 0.87s at sf0.1, results bit-identical)
+    pre = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast(DEC).alias("_qty"),
+        F.col("l_extendedprice").cast(DEC).alias("_ep"),
+        F.expr("l_extendedprice * (1 - l_discount)").cast(DEC).alias("_dp"),
+        F.expr("l_extendedprice * (1 - l_discount) * (1 + l_tax)").cast(DEC).alias("_ch"),
+        F.col("l_discount").cast(DEC).alias("_disc"),
+    )
     return (
-        li.groupBy("l_returnflag", "l_linestatus")
+        pre.groupBy("l_returnflag", "l_linestatus")
         .agg(
             # round() after the decimal sum: DuckDB's decimal→double cast can
             # be 1 ulp off Spark's correctly-rounded cast; round(x, 4) maps
             # both to the identical double since the data has ≤2 decimals
-            F.round(_as_dbl(_dsum("l_quantity")), 4).alias("sum_qty"),
-            F.round(_as_dbl(_dsum("l_extendedprice")), 4).alias("sum_base_price"),
-            F.round(_as_dbl(_dsum("l_extendedprice * (1 - l_discount)")), 4).alias("sum_disc_price"),
-            F.round(_as_dbl(_dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")), 4).alias("sum_charge"),
-            F.round(_as_dbl(_dsum("l_quantity")) / F.count("*"), 6).alias("avg_qty"),
-            F.round(_as_dbl(_dsum("l_extendedprice")) / F.count("*"), 6).alias("avg_price"),
-            F.round(_as_dbl(_dsum("l_discount")) / F.count("*"), 6).alias("avg_disc"),
+            F.round(_as_dbl(F.sum("_qty")), 4).alias("sum_qty"),
+            F.round(_as_dbl(F.sum("_ep")), 4).alias("sum_base_price"),
+            F.round(_as_dbl(F.sum("_dp")), 4).alias("sum_disc_price"),
+            F.round(_as_dbl(F.sum("_ch")), 4).alias("sum_charge"),
+            F.round(_as_dbl(F.sum("_qty")) / F.count("*"), 6).alias("avg_qty"),
+            F.round(_as_dbl(F.sum("_ep")) / F.count("*"), 6).alias("avg_price"),
+            F.round(_as_dbl(F.sum("_disc")) / F.count("*"), 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
