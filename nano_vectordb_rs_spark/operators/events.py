@@ -561,28 +561,27 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     and how many of them were also active the following day — the
     engagement metric every event pipeline reports.
 
-    Plan: one distinct (day, user) projection (single shuffle), self-joined
-    on (user, day+1) — both sides are the SAME deduplicated relation, so at
-    scale the join is co-partitioned on user_id and the fact table is
-    scanned once. Rates are exact integer ratios rounded at the end."""
+    A self-join of the activity relation on (user, day+1) would scan and
+    shuffle the deduplicated relation twice (Spark does not reuse the
+    exchange across differently-projected join sides — verified). Instead
+    "active tomorrow" is ``lead(day) == day + 1`` over a per-user window:
+    ONE fact scan, then distinct → window → day aggregate, all keyed
+    shuffles. Rates are exact integer ratios rounded at the end."""
     ev = _events(spark, sf_dir)
     active = (
         ev.select(F.expr(f"ts_us div {DAY_US}").alias("day"), "user_id")
         .distinct()
     )
-    nxt = active.select(
-        (F.col("day") - 1).alias("day"), F.col("user_id").alias("u2")
+    w = Window.partitionBy("user_id").orderBy("day")
+    flagged = active.withColumn(
+        "retained",
+        F.when(F.lead("day", 1).over(w) == F.col("day") + 1, 1).otherwise(0),
     )
     per_day = (
-        active.join(
-            nxt,
-            (active.day == nxt.day) & (active.user_id == F.col("u2")),
-            "left_outer",
-        )
-        .groupBy(active.day.alias("day"))
+        flagged.groupBy("day")
         .agg(
             F.count("*").alias("n_active"),
-            F.count("u2").alias("n_retained"),
+            F.sum("retained").cast("bigint").alias("n_retained"),
         )
         .withColumn(
             "retention",
@@ -594,13 +593,17 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_RETENTION_SQL = f"""
 WITH active AS (
-  SELECT DISTINCT epoch_us(ts) // {DAY_US} AS day, user_id FROM events)
-SELECT a.day AS day,
+  SELECT DISTINCT epoch_us(ts) // {DAY_US} AS day, user_id FROM events),
+flagged AS (
+  SELECT day,
+         CASE WHEN lead(day, 1) OVER (PARTITION BY user_id ORDER BY day) = day + 1
+              THEN 1 ELSE 0 END AS retained
+  FROM active)
+SELECT day,
        count(*) AS n_active,
-       count(b.user_id) AS n_retained,
-       round(count(b.user_id) / CAST(count(*) AS DOUBLE), 6) AS retention
-FROM active a
-LEFT OUTER JOIN active b ON b.day = a.day + 1 AND b.user_id = a.user_id
-GROUP BY a.day
-ORDER BY a.day
+       CAST(sum(retained) AS BIGINT) AS n_retained,
+       round(CAST(sum(retained) AS BIGINT) / CAST(count(*) AS DOUBLE), 6) AS retention
+FROM flagged
+GROUP BY day
+ORDER BY day
 """
