@@ -118,6 +118,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "normalized_dedup_docs": dedup.normalized_dedup_docs,
         "contamination_check": dedup.contamination_check,
+        # iterative connected-components (driver-side convergence loop) —
+        # not SQL-expressible, rows-only check; pinned to a pure-Python
+        # union-find in tests/test_oracle_parity.py
+        "dup_clusters": dedup.dup_clusters,
         # --- multimodal binary columns ---
         "media_inventory": multimodal.media_inventory,
         "media_fingerprints": multimodal.media_fingerprints,

@@ -527,3 +527,78 @@ FROM (
 GROUP BY lang
 ORDER BY lang
 """
+
+
+# --- duplicate-cluster resolution (iterative connected components) ------------
+
+CLUSTER_MAX_ITERS = 10
+
+
+def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash near-dup pair graph: the
+    cluster-resolution step every dedup pipeline runs after pair detection
+    (a pair list alone can't answer "which ONE document do we keep" when
+    A~B and B~C but A!~C — the cluster {A,B,C} keeps exactly one).
+
+    Algorithm: iterative min-label propagation — every node starts labeled
+    with its own id; each round a node takes the minimum label among itself
+    and its neighbors; converged when no label changes. O(diameter) rounds
+    (duplicate clusters are shallow — 2-4 rounds in practice), each round
+    one join + one aggregate, state checkpointed to cut lineage growth.
+    This is the repo's iterative-algorithm surface (driver-side convergence
+    loop over declarative per-round plans — the Pregel-lite pattern);
+    NOT SQL-expressible, so the driver records a rows-only check and
+    tests/test_oracle_parity.py pins it to a pure-Python union-find.
+
+    Output: one row per multi-document cluster — canonical keeper (min
+    doc_id), size, and the '|'-joined sorted member list."""
+    pairs = minhash_near_dup_docs(spark, sf_dir).select("doc1", "doc2")
+    edges = pairs.union(
+        pairs.select(F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("doc1").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(CLUSTER_MAX_ITERS):
+        neighbor_min = (
+            edges.join(labels, edges.doc2 == labels.id)
+            .groupBy(edges.doc1.alias("id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left_outer")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        labels.groupBy("label")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.array_join(F.sort_array(F.collect_list("id")), "|").alias("members"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select(
+            F.col("label").alias("cluster_id"),
+            "n_docs",
+            "members",
+        )
+        .orderBy("cluster_id")
+    )

@@ -194,6 +194,45 @@ def test_quartiles_approx_matches_exact_twin(spark):
         assert approx[q]["max_bal"] <= approx[q + 1]["min_bal"]
 
 
+def test_dup_clusters_matches_union_find(spark, duck):
+    """dup_clusters (iterative label propagation, rows-only in the driver)
+    pinned to an independent pure-Python union-find over the same
+    oracle-checked MinHash pair list."""
+    from nano_vectordb_rs_spark.operators.dedup import (
+        MINHASH_NEAR_DUP_SQL,
+        dup_clusters,
+    )
+
+    pairs = [(a, b) for a, b, _ in duck.execute(MINHASH_NEAR_DUP_SQL).fetchall()]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    clusters: dict[int, list[int]] = {}
+    for node in parent:
+        clusters.setdefault(find(node), []).append(node)
+    expected = sorted(
+        (root, len(members), "|".join(map(str, sorted(members))))
+        for root, members in clusters.items()
+        if len(members) > 1
+    )
+    got = [
+        (r["cluster_id"], r["n_docs"], r["members"])
+        for r in dup_clusters(spark, SF_DIR).collect()
+    ]
+    assert got == expected
+    assert len(got) > 0
+
+
 def test_percentile_approx_rank_error(spark, duck):
     """events_value_percentiles_approx has no value oracle (GK sketch);
     assert each estimate's rank in the exact distribution is within 1% of
