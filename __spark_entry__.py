@@ -21,6 +21,7 @@ from nano_vectordb_rs_spark.operators import (
     multimodal,
     relational,
     relational2,
+    retrieval,
     similarity,
     textops,
 )
@@ -111,6 +112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": similarity.label_centroids,
         "semantic_search_docs": similarity.semantic_search_docs,
         "crossmodal_dup_check": similarity.crossmodal_dup_check,
+        "lexical_search_docs": retrieval.lexical_search_docs,
+        "hybrid_search_rrf": retrieval.hybrid_search_rrf,
         # --- dedup family ---
         "exact_dedup_docs": dedup.exact_dedup_docs,
         "minhash_near_dup_docs": dedup.minhash_near_dup_docs,
@@ -216,6 +219,8 @@ def oracle_sql() -> dict[str, str]:
         "label_centroids": similarity.LABEL_CENTROIDS_SQL,
         "semantic_search_docs": similarity.SEMANTIC_SEARCH_SQL,
         "crossmodal_dup_check": similarity.CROSSMODAL_DUP_SQL,
+        "lexical_search_docs": retrieval.LEXICAL_SEARCH_SQL,
+        "hybrid_search_rrf": retrieval.HYBRID_RRF_SQL,
         # ann_recall: driver-side composition over three plans — rows-only check
         "exact_dedup_docs": dedup.EXACT_DEDUP_SQL,
         "minhash_near_dup_docs": dedup.MINHASH_NEAR_DUP_SQL,
