@@ -1,12 +1,15 @@
 """Event-stream analytics (batch surface; streaming twin in
 ``nano_vectordb_rs_spark.streaming``).
 
-The fixture ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader
-rejects by default — every operator here sets
-``spark.sql.legacy.parquet.nanosAsLong`` and works on integer nanoseconds.
-That turns out to be the *right* representation for oracle parity too: all
-bucketing/sessionization below is pure integer arithmetic (micros), immune
-to timezone and float effects in both engines.
+The fixture's ``events.ts`` physical type has varied across data drops —
+parquet TIMESTAMP(NANOS) (which Spark reads as a long of epoch nanos under
+``nanosAsLong``) and plain ``timestamp[us]`` (which Spark reads as
+TIMESTAMP_NTZ). ``_events`` normalizes either into an integer ``ts_us``
+epoch-microseconds column, the representation every operator here works on.
+Integer micros is the *right* representation for oracle parity too: all
+bucketing/sessionization below is pure integer arithmetic, immune to
+timezone and float effects in both engines (DuckDB side uses
+``epoch_us(ts)``, which truncates identically).
 
 Scale notes: hour-bucket and per-user aggregations shuffle once on their
 group keys; sessionization is a single window over (user_id, time) — the
@@ -29,8 +32,15 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = load_table(spark, sf_dir, "events")
-    # nanos → micros, matching DuckDB's TIMESTAMP_NS→micros truncation
-    return df.withColumn("ts_us", F.expr("ts div 1000"))
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
+        # nanos-as-long fixture: nanos → micros, matching DuckDB's
+        # TIMESTAMP_NS → micros truncation
+        return df.withColumn("ts_us", F.expr("ts div 1000"))
+    # timestamp fixture (NTZ wall clock): interpret as UTC so epoch micros
+    # equal DuckDB's epoch_us(ts) on the same naive timestamp
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return df.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
 
 
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:

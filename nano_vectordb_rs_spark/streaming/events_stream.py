@@ -36,18 +36,21 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min, same as the batch twin
 
-# events.parquet stores TIMESTAMP(NANOS); with nanosAsLong the column arrives
-# as a long of epoch nanoseconds (see operators/events.py preamble).
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def events_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """Peek the fixture's batch schema — the ts physical type has varied
+    across data drops (nanos-as-long vs timestamp[us]); see
+    operators/events.py preamble. File-source streaming needs an explicit
+    schema, so derive it from a cheap batch read of the footer."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+
+def ts_us_col(spark: SparkSession, schema: T.StructType):
+    """Column expression turning either ts physical type into epoch micros."""
+    if isinstance(schema["ts"].dataType, T.LongType):
+        return F.expr("ts div 1000")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return F.unix_micros(F.col("ts").cast("timestamp"))
 
 
 def read_events_stream(
@@ -59,17 +62,17 @@ def read_events_stream(
     ``maxFilesPerTrigger`` lets tests force multi-micro-batch execution so the
     stateful operators actually carry state across batches.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = events_schema(spark, sf_dir)
     # the file source requires a directory; select just events.parquet by glob
     reader = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.load(sf_dir)
-    return df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
+    return df.withColumn("ts_us", ts_us_col(spark, schema)).withColumn(
         "event_time", F.timestamp_micros(F.col("ts_us"))
     )
 

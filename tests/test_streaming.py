@@ -80,10 +80,12 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     }
 
     # batch twin: plain interval join over the same fixture
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from nano_vectordb_rs_spark.streaming.events_stream import events_schema, ts_us_col
+
+    schema = events_schema(spark, SF_DIR)
     ev = (
         spark.read.parquet(f"{SF_DIR}/events.parquet")
-        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("event_time", F.timestamp_micros(ts_us_col(spark, schema)))
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("c_user_id"),
@@ -118,7 +120,7 @@ def test_dedup_stream_collapses_replayed_source(spark, tmp_path):
     batch counts over a SINGLE copy."""
     import shutil
 
-    from nano_vectordb_rs_spark.streaming.events_stream import EVENTS_SCHEMA
+    from nano_vectordb_rs_spark.streaming.events_stream import events_schema, ts_us_col
 
     src = tmp_path / "dupsrc"
     src.mkdir()
@@ -127,13 +129,13 @@ def test_dedup_stream_collapses_replayed_source(spark, tmp_path):
 
     import pyspark.sql.functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = events_schema(spark, SF_DIR)
     stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("maxFilesPerTrigger", 1)
         .load(str(src))
-        .withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("event_time", F.timestamp_micros(ts_us_col(spark, schema)))
     )
     agg = dedup_counts_stream(stream)
     name = run_available_now(agg, "dedup_stream", "complete", str(tmp_path / "ckpt4"))
