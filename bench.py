@@ -88,6 +88,7 @@ def main() -> None:
     queries = entry_mod.queries()
 
     results: dict[str, float] = {}
+    errors: dict[str, str] = {}
 
     # warmup: JVM + parquet footers
     queries["knn_topk"](spark, SF_DIR).collect()
@@ -96,7 +97,12 @@ def main() -> None:
         if name in SKIP:
             continue
         q = queries[name]
-        results[name] = timed(lambda q=q: q(spark, SF_DIR).collect())
+        try:
+            results[name] = timed(lambda q=q: q(spark, SF_DIR).collect())
+        except Exception as exc:  # noqa: BLE001 — one bad query must not
+            # zero the whole BENCH record (r3: a fixture schema change in
+            # events killed all 87 timings with rc=1 / parsed:null)
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     # NumPy fast path vs pure-SQL path for the flagship shape
     results["knn_topk_numpy"] = timed(
@@ -200,6 +206,7 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": results,
+            "errors": errors,
             "sf": SF_DIR.rstrip("/").split("sf")[-1],
             "baseline": baseline,
             "micro_stats": micro_stats,
