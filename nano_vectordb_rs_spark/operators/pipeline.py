@@ -1,0 +1,301 @@
+"""Training-data pipeline operators beyond the survey surface: context-window
+sequence packing, stratified sampling, int8 embedding quantization analysis,
+and bigram language-model counts.
+
+Like the rest of the extension surface these are JVM-built-in-only plans
+(no Python UDFs): scan-local projections + small keyed shuffles, with the
+one genuinely order-dependent step (the packing prefix sum) done as a
+two-phase bucket cumsum instead of a single global window so it scales past
+one partition (the reference engine has no counterpart to any of this; its
+whole query surface is src/lib.rs:188-260 cosine top-k).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from nano_vectordb_rs_spark.functions.vector import EMBEDDING_DIM
+from nano_vectordb_rs_spark.sources.tables import load_table
+
+DEC = "decimal(28,10)"
+
+# --- sequence packing -------------------------------------------------------
+
+CTX_TOKENS = 512  # context-window size for packing (tokens, whitespace def)
+PACK_BUCKET = 1000  # docs per prefix-sum bucket (range key: doc_id div this)
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk context packing: documents are concatenated in
+    doc_id order into one token stream and cut every CTX_TOKENS tokens —
+    the standard LLM pre-training packing step. Output: one row per context
+    window with its doc count, token count, and how many docs straddle its
+    left boundary.
+
+    Scale shape: the global running token offset is NOT one window over an
+    unpartitioned sort (a single-partition bottleneck at 100 TB). It is the
+    classic two-phase prefix sum: (1) per-bucket token totals — one tiny
+    aggregate, (2) bucket offsets via a window over the n_buckets rows
+    (thousands of rows at any scale — each bucket covers PACK_BUCKET docs),
+    broadcast-joined back, (3) a bucket-partitioned window adds the local
+    cumsum. Every heavy stage is partitioned; the only global sort touches
+    bucket summaries. A doc spanning [start, end) explodes into its
+    floor(start/C)..floor((end-1)/C) chunk range — bounded by doc length,
+    not corpus size. Integer arithmetic end-to-end ⇒ engine-exact."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("tok")
+    )
+    docs = docs.withColumn("bucket", F.expr(f"doc_id div {PACK_BUCKET}"))
+    totals = docs.groupBy("bucket").agg(F.sum("tok").alias("btot"))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "boff", F.coalesce(F.sum("btot").over(w_b), F.lit(0))
+    ).select("bucket", "boff")
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    spans = (
+        docs.join(F.broadcast(offsets), "bucket")
+        .withColumn("cum_end", F.col("boff") + F.sum("tok").over(w_local))
+        .select(
+            "doc_id",
+            "tok",
+            (F.col("cum_end") - F.col("tok")).alias("start"),
+            "cum_end",
+        )
+    )
+    chunks = spans.select(
+        "start",
+        "cum_end",
+        F.explode(
+            F.expr(f"sequence(start div {CTX_TOKENS}, (cum_end - 1) div {CTX_TOKENS})")
+        ).alias("chunk_id"),
+    )
+    tok_in = F.least(
+        F.col("cum_end"), (F.col("chunk_id") + 1) * CTX_TOKENS
+    ) - F.greatest(F.col("start"), F.col("chunk_id") * CTX_TOKENS)
+    return (
+        chunks.select(
+            "chunk_id",
+            tok_in.alias("tin"),
+            (F.col("start") < F.col("chunk_id") * CTX_TOKENS).cast("int").alias("straddle"),
+        )
+        .groupBy("chunk_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tin").alias("n_tokens"),
+            F.sum("straddle").alias("n_straddlers"),
+        )
+        .orderBy("chunk_id")
+    )
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS tok FROM documents),
+spans AS (
+  SELECT doc_id, tok,
+         sum(tok) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
+  FROM toks),
+chunks AS (
+  SELECT cum_end - tok AS start, cum_end, c.g AS chunk_id
+  FROM spans, UNNEST(generate_series((cum_end - tok) // {CTX_TOKENS},
+                                     (cum_end - 1) // {CTX_TOKENS})) AS c(g))
+SELECT chunk_id, count(*) AS n_docs,
+       CAST(sum(least(cum_end, (chunk_id + 1) * {CTX_TOKENS})
+                - greatest(start, chunk_id * {CTX_TOKENS})) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN start < chunk_id * {CTX_TOKENS} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_straddlers
+FROM chunks
+GROUP BY chunk_id
+ORDER BY chunk_id
+"""
+
+
+# --- stratified sampling ----------------------------------------------------
+
+# per-language keep rates in per-mille: downsample the dominant language,
+# keep the tail — the data-mixture rebalancing step of corpus prep
+SAMPLE_RATES = {"en": 400, "zh": 800, "es": 800, "de": 800, "fr": 800}
+SAMPLE_DEFAULT = 600
+
+
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling: keep a doc iff its
+    md5(doc_id) bucket (mod 1000) falls under its language's per-mille rate.
+    Engine-stable (md5 is bit-identical everywhere), seedless-reproducible,
+    and embarrassingly parallel — the sample decision is a scan-local
+    projection, the report one tiny keyed aggregate. This is how you
+    subsample 100 TB without a shuffle or an RNG seed handshake."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 1000"
+    )
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in SAMPLE_RATES.items()],
+        F.lit(SAMPLE_DEFAULT),
+    )
+    return (
+        docs.select("lang", (bucket < rate).cast("int").alias("kept"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("kept").alias("n_kept"),
+            F.round(F.sum("kept") / F.count("*"), 4).alias("realized_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+_RATE_CASE = " ".join(f"WHEN '{k}' THEN {v}" for k, v in SAMPLE_RATES.items())
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT lang, count(*) AS n_total,
+       CAST(sum(kept) AS BIGINT) AS n_kept,
+       round(CAST(sum(kept) AS DOUBLE) / count(*), 4) AS realized_rate
+FROM (
+  SELECT lang,
+         CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 1000
+                   < (CASE lang {_RATE_CASE} ELSE {SAMPLE_DEFAULT} END)
+              THEN 1 ELSE 0 END AS kept
+  FROM documents)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# --- int8 embedding quantization -------------------------------------------
+
+
+def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization error analysis per label: each vector is
+    quantized with scale = 127/max|x| (round-half-up via floor(x·s + 0.5)),
+    dequantized, and the reconstruction error folded left-to-right so the
+    oracle's explicit 64-term chain reproduces it bit-for-bit. The compute
+    is one scan-local projection; the per-label report is a tiny keyed
+    aggregate over DECIMAL partial sums (associative ⇒ shuffle-order-proof).
+    This is the storage-shrink trade-off check a pipeline runs before
+    switching its ANN corpus to int8."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = "CAST(x AS DOUBLE)"
+    m = f"array_max(transform(embedding, x -> abs({d})))"
+    s = f"(127.0D / greatest({m}, 1e-30D))"
+    err = f"transform(embedding, x -> {d} - CAST(floor({d} * {s} + 0.5D) AS DOUBLE) / {s})"
+    mse = f"aggregate({err}, CAST(0.0 AS DOUBLE), (a, e) -> a + e * e) / {EMBEDDING_DIM}"
+    maxe = f"array_max(transform({err}, e -> abs(e)))"
+    return (
+        emb.select(
+            "label",
+            # decimal partials: associative sum regardless of shuffle order;
+            # the ONE double division happens after the exact sum
+            F.expr(mse).cast("decimal(38,20)").alias("mse"),
+            F.expr(maxe).alias("maxerr"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.sum("mse").cast("double") / F.count("*"), 9).alias("avg_mse"),
+            F.round(F.max("maxerr"), 9).alias("max_abs_err"),
+        )
+        .orderBy("label")
+    )
+
+
+def _duck_quant_sql() -> str:
+    d = "CAST(embedding[{i}] AS DOUBLE)"
+    m_terms = ", ".join(f"abs({d.format(i=i)})" for i in range(1, EMBEDDING_DIM + 1))
+    m = f"greatest({m_terms}, 1e-30)"
+    # err_i referenced via a computed scale column; the sum is an explicit
+    # left-to-right chain matching Spark's aggregate() fold order
+    err = (
+        "({d} - CAST(floor({d} * s + 0.5) AS DOUBLE) / s)".replace("{d}", d)
+    )
+    chain = " + ".join(
+        f"{err.format(i=i)} * {err.format(i=i)}" for i in range(1, EMBEDDING_DIM + 1)
+    )
+    maxe = ", ".join(f"abs({err.format(i=i)})" for i in range(1, EMBEDDING_DIM + 1))
+    return f"""
+WITH scaled AS (
+  SELECT label, embedding, 127.0 / {m} AS s FROM embeddings),
+per_vec AS (
+  SELECT label,
+         CAST(({chain}) / {EMBEDDING_DIM} AS DECIMAL(38,20)) AS mse,
+         greatest({maxe}) AS maxerr
+  FROM scaled)
+SELECT label, count(*) AS n_vecs,
+       round(CAST(sum(mse) AS DOUBLE) / count(*), 9) AS avg_mse,
+       round(max(maxerr), 9) AS max_abs_err
+FROM per_vec
+GROUP BY label
+ORDER BY label
+"""
+
+
+EMBEDDING_QUANTIZE_SQL = _duck_quant_sql()
+
+
+# --- bigram language-model counts -------------------------------------------
+
+BIGRAM_TOP = 10
+
+
+def bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 bigrams per language with document frequency — the n-gram LM
+    count primitive (quality filters and decontamination both consume these).
+    Explode is bounded per doc by its token count; the count aggregation
+    shuffles once on (lang, bigram); the rank window runs per-language over
+    only each language's counted bigrams."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    # guard single-token docs: Spark's sequence(1, 0) yields a DESCENDING
+    # [1, 0] (step auto-negates), not the empty list DuckDB's
+    # generate_series produces
+    bigrams = F.expr(
+        "CASE WHEN size(split(text, ' ')) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> concat(element_at(split(text, ' '), i), ' ', "
+        "element_at(split(text, ' '), i + 1))) END"
+    )
+    counted = (
+        docs.select("lang", "doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_occurrences").desc(), F.col("bigram").asc()
+    )
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BIGRAM_TOP)
+        .select("lang", "rank", "bigram", "n_occurrences", "n_docs")
+        .orderBy("lang", "rank")
+    )
+
+
+BIGRAM_STATS_SQL = f"""
+WITH toks AS (
+  SELECT lang, doc_id, string_split(text, ' ') AS t FROM documents),
+bigrams AS (
+  SELECT lang, doc_id, t[i.g] || ' ' || t[i.g + 1] AS bigram
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS i(g)),
+counted AS (
+  SELECT lang, bigram, count(*) AS n_occurrences,
+         count(DISTINCT doc_id) AS n_docs
+  FROM bigrams GROUP BY lang, bigram)
+SELECT lang, rank, bigram, n_occurrences, n_docs
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY n_occurrences DESC, bigram ASC) AS rank
+  FROM counted)
+WHERE rank <= {BIGRAM_TOP}
+ORDER BY lang, rank
+"""

@@ -28,7 +28,10 @@ def get_spark(app_name: str = "nano-vectordb-rs-spark", shuffle_partitions: int 
         # cache-materialization cost for array<float> collections
         .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode puts executors in the driver JVM: size the heap for the
+        # machine (128 GiB here), not the default 1g — uncompressed vector
+        # caches plus JVM-side normalize allocations GC-thrash at 8g
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
