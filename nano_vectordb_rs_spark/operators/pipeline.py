@@ -99,8 +99,9 @@ WITH toks AS (
   SELECT doc_id, len(string_split(text, ' ')) AS tok FROM documents),
 spans AS (
   SELECT doc_id, tok,
-         sum(tok) OVER (ORDER BY doc_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
+         CAST(sum(tok) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_end
   FROM toks),
 chunks AS (
   SELECT cum_end - tok AS start, cum_end, c.g AS chunk_id
