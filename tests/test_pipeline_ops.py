@@ -1,0 +1,86 @@
+"""Invariant tests for the pipeline-prep operators (operators/pipeline.py),
+independent of the DuckDB value oracles in test_oracle_parity.py: these pin
+the *semantics* (conservation laws, error bounds, ordering contracts) that a
+hash equality can't explain on its own.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from nano_vectordb_rs_spark.operators.pipeline import (
+    CTX_TOKENS,
+    SAMPLE_DEFAULT,
+    SAMPLE_RATES,
+    bigram_stats,
+    embedding_quantize_stats,
+    pack_sequences,
+    stratified_sample_docs,
+)
+from nano_vectordb_rs_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def test_pack_conserves_tokens_and_fills_chunks(spark):
+    chunks = pack_sequences(spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents")
+    total_tokens = docs.select(F.sum(F.size(F.split("text", " ")))).first()[0]
+
+    # conservation: every token lands in exactly one chunk
+    assert sum(r["n_tokens"] for r in chunks) == total_tokens
+    # chunk ids are dense 0..n-1 (concat-and-chunk leaves no holes)
+    assert [r["chunk_id"] for r in chunks] == list(range(len(chunks)))
+    # every chunk except the last is exactly full
+    for r in chunks[:-1]:
+        assert r["n_tokens"] == CTX_TOKENS, r
+    assert 0 < chunks[-1]["n_tokens"] <= CTX_TOKENS
+    # a chunk has at most one straddler (the doc cut by its left boundary)
+    # and chunk 0 has none
+    assert chunks[0]["n_straddlers"] == 0
+    for r in chunks[1:]:
+        assert r["n_straddlers"] in (0, 1), r
+        assert r["n_straddlers"] <= r["n_docs"]
+
+
+def test_stratified_sample_rates_within_binomial_slack(spark):
+    rows = {r["lang"]: r for r in stratified_sample_docs(spark, SF_DIR).collect()}
+    assert set(rows) == set(SAMPLE_RATES)  # fixture has exactly these langs
+    for lang, r in rows.items():
+        target = SAMPLE_RATES.get(lang, SAMPLE_DEFAULT) / 1000
+        n = r["n_total"]
+        # md5 buckets are uniform; 4 sigma of binomial slack
+        slack = 4 * (target * (1 - target) / n) ** 0.5
+        assert abs(r["realized_rate"] - target) <= slack + 1 / n, (lang, r, target)
+        assert 0 < r["n_kept"] < n
+
+
+def test_quantize_error_bounded_by_half_step(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    # per-vector bound: |err| <= 0.5/scale = max|x|/254; global bound uses
+    # the corpus-wide max component
+    gmax = emb.select(
+        F.max(F.expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"))
+    ).first()[0]
+    stats = embedding_quantize_stats(spark, SF_DIR).collect()
+    assert len(stats) == 10
+    bound = gmax / 254 + 1e-12
+    for r in stats:
+        assert 0 < r["max_abs_err"] <= bound, (r, bound)
+        assert 0 < r["avg_mse"] <= bound**2, r
+
+
+def test_bigram_ranks_are_contract_ordered(spark):
+    rows = bigram_stats(spark, SF_DIR).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert len(by_lang) == 5
+    for lang, rs in by_lang.items():
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        for a, b in zip(rs, rs[1:]):
+            assert a["n_occurrences"] > b["n_occurrences"] or (
+                a["n_occurrences"] == b["n_occurrences"] and a["bigram"] < b["bigram"]
+            ), (lang, a, b)
+        for r in rs:
+            assert 0 < r["n_docs"] <= r["n_occurrences"]
+            assert " " in r["bigram"]
