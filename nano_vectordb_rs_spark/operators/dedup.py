@@ -568,24 +568,27 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(edges.doc1.alias("id"))
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        # carry the convergence flag through the update itself: the old
+        # label is already on the row, so "did anything change" needs no
+        # second join against the previous state — just a scan of the
+        # checkpointed partitions (one join+shuffle saved per round)
+        stepped = (
             labels.join(neighbor_min, "id", "left_outer")
             .select(
                 "id",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
+                (F.coalesce(F.col("nlabel"), F.col("label")) < F.col("label")).alias(
+                    "_changed"
+                ),
             )
-            .localCheckpoint()
+            # lazy: the convergence count below is the materializing action,
+            # so each round is ONE job (eager would spend a second one)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter("_changed").limit(1).count()
+        labels = stepped.drop("_changed")
         if changed == 0:
             break
     return (
