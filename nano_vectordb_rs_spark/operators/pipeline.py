@@ -282,6 +282,147 @@ def bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# --- K-means (Lloyd) over embeddings ----------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+DECP = "decimal(38,20)"
+
+
+def _init_centroids() -> list[list[float]]:
+    """Same deterministic unit vectors the IVF coarse quantizer uses
+    (seeds 100..107) — k-means here literally refines the ANN cell centers."""
+    from nano_vectordb_rs_spark.functions.vector import deterministic_vector
+
+    return [
+        deterministic_vector(EMBEDDING_DIM, seed=100 + c) for c in range(KMEANS_K)
+    ]
+
+
+def _assign(spark: SparkSession, emb: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """(vec_id, cell, dot) under max-dot-product assignment, cell-ascending
+    tie-break. Every dot product is a DECIMAL sum of identical IEEE-double
+    products, so the result is bit-equal across engines and shuffle orders
+    — the reason this uses the explode⋈broadcast contraction rather than a
+    literal HOF chain: the iteration-k centroids are DATA (collected each
+    round), and an order-free sum is the only way both engines agree."""
+    cent_rows = [
+        (c, p + 1, float(v)) for c, vec in enumerate(cents) for p, v in enumerate(vec)
+    ]
+    cent_df = spark.createDataFrame(cent_rows, "cell int, pos int, val double")
+    terms = (
+        emb.select("vec_id", F.posexplode("embedding").alias("p0", "x"))
+        .withColumn("pos", F.col("p0") + 1)
+        .join(F.broadcast(cent_df), "pos")
+        .select(
+            "vec_id",
+            "cell",
+            (F.col("x").cast("double") * F.col("val")).cast(DECP).alias("term"),
+        )
+    )
+    dots = terms.groupBy("vec_id", "cell").agg(F.sum("term").alias("dot"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("cell").asc())
+    return (
+        dots.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell", "dot")
+    )
+
+
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMEANS_ITERS rounds of Lloyd's algorithm from deterministic seeds,
+    then the final assignment report: per cluster, member count and mean
+    best-dot (cohesion). The driver-side loop holds only the K×dim centroid
+    matrix (the same Pregel-lite shape as dup_clusters: tiny state across
+    declarative rounds); per-dimension means use DECIMAL partial sums and a
+    single double division, so the refined centroids — and therefore every
+    downstream assignment — are bit-identical to the oracle's unrolled CTE
+    chain. Empty clusters keep their previous centroid."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = _init_centroids()
+    for _ in range(KMEANS_ITERS):
+        assign = _assign(spark, emb, cents)
+        upd = (
+            assign.join(emb, "vec_id")
+            .select("cell", F.posexplode("embedding").alias("p0", "x"))
+            .groupBy("cell", "p0")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("double").cast(DECP)).cast("double")
+                    / F.count("*")
+                ).alias("val")
+            )
+            .collect()
+        )
+        new_cents = [list(v) for v in cents]
+        for r in upd:
+            new_cents[r["cell"]][r["p0"]] = r["val"]
+        cents = new_cents
+    final = _assign(spark, emb, cents)
+    return (
+        final.groupBy("cell")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.sum("dot").cast("double") / F.count("*"), 6).alias("avg_dot"),
+        )
+        .select(F.col("cell").alias("cluster_id"), "n_vecs", "avg_dot")
+        .orderBy("cluster_id")
+    )
+
+
+def _duck_kmeans_sql() -> str:
+    cents = _init_centroids()
+    values = ",\n    ".join(
+        f"({c}, {p + 1}, CAST('{v!r}' AS DOUBLE))"
+        for c, vec in enumerate(cents)
+        for p, v in enumerate(vec)
+    )
+
+    def assign_cte(cent: str, out: str) -> str:
+        return f"""{out}_dots AS (
+  SELECT e.vec_id, c.cell,
+         sum(CAST(CAST(e.embedding[c.pos] AS DOUBLE) * c.val AS DECIMAL(38,20))) AS dot
+  FROM embeddings e, {cent} c
+  GROUP BY e.vec_id, c.cell),
+{out} AS (
+  SELECT vec_id, cell, dot FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dot DESC, cell ASC) AS rn
+    FROM {out}_dots)
+  WHERE rn = 1)"""
+
+    def update_cte(assign: str, prev: str, out: str) -> str:
+        return f"""{out}_raw AS (
+  SELECT a.cell, p.g AS pos,
+         CAST(sum(CAST(CAST(e.embedding[p.g] AS DOUBLE) AS DECIMAL(38,20))) AS DOUBLE)
+           / count(*) AS val
+  FROM {assign} a JOIN embeddings e USING (vec_id),
+       UNNEST(generate_series(1, {EMBEDDING_DIM})) AS p(g)
+  GROUP BY a.cell, p.g),
+{out} AS (
+  SELECT pr.cell, pr.pos, coalesce(r.val, pr.val) AS val
+  FROM {prev} pr LEFT JOIN {out}_raw r ON pr.cell = r.cell AND pr.pos = r.pos)"""
+
+    return f"""
+WITH c0(cell, pos, val) AS (VALUES
+    {values}),
+{assign_cte('c0', 'a0')},
+{update_cte('a0', 'c0', 'c1')},
+{assign_cte('c1', 'a1')},
+{update_cte('a1', 'c1', 'c2')},
+{assign_cte('c2', 'a2')}
+SELECT cell AS cluster_id, count(*) AS n_vecs,
+       round(CAST(sum(dot) AS DOUBLE) / count(*), 6) AS avg_dot
+FROM a2
+GROUP BY cell
+ORDER BY cluster_id
+"""
+
+
+KMEANS_EMBEDDINGS_SQL = _duck_kmeans_sql()
+
+
 BIGRAM_STATS_SQL = f"""
 WITH toks AS (
   SELECT lang, doc_id, string_split(text, ' ') AS t FROM documents),
