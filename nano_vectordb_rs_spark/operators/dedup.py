@@ -556,12 +556,21 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2"))
     ).localCheckpoint()
+    # no checkpoint: two cheap ops above the already-checkpointed edges
     labels = (
         edges.select(F.col("doc1").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
     )
+    # The loop is deliberately LINEAGE-ONLY: no per-round persist or
+    # checkpoint. Labels are a few hundred rows, so re-executing round k's
+    # k-join lineage from the checkpointed edge list costs milliseconds,
+    # while per-round block-manager churn (the previous formulation) both
+    # adds a job per round and — on the test VM — triggers a compounding
+    # kernel-time storm (see bench.py's protocol note). At cluster scale
+    # with deep graphs you would re-introduce a checkpoint every few rounds
+    # to cap lineage depth; duplicate clusters are near-cliques (diameter
+    # 2-3), so depth stays trivial here.
     for _ in range(CLUSTER_MAX_ITERS):
         neighbor_min = (
             edges.join(labels, edges.doc2 == labels.id)
@@ -570,22 +579,15 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # carry the convergence flag through the update itself: the old
         # label is already on the row, so "did anything change" needs no
-        # second join against the previous state — just a scan of the
-        # checkpointed partitions (one join+shuffle saved per round)
-        stepped = (
-            labels.join(neighbor_min, "id", "left_outer")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-                ).alias("label"),
-                (F.coalesce(F.col("nlabel"), F.col("label")) < F.col("label")).alias(
-                    "_changed"
-                ),
-            )
-            # lazy: the convergence count below is the materializing action,
-            # so each round is ONE job (eager would spend a second one)
-            .localCheckpoint(eager=False)
+        # second join against the previous state
+        stepped = labels.join(neighbor_min, "id", "left_outer").select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+            ).alias("label"),
+            (F.coalesce(F.col("nlabel"), F.col("label")) < F.col("label")).alias(
+                "_changed"
+            ),
         )
         changed = stepped.filter("_changed").limit(1).count()
         labels = stepped.drop("_changed")
