@@ -19,8 +19,6 @@ from pyspark.sql.window import Window
 from nano_vectordb_rs_spark.functions.vector import EMBEDDING_DIM
 from nano_vectordb_rs_spark.sources.tables import load_table
 
-DEC = "decimal(28,10)"
-
 # --- sequence packing -------------------------------------------------------
 
 CTX_TOKENS = 512  # context-window size for packing (tokens, whitespace def)
@@ -253,7 +251,6 @@ def bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles once on (lang, bigram); the rank window runs per-language over
     only each language's counted bigrams."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
     # guard single-token docs: Spark's sequence(1, 0) yields a DESCENDING
     # [1, 0] (step auto-negates), not the empty list DuckDB's
     # generate_series produces
