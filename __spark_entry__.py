@@ -38,7 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Declared query surface, 97 entries.
+    """Declared query surface, 98 entries.
 
     ORDER MATTERS: the driver's correctness gate checks the first 50
     entries (observed in CORRECTNESS_r01-r03, each exactly 50 rows), so
@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5_regional": relational.tpch_q5_regional,
         "stratified_sample_docs": pipeline.stratified_sample_docs,
         "bigram_stats": pipeline.bigram_stats,
+        "reservoir_per_key": pipeline.reservoir_per_key,
         "tpch_q6_forecast": advanced.tpch_q6_forecast,
         "tpch_q10_returned": advanced.tpch_q10_returned,
         "tpch_q12_latecount": advanced.tpch_q12_latecount,
@@ -265,4 +266,5 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample_docs": pipeline.STRATIFIED_SAMPLE_SQL,
         "bigram_stats": pipeline.BIGRAM_STATS_SQL,
         "kmeans_embeddings": pipeline.KMEANS_EMBEDDINGS_SQL,
+        "reservoir_per_key": pipeline.RESERVOIR_PER_KEY_SQL,
     }

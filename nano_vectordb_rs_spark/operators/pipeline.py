@@ -151,6 +151,43 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESERVOIR_N = 5  # fixed sample size per source
+
+
+def reservoir_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size-per-group sampling: the N docs per source with the
+    smallest md5(doc_id) — a deterministic, order-free stand-in for
+    per-key reservoir sampling (same uniform-marginal property, but
+    reproducible across engines, retries, and partitionings; a true
+    sequential reservoir depends on encounter order, which a distributed
+    scan cannot and should not promise). One window per source over its
+    own docs; the hash ranking needs no global state, so at 100 TB this is
+    a single shuffle on the group key."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("source", "doc_id", "lang", h.alias("pick_hash"))
+        .withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") <= RESERVOIR_N)
+        .select("source", "pick", "doc_id", "lang")
+        .orderBy("source", "pick")
+    )
+
+
+RESERVOIR_PER_KEY_SQL = f"""
+SELECT source, pick, doc_id, lang
+FROM (
+  SELECT source, doc_id, lang,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                     doc_id ASC) AS pick
+  FROM documents)
+WHERE pick <= {RESERVOIR_N}
+ORDER BY source, pick
+"""
+
+
 _RATE_CASE = " ".join(f"WHEN '{k}' THEN {v}" for k, v in SAMPLE_RATES.items())
 
 STRATIFIED_SAMPLE_SQL = f"""
