@@ -221,12 +221,17 @@ def embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     d = "CAST(x AS DOUBLE)"
     m = f"array_max(transform(embedding, x -> abs({d})))"
-    s = f"(127.0D / greatest({m}, 1e-30D))"
-    err = f"transform(embedding, x -> {d} - CAST(floor({d} * {s} + 0.5D) AS DOUBLE) / {s})"
-    mse = f"aggregate({err}, CAST(0.0 AS DOUBLE), (a, e) -> a + e * e) / {EMBEDDING_DIM}"
-    maxe = f"array_max(transform({err}, e -> abs(e)))"
+    # bind the scale and the error array ONCE per row as projected columns —
+    # inlining them in the downstream lambdas would re-evaluate the O(dim)
+    # array_max per ELEMENT (the normalize_expr O(dim²) trap)
+    s_expr = f"(127.0D / greatest({m}, 1e-30D))"
+    err = f"transform(embedding, x -> {d} - CAST(floor({d} * s + 0.5D) AS DOUBLE) / s)"
+    mse = f"aggregate(err, CAST(0.0 AS DOUBLE), (a, e) -> a + e * e) / {EMBEDDING_DIM}"
+    maxe = "array_max(transform(err, e -> abs(e)))"
     return (
-        emb.select(
+        emb.select("label", "embedding", F.expr(s_expr).alias("s"))
+        .select("label", "s", F.expr(err).alias("err"))
+        .select(
             "label",
             # decimal partials: associative sum regardless of shuffle order;
             # the ONE double division happens after the exact sum
@@ -288,17 +293,18 @@ def bigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles once on (lang, bigram); the rank window runs per-language over
     only each language's counted bigrams."""
     docs = load_table(spark, sf_dir, "documents")
-    # guard single-token docs: Spark's sequence(1, 0) yields a DESCENDING
-    # [1, 0] (step auto-negates), not the empty list DuckDB's
-    # generate_series produces
+    # bind the token array once per row (re-splitting inside the lambda
+    # would be O(tokens²) in characters); guard single-token docs: Spark's
+    # sequence(1, 0) yields a DESCENDING [1, 0] (step auto-negates), not
+    # the empty list DuckDB's generate_series produces
     bigrams = F.expr(
-        "CASE WHEN size(split(text, ' ')) < 2 THEN array() "
-        "ELSE transform(sequence(1, size(split(text, ' ')) - 1), "
-        "i -> concat(element_at(split(text, ' '), i), ' ', "
-        "element_at(split(text, ' '), i + 1))) END"
+        "CASE WHEN size(t) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(t) - 1), "
+        "i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) END"
     )
     counted = (
-        docs.select("lang", "doc_id", F.explode(bigrams).alias("bigram"))
+        docs.select("lang", "doc_id", F.split("text", " ").alias("t"))
+        .select("lang", "doc_id", F.explode(bigrams).alias("bigram"))
         .groupBy("lang", "bigram")
         .agg(
             F.count("*").alias("n_occurrences"),
