@@ -140,3 +140,51 @@ def test_docs_split_is_scan_local_single_agg_shuffle(spark, queries):
     # md5-bucket assignment is a projection; only the groupBy + output sort
     # shuffle
     assert a["n_shuffles"] <= 2
+
+
+def test_pack_sequences_prefix_sum_is_two_phase(spark, queries):
+    from nano_vectordb_rs_spark.plans import plan_string
+
+    df = queries["pack_sequences"](spark, SF_DIR)
+    df.collect()
+    plan = plan_string(df)
+    # the doc-level cumulative sum must be a BUCKET-partitioned window, and
+    # exactly one single-partition exchange may exist: the n_buckets-row
+    # offsets window. A global unpartitioned cumsum over doc rows would be a
+    # second SinglePartition exchange — the 100 TB bottleneck this operator
+    # exists to avoid.
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "windowspecdefinition(bucket" in plan
+    a = audit_plan(df)
+    # bucket offsets come back via a broadcast join, never a shuffle join
+    assert a["n_broadcast_joins"] >= 1
+    assert a["n_sort_merge_joins"] == 0
+
+
+def test_reservoir_per_key_never_globally_sorts_rows(spark, queries):
+    from nano_vectordb_rs_spark.plans import plan_string
+
+    df = queries["reservoir_per_key"](spark, SF_DIR)
+    df.collect()
+    plan = plan_string(df)
+    # per-key ranking is partitioned by source; no single-partition stage
+    # touches doc-level rows (the final orderBy is a range exchange over
+    # ≤ N·keys survivors)
+    assert plan.count("Exchange SinglePartition") == 0
+    a = audit_plan(df)
+    assert a["n_shuffles"] <= 3
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    from nano_vectordb_rs_spark.operators.pipeline import _assign, _init_centroids
+    from nano_vectordb_rs_spark.plans import plan_string
+    from nano_vectordb_rs_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    df = _assign(spark, emb, _init_centroids())
+    df.collect()
+    a = audit_plan(df)
+    # the K x dim centroid relation is broadcast into the exploded
+    # contraction; the corpus never shuffles for the join itself
+    assert a["n_broadcast_joins"] >= 1
+    assert a["n_sort_merge_joins"] == 0
