@@ -281,3 +281,62 @@ def run_available_now(
     )
     q.awaitTermination()
     return query_name
+
+
+# --- declared driver-gate query ---------------------------------------------
+
+DEC = "decimal(28,10)"
+
+
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ONE declared query that actually executes as a stream: readStream
+    over the events fixture → watermarked tumbling 1-hour agg → availableNow
+    drain into a memory sink. With a finite source, availableNow processes
+    exactly the full fixture, so the result equals the batch-SQL oracle —
+    streaming correctness gets a full value check, not just a rows-only one.
+
+    complete output mode keeps every window in the sink (no late-data
+    suppression on a drained source); exact counts and a DECIMAL value sum
+    keep the result engine- and shuffle-order-exact. State is keyed by
+    (window, event_type) and watermark-bounded — the same plan a production
+    deployment runs unbounded."""
+    import tempfile
+    import uuid
+
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("event_time", "2 hours")
+        .groupBy(F.window("event_time", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 4).alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = run_available_now(
+        agg,
+        f"stream_hourly_{uuid.uuid4().hex[:8]}",
+        "complete",
+        tempfile.mkdtemp(prefix="nvdb_stream_ckpt_"),
+    )
+    return spark.table(name).orderBy("hour_start", "event_type")
+
+
+HOUR_US = 3_600_000_000
+
+STREAMING_HOURLY_SQL = f"""
+SELECT (epoch_us(ts) // {HOUR_US}) * 3600 AS hour_start,
+       event_type,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
