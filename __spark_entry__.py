@@ -39,7 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Declared query surface, 99 entries.
+    """Declared query surface, 100 entries.
 
     ORDER MATTERS: the driver's correctness gate checks the first 50
     entries (observed in CORRECTNESS_r01-r03, each exactly 50 rows), so
@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_docs": pipeline.stratified_sample_docs,
         "bigram_stats": pipeline.bigram_stats,
         "reservoir_per_key": pipeline.reservoir_per_key,
+        "length_filter_report": pipeline.length_filter_report,
         "tpch_q6_forecast": advanced.tpch_q6_forecast,
         "tpch_q10_returned": advanced.tpch_q10_returned,
         "tpch_q12_latecount": advanced.tpch_q12_latecount,
@@ -272,4 +273,5 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_embeddings": pipeline.KMEANS_EMBEDDINGS_SQL,
         "reservoir_per_key": pipeline.RESERVOIR_PER_KEY_SQL,
         "streaming_hourly_counts": events_stream.STREAMING_HOURLY_SQL,
+        "length_filter_report": pipeline.LENGTH_FILTER_SQL,
     }

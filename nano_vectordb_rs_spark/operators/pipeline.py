@@ -206,6 +206,55 @@ ORDER BY lang
 """
 
 
+# --- percentile length filtering --------------------------------------------
+
+LENGTH_KEEP_LO = 0.1
+LENGTH_KEEP_HI = 0.9
+
+
+def length_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-length trimming report: keep docs whose length
+    percent_rank sits in [0.1, 0.9] — the tail-trimming quality filter every
+    corpus pipeline applies before training. percent_rank is (rank−1)/(n−1),
+    identical arithmetic in both engines (ties share a rank), so the kept
+    set is engine-exact without any float tolerance. One shuffle on lang
+    for the rank window, one tiny aggregate."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", F.size(F.split("text", " ")).alias("tok")
+    )
+    w = Window.partitionBy("lang").orderBy("tok")
+    pr = F.percent_rank().over(w)
+    flagged = docs.withColumn(
+        "kept", ((pr >= LENGTH_KEEP_LO) & (pr <= LENGTH_KEEP_HI)).cast("int")
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("kept").alias("n_kept"),
+            F.min(F.when(F.col("kept") == 1, F.col("tok"))).alias("kept_min_tok"),
+            F.max(F.when(F.col("kept") == 1, F.col("tok"))).alias("kept_max_tok"),
+        )
+        .orderBy("lang")
+    )
+
+
+LENGTH_FILTER_SQL = f"""
+SELECT lang, count(*) AS n_total,
+       CAST(sum(kept) AS BIGINT) AS n_kept,
+       min(CASE WHEN kept = 1 THEN tok END) AS kept_min_tok,
+       max(CASE WHEN kept = 1 THEN tok END) AS kept_max_tok
+FROM (
+  SELECT lang, tok,
+         CASE WHEN percent_rank() OVER (PARTITION BY lang ORDER BY tok)
+                   BETWEEN {LENGTH_KEEP_LO} AND {LENGTH_KEEP_HI}
+              THEN 1 ELSE 0 END AS kept
+  FROM (SELECT lang, len(string_split(text, ' ')) AS tok FROM documents))
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 # --- int8 embedding quantization -------------------------------------------
 
 
