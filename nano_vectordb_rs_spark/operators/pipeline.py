@@ -389,33 +389,56 @@ def _init_centroids() -> list[list[float]]:
     ]
 
 
-def _assign(spark: SparkSession, emb: DataFrame, cents: list[list[float]]) -> DataFrame:
+def _assign(
+    spark: SparkSession,
+    emb: DataFrame,
+    cents: list[list[float]],
+    keep_embedding: bool = False,
+) -> DataFrame:
     """(vec_id, cell, dot) under max-dot-product assignment, cell-ascending
-    tie-break. Every dot product is a DECIMAL sum of identical IEEE-double
-    products, so the result is bit-equal across engines and shuffle orders
-    — the reason this uses the explode⋈broadcast contraction rather than a
-    literal HOF chain: the iteration-k centroids are DATA (collected each
-    round), and an order-free sum is the only way both engines agree."""
-    cent_rows = [
-        (c, p + 1, float(v)) for c, vec in enumerate(cents) for p, v in enumerate(vec)
-    ]
-    cent_df = spark.createDataFrame(cent_rows, "cell int, pos int, val double")
-    terms = (
-        emb.select("vec_id", F.posexplode("embedding").alias("p0", "x"))
-        .withColumn("pos", F.col("p0") + 1)
-        .join(F.broadcast(cent_df), "pos")
+    tie-break — SCAN-LOCAL: zero joins, zero shuffles.
+
+    The iteration-k centroids are DATA (collected to the driver each round),
+    so they are embedded as K literal arrays in one projection; each dot is
+    an ``aggregate(zip_with(...))`` fold over FIXED-POINT terms:
+    ``term = CAST(x*val*1e15 AS BIGINT)`` truncates the IEEE-double product
+    to an integer at scale 15, and exact long addition is order-free, so the
+    scan-local left fold equals DuckDB's
+    ``sum(CAST(trunc(x*val*1e15) AS BIGINT))`` bit-for-bit — the same
+    cross-engine determinism the round-4 DECIMAL contraction had, without
+    its N×K×dim-row shuffle AND without per-element BigDecimal allocation
+    (the interpreted-HOF decimal fold measured ~6× slower than this long
+    fold). Both engines truncate toward zero (Spark double→long cast,
+    DuckDB ``trunc``), and |term| < 1e16 ⇒ |per-vector sum| < 6.4e17 never
+    overflows int64. Tie-break: ``array_position`` returns the FIRST index
+    equal to ``array_max``, i.e. the lowest cell — exactly the oracle's
+    ``row_number() OVER (ORDER BY dot DESC, cell ASC)``."""
+
+    def dot_col(vec: list[float]):
+        cent = F.array(*[F.lit(float(v)) for v in vec])
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                cent,
+                lambda x, y: (x.cast("double") * y * F.lit(1e15)).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        )
+
+    carry = ["embedding"] if keep_embedding else []
+    return (
+        emb.select(
+            "vec_id", *carry, F.array(*[dot_col(vec) for vec in cents]).alias("dots")
+        )
         .select(
             "vec_id",
-            "cell",
-            (F.col("x").cast("double") * F.col("val")).cast(DECP).alias("term"),
+            *carry,
+            (F.expr("array_position(dots, array_max(dots))") - 1)
+            .cast("int")
+            .alias("cell"),
+            F.array_max("dots").alias("dot"),
         )
-    )
-    dots = terms.groupBy("vec_id", "cell").agg(F.sum("term").alias("dot"))
-    w = Window.partitionBy("vec_id").orderBy(F.col("dot").desc(), F.col("cell").asc())
-    return (
-        dots.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cell", "dot")
     )
 
 
@@ -431,10 +454,12 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = _init_centroids()
     for _ in range(KMEANS_ITERS):
-        assign = _assign(spark, emb, cents)
+        # the embedding rides through the assignment projection, so the
+        # centroid update is join-free: one scan per iteration, and the only
+        # exchange carries K×dim partial sums (the MLlib-KMeans shape)
+        assign = _assign(spark, emb, cents, keep_embedding=True)
         upd = (
-            assign.join(emb, "vec_id")
-            .select("cell", F.posexplode("embedding").alias("p0", "x"))
+            assign.select("cell", F.posexplode("embedding").alias("p0", "x"))
             .groupBy("cell", "p0")
             .agg(
                 (
@@ -453,7 +478,15 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         final.groupBy("cell")
         .agg(
             F.count("*").alias("n_vecs"),
-            F.round(F.sum("dot").cast("double") / F.count("*"), 6).alias("avg_dot"),
+            # dot is the ×1e15 fixed-point integer; sum exactly in decimal
+            # (cluster sums can pass int64), then one double descale — the
+            # oracle applies the identical op sequence
+            F.round(
+                F.sum(F.col("dot").cast("decimal(38,0)")).cast("double")
+                / F.lit(1e15)
+                / F.count("*"),
+                6,
+            ).alias("avg_dot"),
         )
         .select(F.col("cell").alias("cluster_id"), "n_vecs", "avg_dot")
         .orderBy("cluster_id")
@@ -471,7 +504,7 @@ def _duck_kmeans_sql() -> str:
     def assign_cte(cent: str, out: str) -> str:
         return f"""{out}_dots AS (
   SELECT e.vec_id, c.cell,
-         sum(CAST(CAST(e.embedding[c.pos] AS DOUBLE) * c.val AS DECIMAL(38,20))) AS dot
+         sum(CAST(trunc(CAST(e.embedding[c.pos] AS DOUBLE) * c.val * 1e15) AS BIGINT)) AS dot
   FROM embeddings e, {cent} c
   GROUP BY e.vec_id, c.cell),
 {out} AS (
@@ -502,7 +535,7 @@ WITH c0(cell, pos, val) AS (VALUES
 {update_cte('a1', 'c1', 'c2')},
 {assign_cte('c2', 'a2')}
 SELECT cell AS cluster_id, count(*) AS n_vecs,
-       round(CAST(sum(dot) AS DOUBLE) / count(*), 6) AS avg_dot
+       round(CAST(sum(dot) AS DOUBLE) / 1e15 / count(*), 6) AS avg_dot
 FROM a2
 GROUP BY cell
 ORDER BY cluster_id

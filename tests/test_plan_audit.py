@@ -175,16 +175,16 @@ def test_reservoir_per_key_never_globally_sorts_rows(spark, queries):
     assert a["n_shuffles"] <= 3
 
 
-def test_kmeans_assignment_broadcasts_centroids(spark):
+def test_kmeans_assignment_is_scan_local(spark):
     from nano_vectordb_rs_spark.operators.pipeline import _assign, _init_centroids
-    from nano_vectordb_rs_spark.plans import plan_string
     from nano_vectordb_rs_spark.sources.tables import load_table
 
     emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
     df = _assign(spark, emb, _init_centroids())
     df.collect()
     a = audit_plan(df)
-    # the K x dim centroid relation is broadcast into the exploded
-    # contraction; the corpus never shuffles for the join itself
-    assert a["n_broadcast_joins"] >= 1
+    # centroids are literal arrays folded scan-local: no join, no Exchange —
+    # the round-4 explode⋈broadcast shape shuffled N×K×dim rows instead
+    assert a["n_shuffles"] == 0
+    assert a["n_broadcast_joins"] == 0
     assert a["n_sort_merge_joins"] == 0
