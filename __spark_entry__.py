@@ -64,7 +64,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_embeddings": similarity.near_dup_embeddings,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
-        # driver-side composition over three plans — rows-only check
+        # declarative top-10 ∩ exact composition; CTE oracle over the
+        # KNN/IVF/LSH SQL
         "ann_recall": similarity.ann_recall,
         "label_centroids": similarity.label_centroids,
         "semantic_search_docs": similarity.semantic_search_docs,
@@ -78,9 +79,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "normalized_dedup_docs": dedup.normalized_dedup_docs,
         "contamination_check": dedup.contamination_check,
-        # iterative connected-components (driver-side convergence loop) —
-        # not SQL-expressible, rows-only check; pinned to a pure-Python
-        # union-find in tests/test_oracle_parity.py
+        # iterative connected-components (driver-side convergence loop);
+        # oracle = fixed-round unrolled min-label CTE chain, plus an
+        # independent pure-Python union-find in tests/test_oracle_parity.py
         "dup_clusters": dedup.dup_clusters,
         # --- text analysis ---
         "token_counts": textops.token_counts,
@@ -248,8 +249,9 @@ def oracle_sql() -> dict[str, str]:
         "crossmodal_dup_check": similarity.CROSSMODAL_DUP_SQL,
         "lexical_search_docs": retrieval.LEXICAL_SEARCH_SQL,
         "hybrid_search_rrf": retrieval.HYBRID_RRF_SQL,
-        # ann_recall: driver-side composition over three plans — rows-only check
+        "ann_recall": similarity.ANN_RECALL_SQL,
         "exact_dedup_docs": dedup.EXACT_DEDUP_SQL,
+        "dup_clusters": dedup.DUP_CLUSTERS_SQL,
         "minhash_near_dup_docs": dedup.MINHASH_NEAR_DUP_SQL,
         "simhash_docs": dedup.SIMHASH_DOCS_SQL,
         "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_SQL,

@@ -546,9 +546,14 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (duplicate clusters are shallow — 2-4 rounds in practice), each round
     one join + one aggregate, state checkpointed to cut lineage growth.
     This is the repo's iterative-algorithm surface (driver-side convergence
-    loop over declarative per-round plans — the Pregel-lite pattern);
-    NOT SQL-expressible, so the driver records a rows-only check and
-    tests/test_oracle_parity.py pins it to a pure-Python union-find.
+    loop over declarative per-round plans — the Pregel-lite pattern).
+    Min-label propagation is a monotone fixpoint, so running it for a FIXED
+    CLUSTER_MAX_ITERS rounds equals the converged answer whenever the graph
+    diameter fits — which makes it SQL-expressible after all: the DuckDB
+    oracle (DUP_CLUSTERS_SQL) unrolls the same rounds as chained CTEs,
+    exactly like the k-means oracle unrolls Lloyd iterations.
+    tests/test_oracle_parity.py additionally pins it to a pure-Python
+    union-find (a genuinely independent algorithm).
 
     Output: one row per multi-document cluster — canonical keeper (min
     doc_id), size, and the '|'-joined sorted member list."""
@@ -571,7 +576,7 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with deep graphs you would re-introduce a checkpoint every few rounds
     # to cap lineage depth; duplicate clusters are near-cliques (diameter
     # 2-3), so depth stays trivial here.
-    for _ in range(CLUSTER_MAX_ITERS):
+    for rnd in range(1, CLUSTER_MAX_ITERS + 1):
         neighbor_min = (
             edges.join(labels, edges.doc2 == labels.id)
             .groupBy(edges.doc1.alias("id"))
@@ -589,9 +594,12 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "_changed"
             ),
         )
-        changed = stepped.filter("_changed").limit(1).count()
         labels = stepped.drop("_changed")
-        if changed == 0:
+        # convergence probe every SECOND round only: odd rounds stay lazy
+        # (no job), so the driver runs ceil(rounds/2) count jobs instead of
+        # one per round. A converged graph makes the next round a no-op, so
+        # probing one round late still observes changed == 0.
+        if rnd % 2 == 0 and stepped.filter("_changed").limit(1).count() == 0:
             break
     return (
         labels.groupBy("label")
@@ -607,3 +615,43 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+def _duck_clusters_sql() -> str:
+    """Unrolled min-label-propagation oracle: CLUSTER_MAX_ITERS chained CTE
+    rounds over the MinHash pair graph — the same fixed-round unrolling the
+    k-means oracle uses for Lloyd iterations. Min-label propagation is a
+    monotone fixpoint, so unrolling >= diameter rounds yields the converged
+    labels; Spark's early-exit loop computes the identical fixpoint."""
+    # every l{r} is referenced twice by l{r+1}; AS MATERIALIZED stops DuckDB
+    # from inlining the reference (plain CTEs expand 2^rounds copies of the
+    # whole MinHash pipeline — thousands of parquet re-opens)
+    rounds = []
+    for r in range(1, CLUSTER_MAX_ITERS + 1):
+        rounds.append(
+            f"""l{r} AS MATERIALIZED (
+  SELECT l.id AS id, least(l.label, coalesce(min(n.label), l.label)) AS label
+  FROM l{r - 1} l
+  LEFT JOIN edges e ON e.doc1 = l.id
+  LEFT JOIN l{r - 1} n ON n.id = e.doc2
+  GROUP BY l.id, l.label)"""
+        )
+    chained = ",\n".join(rounds)
+    return f"""
+WITH pairs AS MATERIALIZED ({MINHASH_NEAR_DUP_SQL}),
+edges AS MATERIALIZED (
+  SELECT doc1, doc2 FROM pairs
+  UNION ALL
+  SELECT doc2 AS doc1, doc1 AS doc2 FROM pairs),
+l0 AS MATERIALIZED (SELECT DISTINCT doc1 AS id, doc1 AS label FROM edges),
+{chained}
+SELECT label AS cluster_id, count(*) AS n_docs,
+       string_agg(id, '|' ORDER BY id) AS members
+FROM l{CLUSTER_MAX_ITERS}
+GROUP BY label
+HAVING count(*) > 1
+ORDER BY cluster_id
+"""
+
+
+DUP_CLUSTERS_SQL = _duck_clusters_sql()

@@ -42,6 +42,7 @@ from nano_vectordb_rs_spark.functions.vector import (
     duck_dot_lit,
     norm_expr,
 )
+from nano_vectordb_rs_spark.operators.knn import KNN_TOPK_SQL
 from nano_vectordb_rs_spark.sources.tables import load_table
 
 N_QUERIES = 20  # knn_join query block: vec_id < 20
@@ -471,22 +472,48 @@ ORDER BY c.label
 
 def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the IVF and LSH paths against exact brute force — the
-    honesty check every approximate index needs. Returns one row per method
-    with hits-in-exact-top-10."""
-    exact = set()
+    honesty check every approximate index needs. One row per method with
+    hits-in-exact-top-10.
+
+    Fully declarative (one plan, no driver-side set math): each approximate
+    top-10 joins the 10-row exact top-10 (broadcast by size), the hit counts
+    cross-join the 1-row k count, and the two method rows union. The DuckDB
+    oracle is the identical CTE composition of KNN_TOPK_SQL / ANN_IVF_SQL /
+    ANN_LSH_SQL."""
     from nano_vectordb_rs_spark.operators.knn import knn_topk
 
-    for r in knn_topk(spark, sf_dir).collect():
-        exact.add(r["vec_id"])
-    ivf = {r["vec_id"] for r in ann_ivf_topk(spark, sf_dir).collect()}
-    lsh = {r["vec_id"] for r in ann_lsh_topk(spark, sf_dir).collect()}
-    return spark.createDataFrame(
-        [
-            ("ivf", len(ivf & exact), len(exact)),
-            ("lsh", len(lsh & exact), len(exact)),
-        ],
-        "method string, hits int, k int",
+    exact = knn_topk(spark, sf_dir).select("vec_id")
+
+    def method_row(method: str, approx: DataFrame) -> DataFrame:
+        return (
+            approx.select("vec_id")
+            .join(exact, "vec_id")
+            .agg(F.count("*").alias("hits"))
+            .crossJoin(exact.agg(F.count("*").alias("k")))
+            .select(F.lit(method).alias("method"), "hits", "k")
+        )
+
+    return (
+        method_row("ivf", ann_ivf_topk(spark, sf_dir))
+        .unionAll(method_row("lsh", ann_lsh_topk(spark, sf_dir)))
+        .orderBy("method")
     )
+
+
+ANN_RECALL_SQL = f"""
+WITH exact AS ({KNN_TOPK_SQL}),
+ivf AS ({ANN_IVF_SQL}),
+lsh AS ({ANN_LSH_SQL})
+SELECT method, hits, k FROM (
+  SELECT 'ivf' AS method,
+         (SELECT count(*) FROM ivf JOIN exact USING (vec_id)) AS hits,
+         (SELECT count(*) FROM exact) AS k
+  UNION ALL
+  SELECT 'lsh' AS method,
+         (SELECT count(*) FROM lsh JOIN exact USING (vec_id)) AS hits,
+         (SELECT count(*) FROM exact) AS k)
+ORDER BY method
+"""
 
 
 # --- doc-store retrieval join -------------------------------------------------
