@@ -167,9 +167,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_distinct_sketch": events.events_distinct_sketch,
         "events_session_window": events.events_session_window,
         "events_value_percentiles_approx": events.events_value_percentiles_approx,
-        # fake-codec kernel queries: deterministic but not SQL-expressible
-        # (MD5 byte expansion) — rows-only driver check; independent
-        # pure-Python oracle in tests/test_multimodal.py
+        # fake-codec kernel queries: the ASCII-only MD5 chain is recomputable
+        # in VARCHAR-md5 SQL, so all three carry exact value oracles (plus an
+        # independent pure-Python oracle in tests/test_multimodal.py)
         "media_frame_sample": multimodal.media_frame_sample,
         "media_feature_stats": multimodal.media_feature_stats,
         "media_resize_summary": multimodal.media_resize_summary,
@@ -258,6 +258,9 @@ def oracle_sql() -> dict[str, str]:
         "normalized_dedup_docs": dedup.NORMALIZED_DEDUP_SQL,
         "media_inventory": multimodal.MEDIA_INVENTORY_SQL,
         "media_fingerprints": multimodal.MEDIA_FINGERPRINTS_SQL,
+        "media_frame_sample": multimodal.MEDIA_FRAME_SAMPLE_SQL,
+        "media_feature_stats": multimodal.MEDIA_FEATURE_STATS_SQL,
+        "media_resize_summary": multimodal.MEDIA_RESIZE_SUMMARY_SQL,
         "token_counts": textops.TOKEN_COUNTS_SQL,
         "lang_id": textops.LANG_ID_SQL,
         "quality_scores": textops.QUALITY_SCORES_SQL,

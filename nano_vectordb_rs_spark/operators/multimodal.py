@@ -29,6 +29,7 @@ exact DuckDB oracles.
 from __future__ import annotations
 
 import hashlib
+import math
 from typing import Iterator
 
 import numpy as np
@@ -74,13 +75,23 @@ def _make_decode_payload():
     start outside this repo's path could not import it."""
 
     def decode_payload(
-        payload: bytes, width: int, height: int, channels: int, codec: str = "fake"
+        payload: bytes,
+        width: int,
+        height: int,
+        channels: int,
+        codec: str = "fake",
+        salt: str = "",
     ) -> np.ndarray:
         """Decode a binary payload into an (height, width, channels) uint8 array.
 
         ``codec='fake'``: deterministic pseudo-decode — MD5-expand the payload
-        into exactly the right number of bytes. Reproducible everywhere, no
-        external libs, preserves the real decoder's contract (shape + dtype).
+        into exactly the right number of bytes. The chain is deliberately
+        ASCII-only (hex seed + ``|``-joined counter strings) so an engine
+        whose ``md5()`` only accepts VARCHAR (DuckDB) can recompute every
+        block: block_i = md5(f"{md5_hex(payload)}|{salt}|{i}"). That makes
+        the kernel queries below exact-value oracle-checkable instead of
+        rows-only. ``salt`` distinguishes sub-decodes of one payload (frame
+        index for video sampling).
 
         Any real codec raises: the image/audio libs are not in this container.
         Swap this branch for ``PIL.Image.open(io.BytesIO(payload))`` in a real
@@ -94,9 +105,9 @@ def _make_decode_payload():
         need = width * height * channels
         out = bytearray()
         counter = 0
-        seed = hashlib.md5(payload).digest()
+        seed = hashlib.md5(payload).hexdigest()
         while len(out) < need:
-            out += hashlib.md5(seed + counter.to_bytes(4, "little")).digest()
+            out += hashlib.md5(f"{seed}|{salt}|{counter}".encode()).digest()
             counter += 1
         return np.frombuffer(bytes(out[:need]), dtype=np.uint8).reshape(
             height, width, channels
@@ -144,13 +155,25 @@ def extract_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
                 img = decode_payload(bytes(r.payload), r.width, r.height, r.channels)
                 cells = np.array_split(img.reshape(-1, img.shape[-1]), feat_dim)
                 feat = np.array([c.mean() / 255.0 for c in cells], dtype=np.float32)
+                # mean/std from EXACT integer sums (all partial sums < 2^53,
+                # so the doubles are bit-identical to any engine summing the
+                # same integers), divided/sqrt'd in one fixed op sequence
+                # that the DuckDB oracle mirrors literally
+                flat = img.reshape(-1).astype(np.int64)
+                n = int(flat.size)
+                s = int(flat.sum())
+                ssq = int((flat * flat).sum())
+                mean = s / n
+                # math.sqrt, not ** 0.5: pow(x, 0.5) can differ from the
+                # oracle's sqrt() by an ulp
+                std = math.sqrt(ssq / n - mean * mean)
                 rows.append(
                     (
                         r.doc_id,
                         r.media_type,
                         len(r.payload),
-                        float(img.mean()),
-                        float(img.std()),
+                        mean,
+                        std,
                         feat.tolist(),
                     )
                 )
@@ -195,10 +218,11 @@ def sample_frames(media: DataFrame, k: int = 4) -> DataFrame:
                 for i in range(k):
                     frame_idx = i * r.n_frames // k
                     frame = decode_payload(
-                        bytes(r.payload) + frame_idx.to_bytes(4, "little"),
+                        bytes(r.payload),
                         r.width,
                         r.height,
                         r.channels,
+                        salt=str(frame_idx),
                     )
                     rows.append((r.doc_id, frame_idx, float(frame.mean())))
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "mean_px"])
@@ -287,10 +311,10 @@ FROM documents WHERE doc_id < 50 ORDER BY doc_id
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared query over the frame-sampling kernel: 4 evenly-spaced frames
     per video (doc_id < 30 bounds the fixture slice), each fake-decoded to
-    its per-frame mean pixel value. Fully deterministic (MD5-expansion
-    decode) but not SQL-expressible, so the driver records a rows-only
-    check; tests/test_multimodal.py re-derives expected values with an
-    INDEPENDENT pure-Python reimplementation of the fake codec."""
+    its per-frame mean pixel value. The ASCII-only MD5 chain makes this
+    exactly SQL-expressible (MEDIA_FRAME_SAMPLE_SQL recomputes every block
+    hash + byte); tests/test_multimodal.py additionally re-derives expected
+    values with an INDEPENDENT pure-Python reimplementation."""
     media = as_media(load_table(spark, sf_dir, "documents")).filter(
         F.col("doc_id") < 30
     )
@@ -304,8 +328,9 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared query over the decode + feature-extraction kernel: per media
     type, aggregate pixel statistics of the fake-decoded payloads (doc_id <
-    30). Rows-only driver check (MD5-expansion decode is not
-    SQL-expressible); determinism pinned by the independent-oracle pytest."""
+    30). Exact value oracle (MEDIA_FEATURE_STATS_SQL): the kernel computes
+    mean/std from exact integer sums in the same op sequence the SQL uses,
+    so the doubles are bit-identical cross-engine."""
     media = as_media(load_table(spark, sf_dir, "documents")).filter(
         F.col("doc_id") < 30
     )
@@ -325,10 +350,11 @@ def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def media_resize_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared query over the thumbnail/resize kernel: every image payload
     (doc_id < 30) fake-decoded, nearest-neighbor resized to 8x8, and
-    fingerprinted (md5 of the resized bytes + output size). Deterministic
-    end-to-end but not SQL-expressible (MD5-expansion decode), so the driver
-    records a rows-only check; tests pin values via the independent
-    pure-Python codec reimplementation."""
+    fingerprinted (md5 over the hex encoding of the resized bytes + output
+    size). Exact value oracle (MEDIA_RESIZE_SUMMARY_SQL) reconstructs each
+    selected pixel from the block chain and md5's the same hex string; tests
+    additionally pin values via the independent pure-Python codec
+    reimplementation."""
     media = as_media(load_table(spark, sf_dir, "documents")).filter(
         F.col("doc_id") < 30
     )
@@ -340,8 +366,12 @@ def media_resize_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": pdf["payload"].map(len),
+                    # fingerprint over the HEX encoding of the resized bytes
+                    # (not the raw bytes): md5-of-hex is computable by an
+                    # engine whose md5() is VARCHAR-only, keeping the oracle
+                    # exact
                     "digest": pdf["payload"].map(
-                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                        lambda b: hashlib.md5(bytes(b).hex().encode()).hexdigest()
                     ),
                 }
             )
@@ -349,3 +379,105 @@ def media_resize_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.mapInPandas(
         kernel, "doc_id bigint, n_bytes bigint, digest string"
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles for the kernel queries
+# ---------------------------------------------------------------------------
+# The fake codec's block chain is ASCII-only (hex seed, '|'-joined counter),
+# so DuckDB's VARCHAR md5() can recompute every block; a byte at index b is
+# the (b % 16)-th hex pair of md5(seed || '|' || salt || '|' || b // 16).
+
+_DUCK_MEDIA30 = """
+  SELECT doc_id,
+         ['image','audio','video'][(doc_id % 3)::INT + 1] AS media_type,
+         md5(text) AS seed,
+         octet_length(encode(text)) AS n_bytes,
+         (doc_id % 64 + 16)::INT AS width,
+         (doc_id % 48 + 16)::INT AS height,
+         3 AS channels,
+         ((doc_id % 30 + 1) * 24)::INT AS n_frames
+  FROM documents WHERE doc_id < 30
+"""
+
+_HEXDIGITS = "0123456789abcdef"
+
+
+def _duck_hexpair_val(h: str, off: str) -> str:
+    """SQL for the byte value of hex pair ``off`` (0-based) in digest ``h``."""
+    return (
+        f"(strpos('{_HEXDIGITS}', substr({h}, 2 * ({off}) + 1, 1)) - 1) * 16"
+        f" + strpos('{_HEXDIGITS}', substr({h}, 2 * ({off}) + 2, 1)) - 1"
+    )
+
+
+MEDIA_FEATURE_STATS_SQL = f"""
+WITH media AS ({_DUCK_MEDIA30}),
+blocks AS (
+  SELECT m.doc_id, m.media_type, m.n_bytes,
+         m.width * m.height * m.channels AS need, b.g AS blk,
+         md5(m.seed || '||' || CAST(b.g AS VARCHAR)) AS h
+  FROM media m,
+       UNNEST(generate_series(0, (m.width * m.height * m.channels + 15) // 16 - 1)) AS b(g)),
+vals AS (
+  SELECT doc_id, media_type, n_bytes,
+         {_duck_hexpair_val('h', 'j.g')} AS val
+  FROM blocks, UNNEST(generate_series(0, 15)) AS j(g)
+  WHERE blk * 16 + j.g < need),
+per_item AS (
+  SELECT doc_id, media_type, n_bytes,
+         CAST(sum(val) AS DOUBLE) / count(*) AS mean_px,
+         sqrt(CAST(sum(val * val) AS DOUBLE) / count(*)
+              - (CAST(sum(val) AS DOUBLE) / count(*))
+                * (CAST(sum(val) AS DOUBLE) / count(*))) AS std_px
+  FROM vals GROUP BY doc_id, media_type, n_bytes)
+SELECT media_type, count(*) AS n_items,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       round(avg(mean_px), 6) AS avg_mean_px,
+       round(min(std_px), 6) AS min_std_px
+FROM per_item GROUP BY media_type ORDER BY media_type
+"""
+
+
+MEDIA_FRAME_SAMPLE_SQL = f"""
+WITH media AS ({_DUCK_MEDIA30}),
+frames AS (
+  SELECT doc_id, seed, width * height * channels AS need,
+         (i.g * n_frames) // 4 AS frame_idx
+  FROM media, UNNEST(generate_series(0, 3)) AS i(g)
+  WHERE media_type = 'video'),
+blocks AS (
+  SELECT doc_id, frame_idx, need, b.g AS blk,
+         md5(seed || '|' || CAST(frame_idx AS VARCHAR) || '|'
+             || CAST(b.g AS VARCHAR)) AS h
+  FROM frames, UNNEST(generate_series(0, (need + 15) // 16 - 1)) AS b(g)),
+vals AS (
+  SELECT doc_id, frame_idx, need,
+         {_duck_hexpair_val('h', 'j.g')} AS val
+  FROM blocks, UNNEST(generate_series(0, 15)) AS j(g)
+  WHERE blk * 16 + j.g < need)
+SELECT doc_id, frame_idx,
+       round(CAST(sum(val) AS DOUBLE) / count(*), 6) AS mean_px
+FROM vals GROUP BY doc_id, frame_idx
+ORDER BY doc_id, frame_idx
+"""
+
+
+MEDIA_RESIZE_SUMMARY_SQL = f"""
+WITH media AS ({_DUCK_MEDIA30}),
+grid AS (
+  SELECT doc_id, seed, y.g AS y, x.g AS x, c.g AS ch,
+         ((y.g * height // 8) * width + (x.g * width // 8)) * 3 + c.g AS src
+  FROM media,
+       UNNEST(generate_series(0, 7)) AS y(g),
+       UNNEST(generate_series(0, 7)) AS x(g),
+       UNNEST(generate_series(0, 2)) AS c(g)
+  WHERE media_type = 'image'),
+px AS (
+  SELECT doc_id, y, x, ch,
+         {_duck_hexpair_val('h', 'src % 16')} AS val
+  FROM (SELECT *, md5(seed || '||' || CAST(src // 16 AS VARCHAR)) AS h FROM grid))
+SELECT doc_id, CAST(192 AS BIGINT) AS n_bytes,
+       md5(string_agg(printf('%02x', val), '' ORDER BY y, x, ch)) AS digest
+FROM px GROUP BY doc_id ORDER BY doc_id
+"""

@@ -74,17 +74,20 @@ def test_sample_frames(media):
         assert len(set(idxs)) == k  # evenly spaced, distinct
 
 
-def _fake_decode_pure(payload: bytes, width: int, height: int, channels: int) -> list[int]:
+def _fake_decode_pure(
+    payload: bytes, width: int, height: int, channels: int, salt: str = ""
+) -> list[int]:
     """Independent pure-Python (no numpy) reimplementation of the fake codec
-    — the oracle for the rows-only declared kernel queries."""
+    (ASCII-only MD5 chain) — a second oracle for the declared kernel queries
+    alongside their DuckDB SQL."""
     import hashlib
 
     need = width * height * channels
     out = bytearray()
     counter = 0
-    seed = hashlib.md5(payload).digest()
+    seed = hashlib.md5(payload).hexdigest()
     while len(out) < need:
-        out += hashlib.md5(seed + counter.to_bytes(4, "little")).digest()
+        out += hashlib.md5(f"{seed}|{salt}|{counter}".encode()).digest()
         counter += 1
     return list(out[:need])
 
@@ -109,9 +112,7 @@ def test_media_frame_sample_matches_pure_python_oracle(spark, duck):
         n_frames = (doc_id % 30 + 1) * 24
         for i in range(4):
             frame_idx = i * n_frames // 4
-            px = _fake_decode_pure(
-                payload + frame_idx.to_bytes(4, "little"), width, height, 3
-            )
+            px = _fake_decode_pure(payload, width, height, 3, salt=str(frame_idx))
             expected.append((doc_id, frame_idx, round(sum(px) / len(px), 6)))
     got = [(r["doc_id"], r["frame_idx"], r["mean_px"]) for r in rows]
     assert got == expected
@@ -145,7 +146,9 @@ def test_media_resize_summary_matches_pure_python_oracle(spark, duck):
                 sc = c * width // 8
                 base = (sr * width + sc) * 3
                 out += bytes(px[base : base + 3])
-        expected.append((doc_id, 8 * 8 * 3, hashlib.md5(bytes(out)).hexdigest()))
+        expected.append(
+            (doc_id, 8 * 8 * 3, hashlib.md5(bytes(out).hex().encode()).hexdigest())
+        )
     got = [(r["doc_id"], r["n_bytes"], r["digest"]) for r in rows]
     assert got == expected
     assert len(got) > 0
