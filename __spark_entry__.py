@@ -212,10 +212,12 @@ def oracle_sql() -> dict[str, str]:
         "parts_cube": relational2.PARTS_CUBE_SQL,
         "lineitem_stats": relational2.LINEITEM_STATS_SQL,
         "supplier_trailing_revenue": relational2.SUPPLIER_TRAILING_SQL,
-        # events_distinct_sketch: HLL impl differs per engine — rows-only check,
-        # tolerance-vs-exact asserted in tests/test_oracle_parity.py
-        # events_value_percentiles_approx: GK sketch is engine-specific —
-        # rows-only check + rank-error tolerance test
+        # sketch queries (HLL / GK / approx_percentile): engine-specific
+        # estimates, so each emits exact values + in-tolerance booleans and
+        # the oracle emits the exact values + literal TRUEs — hash-checkable
+        "events_distinct_sketch": events.EVENTS_DISTINCT_SKETCH_SQL,
+        "events_value_percentiles_approx": events.EVENTS_VALUE_PCTL_SQL,
+        "customer_balance_quartiles_approx": relational2.CUSTOMER_QUARTILES_APPROX_SQL,
         "events_session_window": events.EVENTS_SESSIONIZED_SQL,
         "part_supplier_diversity": advanced.PART_SUPPLIER_DIVERSITY_SQL,
         "customer_set_ops": advanced.CUSTOMER_SET_OPS_SQL,

