@@ -12,6 +12,25 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """Conservative default heap sized from the machine, not a constant.
+
+    Local mode puts executors in the driver JVM, so the default 1g heap
+    GC-thrashes on uncompressed vector caches — but hardcoding a big value
+    (32g) makes the library's default session fail to launch (or swap) on
+    hosts smaller than the 128-GiB test VM.  Use ~25% of physical RAM,
+    clamped to [2g, 32g]; the bench/driver environment overrides via
+    SPARK_GRAFT_DRIVER_MEM.
+    """
+    try:
+        total_gib = (
+            os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / (1 << 30)
+        )
+    except (ValueError, OSError, AttributeError):
+        return "4g"
+    return f"{max(2, min(32, int(total_gib // 4)))}g"
+
+
 def get_spark(app_name: str = "nano-vectordb-rs-spark", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
@@ -28,10 +47,10 @@ def get_spark(app_name: str = "nano-vectordb-rs-spark", shuffle_partitions: int 
         # cache-materialization cost for array<float> collections
         .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
         .config("spark.sql.session.timeZone", "UTC")
-        # local mode puts executors in the driver JVM: size the heap for the
-        # machine (128 GiB here), not the default 1g — uncompressed vector
-        # caches plus JVM-side normalize allocations GC-thrash at 8g
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()

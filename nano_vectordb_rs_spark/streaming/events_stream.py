@@ -320,13 +320,22 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+    ckpt = tempfile.mkdtemp(prefix="nvdb_stream_ckpt_")
     name = run_available_now(
-        agg,
-        f"stream_hourly_{uuid.uuid4().hex[:8]}",
-        "complete",
-        tempfile.mkdtemp(prefix="nvdb_stream_ckpt_"),
+        agg, f"stream_hourly_{uuid.uuid4().hex[:8]}", "complete", ckpt
     )
-    return spark.table(name).orderBy("hour_start", "event_type")
+    # The memory-sink table and the checkpoint dir are per-invocation
+    # scaffolding; repeated calls (bench runs ×N + the gate) would leak a
+    # temp dir and a registered session table each time.  The result is
+    # bounded (hours × event_types rows), so materialize it driver-side,
+    # then drop both before returning a self-contained local DataFrame.
+    import shutil
+
+    sunk = spark.table(name).orderBy("hour_start", "event_type")
+    rows, schema = sunk.collect(), sunk.schema
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 HOUR_US = 3_600_000_000
