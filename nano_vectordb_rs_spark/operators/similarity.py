@@ -136,6 +136,26 @@ ORDER BY query_id, rank
 # same machinery runs with 1-2 probes and a cell count grown ~√N.
 N_DUP_PROBE = 4
 
+# Scale guard for the candidate self-join: with a FIXED cell count, block
+# size grows ~N/cells, so candidate pairs Σ|block|² — and the exact-cosine
+# verifies they feed — grow QUADRATICALLY (measured before the guard:
+# scripts/scale_probe.py, 3.2 s → 18.2 s from 4x to 8x sf0.1; at 8x the 80
+# (label, cell) blocks held ~800 rows each and emitted ~25M verify pairs).
+# When the largest block exceeds NEAR_DUP_MAX_BLOCK rows, every block is
+# further split by NEAR_DUP_BANDS independent sign-LSH sub-keys (b
+# raw-dimension sign bits per band); a pair is a candidate if it matches
+# in ANY band (OR-construction). Pair count per block drops from S² to
+# R·S²/2^b, and b = ceil(log2(R·S_max/MAX)) bounds it at ~S·MAX — linear
+# in N at a fixed bound. Recall for genuinely near-duplicate pairs stays
+# high (per-bit sign agreement for a cos≈0.95 pair ≈ 0.94 ⇒
+# 1-(1-0.94^b)^4 ≈ 99.9% at b=3, ~97% at b=8), and the top-100-by-score
+# output surfaces the closest pairs, which survive banding best. The
+# guard NEVER activates at the oracle-checked gate scales (max block ≈
+# 110 rows at sf0.1), so gate results and DuckDB parity are untouched;
+# it exists for the 10-100x regime.
+NEAR_DUP_MAX_BLOCK = 512
+NEAR_DUP_BANDS = 4
+
 
 def _blocked_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(label, id1, id2, score) for every cell-blocked candidate pair with
@@ -170,20 +190,78 @@ def _blocked_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = emb.selectExpr("vec_id", "label", *score_exprs).select(
         "vec_id", "label", F.explode(F.expr(cells)).alias("cell")
     )
-    a, b = assign.alias("a"), assign.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    # scale guard (see NEAR_DUP_MAX_BLOCK above): one tiny count-agg decides
+    # whether blocks need banded sign-LSH sub-splitting. Inactive at every
+    # oracle-checked scale, so the gate plan and results are unchanged.
+    max_block = (
+        assign.groupBy("label", "cell").count().agg(F.max("count")).first()[0]
+        or 0
+    )
+    join_keys = [
+        (F.col("a.label") == F.col("b.label")),
+        (F.col("a.cell") == F.col("b.cell")),
+    ]
+    if max_block > NEAR_DUP_MAX_BLOCK:
+        import math
+
+        bits = min(
+            12,
+            math.ceil(
+                math.log2(NEAR_DUP_BANDS * max_block / NEAR_DUP_MAX_BLOCK)
+            ),
         )
+        dim = len(CENTROIDS[0])
+        # band r's sub-key: b sign bits from a strided dim pattern — plain
+        # CASE/adds, fully codegen-able, no extra dot products
+        def _subkey(r: int) -> str:
+            terms = [
+                f"(CASE WHEN element_at(embedding, "
+                f"{((r + i * NEAR_DUP_BANDS) % dim) + 1}) > 0D "
+                f"THEN {1 << i} ELSE 0 END)"
+                for i in range(bits)
+            ]
+            return "(" + " + ".join(terms) + ")"
+
+        bands = ", ".join(
+            f"struct({r} AS band, {_subkey(r)} AS subkey)"
+            for r in range(NEAR_DUP_BANDS)
+        )
+        assign = (
+            emb.selectExpr(
+                "vec_id", "label", *score_exprs, f"array({bands}) AS _bands"
+            )
+            .select(
+                "vec_id",
+                "label",
+                F.explode(F.expr(cells)).alias("cell"),
+                "_bands",
+            )
+            .select("vec_id", "label", "cell", F.explode("_bands").alias("_b"))
+            .select(
+                "vec_id",
+                "label",
+                "cell",
+                F.col("_b.band").alias("band"),
+                F.col("_b.subkey").alias("subkey"),
+            )
+        )
+        join_keys += [
+            (F.col("a.band") == F.col("b.band")),
+            (F.col("a.subkey") == F.col("b.subkey")),
+        ]
+    a, b = assign.alias("a"), assign.alias("b")
+    cond = F.col("a.vec_id") < F.col("b.vec_id")
+    for k in join_keys:
+        cond = cond & k
+    cand = (
+        a.join(b, cond)
         .select(
             F.col("a.label").alias("label"),
             F.col("a.vec_id").alias("id1"),
             F.col("b.vec_id").alias("id2"),
         )
-        # a pair sharing several probed cells appears once per shared cell
+        # a pair sharing several probed cells (or matching in several
+        # bands) appears once per match
         .distinct()
     )
     # exact verify: fetch each side's vector once per surviving pair; the

@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""Empirical scaling-exponent probe for the scale-critical operators.
+
+The 100-TB argument in README.md rests on structural claims: banded LSH and
+cell-blocking keep pair spaces subquadratic, top-k never global-sorts,
+packing is a prefix sum. This script MEASURES those claims: it materializes
+1x / 2x / 4x copies of the sf tables (self-union with key remapping — same
+distribution, same dup density per copy), times each probe query at every
+multiple, and fits the log-log slope. A slope near 1.0 is linear scaling; a
+near-dup operator drifting toward 2.0 would be the quadratic blow-up the
+blocking exists to prevent.
+
+Usage:  python scripts/scale_probe.py [sf_dir] [multiples...]
+        (defaults: /root/testdata/sf0.1  1 2 4)
+Output: one JSON line {query: {"times": {mult: sec}, "slope": s}}.
+
+Caveat: local[32] wall-clock at small absolute sizes includes fixed
+per-stage scheduling overhead, which UNDERSTATES slopes; a slope clearly
+below ~1.3 is safe evidence of subquadratic behavior, and the probe prints
+the raw times so drift is visible either way.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+from nano_vectordb_rs_spark.session import get_spark  # noqa: E402
+from nano_vectordb_rs_spark.operators import dedup, pipeline, similarity, knn  # noqa: E402
+
+BASE_SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+MULTS = [int(m) for m in sys.argv[2:]] or [1, 2, 4]
+WORK = os.environ.get("SCALE_PROBE_DIR", "/tmp/nvdb_scale_probe")
+
+# (query name, callable, tables it reads) — only the scale-critical shapes
+PROBES = [
+    ("exact_dedup_docs", dedup.exact_dedup_docs, ("documents",)),
+    ("minhash_near_dup_docs", dedup.minhash_near_dup_docs, ("documents",)),
+    ("ngram_jaccard_pairs", dedup.ngram_jaccard_pairs, ("documents",)),
+    ("near_dup_embeddings", similarity.near_dup_embeddings, ("embeddings",)),
+    ("ann_ivf_topk", similarity.ann_ivf_topk, ("embeddings",)),
+    ("knn_topk", knn.knn_topk, ("embeddings",)),
+    ("pack_sequences", pipeline.pack_sequences, ("documents",)),
+]
+
+ALL_TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def materialize(spark: SparkSession, mult: int) -> str:
+    """mult self-union copies of every table with remapped keys.
+
+    Keys are offset per copy, AND the content is perturbed per copy so the
+    copies are not near-duplicates of each other — otherwise every doc/vector
+    would have mult-1 identical twins and TRUE pair count would grow
+    quadratically with mult, polluting the engine-scaling measurement:
+      - documents: every token gets a copy-specific suffix — token counts,
+        lengths and within-copy duplicate structure are preserved exactly,
+        while cross-copy shingle/token Jaccard drops to 0;
+      - embeddings: each copy multiplies the vector by a deterministic ±1
+        sign mask — cosine within a copy is invariant (both sides flip),
+        while cross-copy cosine of identical vectors becomes a random-sign
+        sum ~ 0, far below the near-dup threshold.
+    Result: per-copy duplicate density is the BASE corpus density, so true
+    pairs grow linearly with mult (the production shape — a 2x corpus has
+    ~2x the dups, not 4x the cross-pairs).
+    """
+    out = os.path.join(WORK, f"x{mult}")
+    if os.path.isdir(out):
+        return out
+    os.makedirs(out, exist_ok=True)
+    for table in ALL_TABLES:
+        src = os.path.join(BASE_SF, f"{table}.parquet")
+        df = spark.read.parquet(src)
+        if mult > 1 and table in ("documents", "embeddings"):
+            key = "doc_id" if table == "documents" else "vec_id"
+            dim = (
+                len(df.select("embedding").first()[0])
+                if table == "embeddings"
+                else 0
+            )
+            parts = []
+            for k in range(mult):
+                part = df.withColumn(
+                    key,
+                    (F.col(key) + F.lit(k) * F.lit(100_000_000)).cast(
+                        df.schema[key].dataType.simpleString()
+                    ),
+                )
+                if k > 0 and table == "documents":
+                    part = part.withColumn(
+                        "text",
+                        F.array_join(
+                            F.transform(
+                                F.split(F.col("text"), " "),
+                                lambda t: F.concat(t, F.lit(f"~c{k}")),
+                            ),
+                            " ",
+                        ),
+                    )
+                elif k > 0 and table == "embeddings":
+                    # deterministic ±1 mask per (copy, dim)
+                    mask = [
+                        1.0 if (hash((k, d)) & 1) == 0 else -1.0
+                        for d in range(dim)
+                    ]
+                    part = part.withColumn(
+                        "embedding",
+                        F.zip_with(
+                            F.col("embedding"),
+                            F.array(*[F.lit(m) for m in mask]),
+                            lambda x, m: (x * m).cast("float"),
+                        ),
+                    )
+                parts.append(part)
+            union = parts[0]
+            for p in parts[1:]:
+                union = union.unionByName(p)
+            union.write.mode("overwrite").parquet(os.path.join(out, f"{table}.parquet"))
+        else:
+            # non-scaled tables: symlink-equivalent copy via parquet passthrough
+            df.write.mode("overwrite").parquet(os.path.join(out, f"{table}.parquet"))
+    return out
+
+
+def main() -> None:
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    dirs = {m: materialize(spark, m) for m in MULTS}
+
+    report: dict = {}
+    for name, fn, _tables in PROBES:
+        times: dict[int, float] = {}
+        for m in MULTS:
+            fn(spark, dirs[m]).collect()  # warm plan + parquet footers
+            best = math.inf
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, dirs[m]).collect()
+                best = min(best, time.perf_counter() - t0)
+            times[m] = round(best, 3)
+        lo, hi = min(MULTS), max(MULTS)
+        slope = (
+            (math.log(times[hi]) - math.log(times[lo])) / (math.log(hi) - math.log(lo))
+            if times[lo] > 0
+            else float("nan")
+        )
+        report[name] = {"times": {str(m): t for m, t in times.items()}, "slope": round(slope, 2)}
+        print(f"[scale-probe] {name}: {report[name]}", file=sys.stderr)
+
+    print(json.dumps({"metric": "scale_probe_slopes", "base_sf": BASE_SF, "mults": MULTS, "probes": report}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
