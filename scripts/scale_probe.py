@@ -45,9 +45,13 @@ PROBES = [
     ("exact_dedup_docs", dedup.exact_dedup_docs, ("documents",)),
     ("minhash_near_dup_docs", dedup.minhash_near_dup_docs, ("documents",)),
     ("ngram_jaccard_pairs", dedup.ngram_jaccard_pairs, ("documents",)),
+    ("contamination_check", dedup.contamination_check, ("documents",)),
+    ("dup_clusters", dedup.dup_clusters, ("documents",)),
     ("near_dup_embeddings", similarity.near_dup_embeddings, ("embeddings",)),
+    ("crossmodal_dup_check", similarity.crossmodal_dup_check, ("embeddings", "documents")),
     ("ann_ivf_topk", similarity.ann_ivf_topk, ("embeddings",)),
     ("knn_topk", knn.knn_topk, ("embeddings",)),
+    ("kmeans_embeddings", pipeline.kmeans_embeddings, ("embeddings",)),
     ("pack_sequences", pipeline.pack_sequences, ("documents",)),
 ]
 
