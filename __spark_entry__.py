@@ -147,6 +147,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_by_ids": crud.delete_by_ids,
         "normalize_all": crud.normalize_all,
         "label_centroids": similarity.label_centroids,
+        # mergeable (map-side-combining) twin of the grouped-map UDAF above;
+        # the giant-group-safe formulation for skewed labels at scale
+        "label_centroids_mergeable": similarity.label_centroids_mergeable,
         "semantic_search_docs": similarity.semantic_search_docs,
         "lexical_search_docs": retrieval.lexical_search_docs,
         "hybrid_search_rrf": retrieval.hybrid_search_rrf,
@@ -267,6 +270,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": similarity.ANN_IVF_SQL,
         "ann_lsh_topk": similarity.ANN_LSH_SQL,
         "label_centroids": similarity.LABEL_CENTROIDS_SQL,
+        "label_centroids_mergeable": similarity.LABEL_CENTROIDS_SQL,
         "semantic_search_docs": similarity.SEMANTIC_SEARCH_SQL,
         "crossmodal_dup_check": similarity.CROSSMODAL_DUP_SQL,
         "lexical_search_docs": retrieval.LEXICAL_SEARCH_SQL,

@@ -530,6 +530,40 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def label_centroids_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB twin of ``label_centroids``: identical output, but as a
+    MERGEABLE aggregation instead of a grouped-map UDAF.
+
+    ``applyInPandas`` must materialize each label group inside one task — a
+    hot label at corpus scale means one straggler task holding the whole
+    group. Here the centroid is a plain ``groupBy(label, dim).avg`` over
+    ``posexplode(embedding)``: partial aggregation (map-side combine)
+    shrinks every partition to ≤ labels×dim rows BEFORE the exchange, so
+    the shuffle carries bounded state no matter how skewed the labels are,
+    and no group ever sits in one task. Same oracle as label_centroids
+    (LABEL_CENTROIDS_SQL)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    per_dim = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(
+            F.avg(F.col("x").cast("double")).alias("a"),
+            F.count("*").alias("n"),
+        )
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.first("n").alias("n_vecs"),
+            F.round(F.sqrt(F.sum(F.col("a") * F.col("a"))), 6).alias(
+                "centroid_norm"
+            ),
+            F.round(F.avg(F.abs(F.col("a"))), 6).alias("mean_abs"),
+        )
+        .orderBy("label")
+    )
+
+
 LABEL_CENTROIDS_SQL = f"""
 WITH cent AS (
   SELECT label, i AS dim, avg(CAST(embedding[i] AS DOUBLE)) AS a
