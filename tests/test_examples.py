@@ -26,3 +26,22 @@ def test_advanced_usage_example(spark):
     assert len(rows) >= 1
     assert rows[0]["__metrics__"] > 0.99
     assert all(r["__metrics__"] >= 0.5 for r in rows)
+
+
+def test_pipeline_demo_example(spark, tmp_path):
+    from examples.pipeline_demo import main as pipeline_main
+
+    r = pipeline_main(spark, SF_DIR, str(tmp_path / "clean"))
+    # dedup + quality + 80%-split must strictly shrink the corpus, but a
+    # pipeline that drops (almost) everything is broken too
+    assert 0 < r["n_train_clean"] < r["n_raw"]
+    assert r["n_train_clean"] >= r["n_raw"] // 2
+    assert r["n_contexts"] > 0
+    # the cleaned corpus carries only the train shard
+    assert {row["split"] for row in r["budget_rows"]} == {"train"}
+    # hash-bucketed split + hash dedup ⇒ bit-stable across reruns
+    r2 = pipeline_main(spark, SF_DIR, str(tmp_path / "clean2"))
+    assert (r2["n_train_clean"], r2["n_contexts"]) == (
+        r["n_train_clean"],
+        r["n_contexts"],
+    )
