@@ -19,6 +19,7 @@ from nano_vectordb_rs_spark.operators import (
     dedup,
     events,
     knn,
+    lifecycle,
     multimodal,
     pipeline,
     relational,
@@ -141,6 +142,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # boundaries + comparison bucketing, tolerance-oracle from r05
         "customer_balance_quartiles_approx": relational2.customer_balance_quartiles_approx,
         # ---------------- entry 51+ (below the driver's 50-entry cap) -----
+        # NEW in r05 (rotate into the gated 50 in r06): the four previously
+        # pytest-only persistence components (O6 save, O7/O8 sidecar, O15
+        # codec, O16 load validation) as hash-checkable roundtrips
+        "save_roundtrip_stats": lifecycle.save_roundtrip_stats,
+        "reference_json_roundtrip": lifecycle.reference_json_roundtrip,
         # rotated out in r05 (multiply-verified; see policy above)
         "knn_threshold": knn.knn_threshold,
         "get_by_ids": crud.get_by_ids,
@@ -304,5 +310,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_embeddings": pipeline.KMEANS_EMBEDDINGS_SQL,
         "reservoir_per_key": pipeline.RESERVOIR_PER_KEY_SQL,
         "streaming_hourly_counts": events_stream.STREAMING_HOURLY_SQL,
+        "save_roundtrip_stats": lifecycle.SAVE_ROUNDTRIP_SQL,
+        "reference_json_roundtrip": lifecycle.REFERENCE_JSON_ROUNDTRIP_SQL,
         "length_filter_report": pipeline.LENGTH_FILTER_SQL,
     }

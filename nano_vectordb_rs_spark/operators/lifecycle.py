@@ -1,0 +1,169 @@
+"""Persistence-lifecycle gate queries — the four reference components the
+hash gate could not previously see (O6 save, O7/O8 additional_data, O15
+reference-format codec, O16 load validation), each re-expressed as a
+side-effect-contained roundtrip whose OUTPUT is a deterministic stats frame
+with a straight DuckDB oracle over the source parquet.
+
+Shape of both queries: read the ``embeddings`` fixture → push it through the
+real persistence surface (Parquet save/open + JSON sidecar, or the
+reference's JSON+base64 single-file format) into a throwaway temp dir →
+reload through the same public API → aggregate the RELOADED data into a
+small stats row. If any stage drops rows, truncates vectors, reorders bytes
+in the f32 matrix, or loses the sidecar, the stats diverge from the oracle
+(which never leaves the parquet) and the hash check fails. All scratch state
+is deleted before returning, so repeated gate/bench invocations leak
+nothing.
+
+Content checksum: per-row fixed-point fold ``sum(trunc(x * 1e9))`` as int64
+(exact, order-free — same determinism trick as the k-means assignment,
+operators/pipeline.py _assign), then a corpus-level DECIMAL(38,0) sum of the
+row sums, so the total is exact at any scale with no float summation-order
+hazard. |x| < 1 in the fixture and dim = 64 ⇒ |row sum| < 6.4e10, far below
+int64; the DECIMAL(38,0) outer sum cannot overflow before ~1e27 rows.
+
+Reference parity: save/load are src/lib.rs:289-293 / :118-131; the sidecar
+is get/store_additional_data (src/lib.rs:296-303); the matrix-size check on
+load is src/lib.rs:122-129.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nano_vectordb_rs_spark.collection import ID_COL, VECTOR_COL, VectorCollection
+from nano_vectordb_rs_spark.functions.vector import EMBEDDING_DIM
+from nano_vectordb_rs_spark.sources.reference_json import (
+    load_reference_json,
+    save_reference_json,
+)
+from nano_vectordb_rs_spark.sources.tables import load_table
+
+# sidecar payload stored before save and re-read after reopen; scalar values
+# so the roundtrip equality is exact
+_ADDITIONAL = {"corpus": "embeddings", "answer": 42}
+
+_CONTENT_SCALE = 1e9
+
+
+def _row_checksum():
+    """Exact order-free per-row content sum: fold of trunc(x * 1e9) as int64."""
+    return F.aggregate(
+        F.transform(
+            F.col(VECTOR_COL),
+            lambda x: (x.cast("double") * F.lit(_CONTENT_SCALE)).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+
+
+def _stats(df: DataFrame, additional_ok: bool) -> DataFrame:
+    return df.select(
+        F.lit(1).alias("grp"),
+        _row_checksum().alias("row_sum"),
+        F.size(VECTOR_COL).alias("vlen"),
+        F.col(ID_COL).cast("bigint").alias("idn"),
+    ).groupBy("grp").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("idn").alias("n_ids"),
+        F.sum("vlen").alias("vector_elems"),
+        # DECIMAL accumulation (order-free, no int64 overflow mid-fold), then
+        # one BIGINT cast so both engines land in pandas int64: ~1.2e8 per
+        # row keeps the total under int64 until ~7e10 rows — far past the
+        # gate scales, and a checksum (not data) column regardless
+        F.sum(F.col("row_sum").cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("content_sum"),
+        F.sum(F.col("idn").cast("decimal(38,0)")).cast("bigint").alias("id_sum"),
+        F.lit(additional_ok).alias("additional_ok"),
+    ).drop("grp")
+
+
+_STATS_ORACLE = f"""
+SELECT count(*) AS n_rows,
+       count(DISTINCT vec_id) AS n_ids,
+       CAST(sum(len(embedding)) AS BIGINT) AS vector_elems,
+       CAST(sum(CAST(row_sum AS DECIMAL(38,0))) AS BIGINT) AS content_sum,
+       CAST(sum(CAST(vec_id AS DECIMAL(38,0))) AS BIGINT) AS id_sum,
+       TRUE AS additional_ok
+FROM (
+  SELECT vec_id, embedding,
+         list_sum(list_transform(embedding,
+           x -> CAST(trunc(CAST(x AS DOUBLE) * {_CONTENT_SCALE:.0f}) AS BIGINT)
+         )) AS row_sum
+  FROM embeddings
+)
+"""
+
+
+def _collection_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings fixture in collection schema: __id__ string, vector, label."""
+    return load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("string").alias(ID_COL),
+        F.col("embedding").alias(VECTOR_COL),
+        F.col("label").cast("string").alias("label"),
+    )
+
+
+def save_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6/O7/O8 through the gate: collection → ``save()`` (staged Parquet
+    swap + JSON sidecar) → fresh ``open()`` (which re-reads sidecar and
+    Parquet) → stats over the REOPENED store.
+
+    ``save`` keeps vectors verbatim (normalization is an ingest-time
+    decision, exercised separately by upsert_merge/normalize_all), so the
+    oracle reads the untouched fixture. ``additional_ok`` asserts the
+    sidecar survived the staged-swap overwrite path byte-for-byte."""
+    tmp = tempfile.mkdtemp(prefix="nvdb_save_rt_")
+    store = f"{tmp}/col"
+    try:
+        col = VectorCollection(
+            spark, EMBEDDING_DIM, _collection_frame(spark, sf_dir), store
+        )
+        col.store_additional_data(_ADDITIONAL)
+        col.save()
+        # save() twice: the second pass exercises the existing-dir staged
+        # swap (read-before-overwrite hazard) instead of the fresh-dir path
+        col.save()
+        reopened = VectorCollection.open(spark, EMBEDDING_DIM, store)
+        ok = reopened.additional_data() == _ADDITIONAL
+        out = _stats(reopened.df, ok)
+        # the reopened plan streams from the temp parquet — materialize
+        # driver-side (one bounded stats row) before deleting the files
+        rows, schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+SAVE_ROUNDTRIP_SQL = _STATS_ORACLE
+
+
+def reference_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O15/O16 through the gate: collection frame → reference single-file
+    JSON (base64 little-endian f32 matrix, row i at [i*dim, (i+1)*dim)) →
+    ``load_reference_json`` (which enforces the src/lib.rs:122-129 matrix
+    size check) → stats over the re-imported frame.
+
+    The f32 → base64 → f32 matrix path is lossless by construction, so the
+    fixed-point content sum must equal the oracle's parquet-side sum; the
+    per-row dim guard (O16) re-validates every re-imported vector."""
+    tmp = tempfile.mkdtemp(prefix="nvdb_ref_json_")
+    path = f"{tmp}/collection.json"
+    try:
+        save_reference_json(_collection_frame(spark, sf_dir), path, _ADDITIONAL)
+        df, additional = load_reference_json(spark, path)
+        bad_dim = df.filter(F.size(VECTOR_COL) != EMBEDDING_DIM).limit(1).count()
+        ok = additional == _ADDITIONAL and bad_dim == 0
+        out = _stats(df, ok)
+        rows, schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+REFERENCE_JSON_ROUNDTRIP_SQL = _STATS_ORACLE
