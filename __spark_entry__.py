@@ -147,6 +147,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # codec, O16 load validation) as hash-checkable roundtrips
         "save_roundtrip_stats": lifecycle.save_roundtrip_stats,
         "reference_json_roundtrip": lifecycle.reference_json_roundtrip,
+        # NEW in r05: two more REAL streams behind the gate — state-store
+        # dedup of a deliberately doubled source (dropDuplicatesWithinWatermark)
+        # and a stream-stream interval join drained append-mode
+        "streaming_dedup_counts": events_stream.streaming_dedup_counts,
+        "streaming_click_attribution": events_stream.streaming_click_attribution,
         # rotated out in r05 (multiply-verified; see policy above)
         "knn_threshold": knn.knn_threshold,
         "get_by_ids": crud.get_by_ids,
@@ -312,5 +317,7 @@ def oracle_sql() -> dict[str, str]:
         "streaming_hourly_counts": events_stream.STREAMING_HOURLY_SQL,
         "save_roundtrip_stats": lifecycle.SAVE_ROUNDTRIP_SQL,
         "reference_json_roundtrip": lifecycle.REFERENCE_JSON_ROUNDTRIP_SQL,
+        "streaming_dedup_counts": events_stream.STREAMING_DEDUP_SQL,
+        "streaming_click_attribution": events_stream.STREAMING_CLICK_ATTR_SQL,
         "length_filter_report": pipeline.LENGTH_FILTER_SQL,
     }

@@ -349,3 +349,124 @@ FROM events
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+def _drain_to_local(
+    spark: SparkSession, stream_df: DataFrame, output_mode: str, prefix: str
+) -> DataFrame:
+    """availableNow-drain ``stream_df`` into a memory sink, materialize the
+    bounded result driver-side, then drop the sink table and checkpoint dir
+    (same no-leak contract as streaming_hourly_counts) and hand back a
+    self-contained local DataFrame."""
+    import shutil
+    import tempfile
+    import uuid
+
+    ckpt = tempfile.mkdtemp(prefix=f"nvdb_{prefix}_ckpt_")
+    name = run_available_now(
+        stream_df, f"{prefix}_{uuid.uuid4().hex[:8]}", output_mode, ckpt
+    )
+    sunk = spark.table(name)
+    rows, schema = sunk.collect(), sunk.schema
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(rows, schema) if rows else spark.createDataFrame(
+        [], schema
+    )
+
+
+def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared gate query for exactly-once ingestion dedup: the events
+    fixture is read as TWO file-source streams and unioned — a deterministic
+    at-least-once delivery (every event arrives exactly twice) — then
+    ``dropDuplicatesWithinWatermark`` on event_id collapses the replay and a
+    watermarked tumbling agg counts per (hour, type), drained availableNow.
+
+    The oracle aggregates the fixture ONCE: if the dedup state store missed
+    a replayed id the doubled counts (and doubled DECIMAL value sums) hash-
+    mismatch immediately, so the state-store semantics — not just the agg —
+    are what the value check pins. Dedup-key state is watermark-bounded
+    (O(arrival rate x horizon)); both stateful operators key their state
+    with the shuffle, so the plan runs unbounded on a real cluster."""
+    doubled = read_events_stream(spark, sf_dir).unionByName(
+        read_events_stream(spark, sf_dir)
+    )
+    deduped = doubled.withWatermark("event_time", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = (
+        deduped.groupBy(F.window("event_time", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 4).alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    out = _drain_to_local(spark, agg, "complete", "stream_dedup")
+    return out.orderBy("hour_start", "event_type")
+
+
+# identical to the hourly oracle: the doubled stream must collapse back to
+# exactly one copy of every event
+STREAMING_DEDUP_SQL = STREAMING_HOURLY_SQL
+
+
+CLICK_LOOKBACK = "4 hours"
+
+
+def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared gate query for the stream-stream interval join: every
+    purchase joined to the same user's clicks within the preceding
+    CLICK_LOOKBACK window (purchase_click_join_stream), drained availableNow
+    in append mode — inner interval joins emit eagerly on match, so a
+    drained finite source yields exactly the batch join — then a bounded
+    per-user attribution report computed batch-side from the sunk pairs:
+    pair count, distinct clicks/purchases, min/max click-to-purchase lag.
+
+    State both sides is watermark+range bounded (click state older than
+    watermark+lookback is evicted) — the shape that runs forever at
+    cluster scale. The DuckDB oracle is the equivalent batch interval
+    self-join, so a dropped or duplicated join row hash-mismatches."""
+    pairs = purchase_click_join_stream(
+        read_events_stream(spark, sf_dir),
+        lookback=CLICK_LOOKBACK,
+        watermark="2 hours",
+    )
+    sunk = _drain_to_local(spark, pairs, "append", "stream_attr")
+    return (
+        sunk.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("click_id").alias("n_clicks"),
+            F.countDistinct("purchase_id").alias("n_purchases"),
+            F.min(F.col("purchase_s") - F.col("click_s")).alias("min_lag_s"),
+            F.max(F.col("purchase_s") - F.col("click_s")).alias("max_lag_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+STREAMING_CLICK_ATTR_SQL = """
+SELECT p.user_id AS user_id,
+       count(*) AS n_pairs,
+       count(DISTINCT c.event_id) AS n_clicks,
+       count(DISTINCT p.event_id) AS n_purchases,
+       min(epoch_us(p.ts) // 1000000 - epoch_us(c.ts) // 1000000) AS min_lag_s,
+       max(epoch_us(p.ts) // 1000000 - epoch_us(c.ts) // 1000000) AS max_lag_s
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase'
+ AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 4 HOUR
+ AND c.ts <= p.ts
+GROUP BY p.user_id
+ORDER BY user_id
+"""
