@@ -152,6 +152,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and a stream-stream interval join drained append-mode
         "streaming_dedup_counts": events_stream.streaming_dedup_counts,
         "streaming_click_attribution": events_stream.streaming_click_attribution,
+        # NEW in r05: quality-aware keeper selection over fuzzy dup groups,
+        # and word2phrase-style collocation lift for phrase/vocab building
+        "dedup_keep_best": dedup.dedup_keep_best,
+        "phrase_collocations": textops.phrase_collocations,
         # rotated out in r05 (multiply-verified; see policy above)
         "knn_threshold": knn.knn_threshold,
         "get_by_ids": crud.get_by_ids,
@@ -319,5 +323,7 @@ def oracle_sql() -> dict[str, str]:
         "reference_json_roundtrip": lifecycle.REFERENCE_JSON_ROUNDTRIP_SQL,
         "streaming_dedup_counts": events_stream.STREAMING_DEDUP_SQL,
         "streaming_click_attribution": events_stream.STREAMING_CLICK_ATTR_SQL,
+        "dedup_keep_best": dedup.DEDUP_KEEP_BEST_SQL,
+        "phrase_collocations": textops.PHRASE_COLLOCATIONS_SQL,
         "length_filter_report": pipeline.LENGTH_FILTER_SQL,
     }

@@ -655,3 +655,81 @@ ORDER BY cluster_id
 
 
 DUP_CLUSTERS_SQL = _duck_clusters_sql()
+
+
+# --- keeper-selection dedup (quality-aware) ----------------------------------
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-group dedup with QUALITY-AWARE keeper selection — after grouping
+    near-identical docs, production pipelines keep the *best* member (highest
+    quality score), not an arbitrary one; min-doc_id keepers (exact_dedup,
+    normalized_dedup) throw away better-written copies.
+
+    Grouping key: the min-4-word-shingle fingerprint (textops.SHINGLE_FP_EXPR
+    — the winnowing-lite key doc_fingerprints pins), which groups docs that
+    share their rarest shingle. Keeper: argmax quality (textops.quality_col,
+    the hash-green heuristic), tie-broken to the LOWEST doc_id via a
+    (q, -doc_id) struct-ordered max_by — no window needed, so the plan is
+    one scan-local projection + ONE shuffle on the fingerprint. Output: one
+    row per multi-doc group with the keeper, its quality, and the chars that
+    dropping the rest saves."""
+    from nano_vectordb_rs_spark.operators.textops import SHINGLE_FP_EXPR, quality_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "n_chars",
+        quality_col().alias("q"),
+        F.split("text", " ").alias("w"),
+    ).select("doc_id", "n_chars", "q", F.expr(SHINGLE_FP_EXPR).alias("fingerprint"))
+    return (
+        scored.groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.expr("max_by(doc_id, struct(q, -doc_id))").alias("keep_doc"),
+            F.expr("max_by(q, struct(q, -doc_id))").alias("keep_q"),
+            (
+                F.sum("n_chars") - F.expr("max_by(n_chars, struct(q, -doc_id))")
+            ).alias("chars_saved"),
+            F.array_join(F.sort_array(F.collect_list("doc_id")), "|").alias(
+                "members"
+            ),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("fingerprint")
+    )
+
+
+def _keep_best_sql() -> str:
+    from nano_vectordb_rs_spark.operators.textops import (
+        DUCK_QUALITY_DOC_ROW,
+        DUCK_SHINGLE_FP_EXPR,
+    )
+
+    return f"""
+WITH q AS ({DUCK_QUALITY_DOC_ROW}),
+toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+fps AS (
+  SELECT doc_id, {DUCK_SHINGLE_FP_EXPR} AS fingerprint FROM toks),
+scored AS (
+  SELECT fps.fingerprint, q.doc_id, q.n_chars, q.q,
+         row_number() OVER (PARTITION BY fps.fingerprint
+                            ORDER BY q.q DESC, q.doc_id ASC) AS rn
+  FROM fps JOIN q ON fps.doc_id = q.doc_id)
+SELECT fingerprint,
+       count(*) AS n_docs,
+       max(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc,
+       max(CASE WHEN rn = 1 THEN q END) AS keep_q,
+       CAST(sum(n_chars) - max(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT)
+         AS chars_saved,
+       string_agg(doc_id, '|' ORDER BY doc_id) AS members
+FROM scored
+GROUP BY fingerprint
+HAVING count(*) > 1
+ORDER BY fingerprint
+"""
+
+
+DEDUP_KEEP_BEST_SQL = _keep_best_sql()

@@ -105,6 +105,27 @@ ORDER BY lang, predicted_lang
 # --- quality scoring --------------------------------------------------------
 
 
+def quality_col():
+    """Per-document quality score Column (deterministic heuristic: token
+    count, mean word length, stopword ratio → [0,1]-ish, rounded 6).
+    Factored out so keeper-selection dedup (operators/dedup.py
+    dedup_keep_best) scores with the exact same chain the hash-green
+    quality_scores query pins against DuckDB."""
+    n_tok = F.size(F.split("text", " "))
+    n_stop = F.expr(occurrences("concat(' ', text, ' ')", " the ")) + F.expr(
+        occurrences("concat(' ', text, ' ')", " a ")
+    )
+    mean_wlen = (F.col("n_chars") - (n_tok - F.lit(1))) / n_tok
+    stop_ratio = n_stop / n_tok
+    length_term = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.5) * length_term
+        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
+        + F.lit(0.2) * F.least(mean_wlen / F.lit(6.0), F.lit(1.0)),
+        6,
+    )
+
+
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic doc-quality heuristic: token count, mean word length,
     stopword ratio → a [0,1]-ish score; aggregated per (lang, source-bucket).
@@ -112,23 +133,8 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every intermediate is integer or a per-row double op, the aggregate goes
     through DECIMAL — hash-stable at any parallelism."""
     docs = load_table(spark, sf_dir, "documents")
-    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
-    n_tok = F.size(F.split("text", " "))
-    n_stop = F.expr(occurrences("concat(' ', text, ' ')", " the ")) + F.expr(
-        occurrences("concat(' ', text, ' ')", " a ")
-    )
-    _ = padded
-    mean_wlen = (F.col("n_chars") - (n_tok - F.lit(1))) / n_tok
-    stop_ratio = n_stop / n_tok
-    length_term = F.least(n_tok / F.lit(100.0), F.lit(1.0))
-    score = F.round(
-        F.lit(0.5) * length_term
-        + F.lit(0.3) * (F.lit(1.0) - stop_ratio)
-        + F.lit(0.2) * F.least(mean_wlen / F.lit(6.0), F.lit(1.0)),
-        6,
-    )
     return (
-        docs.select("lang", score.alias("q"))
+        docs.select("lang", quality_col().alias("q"))
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
@@ -151,6 +157,16 @@ _DUCK_QUALITY_ROW = """
   FROM documents
 """.format(stops=_STOPS)
 
+# doc-granularity twin of _DUCK_QUALITY_ROW (keeps doc_id/n_chars) for
+# composition into keeper-selection dedup
+DUCK_QUALITY_DOC_ROW = """
+  SELECT doc_id, lang, n_chars,
+         round(0.5 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+             + 0.3 * (1.0 - CAST({stops} AS DOUBLE) / len(string_split(text, ' ')))
+             + 0.2 * least(((n_chars - (len(string_split(text, ' ')) - 1)) / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 6.0, 1.0), 6) AS q
+  FROM documents
+""".format(stops=_STOPS)
+
 QUALITY_SCORES_SQL = f"""
 SELECT lang, count(*) AS n_docs,
        round(CAST(sum(CAST(q AS DECIMAL(28,10))) AS DOUBLE), 4) AS sum_quality,
@@ -163,6 +179,21 @@ ORDER BY lang
 
 # --- fingerprinting ---------------------------------------------------------
 
+# min-4-word-shingle fingerprint over a pre-bound token array column ``w``
+# (winnowing-lite); shared by doc_fingerprints and the keeper-selection dedup
+# grouping (operators/dedup.py dedup_keep_best)
+SHINGLE_FP_EXPR = (
+    "substring(array_min(transform(sequence(1, greatest(size(w) - 3, 1)), "
+    "i -> md5(concat_ws(' ', element_at(w, i), element_at(w, i + 1), "
+    "element_at(w, i + 2), element_at(w, i + 3))))), 1, 16)"
+)
+
+# the DuckDB twin (token array bound as ``w``)
+DUCK_SHINGLE_FP_EXPR = (
+    "substring(list_min(list_transform(range(1, greatest(len(w) - 3, 1) + 1), "
+    "i -> md5(concat_ws(' ', w[i], w[i + 1], w[i + 2], w[i + 3])))), 1, 16)"
+)
+
 
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 4-word-shingle fingerprint (winnowing-lite): the minimum md5
@@ -173,12 +204,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a lambda body, so inlining split(text) there would re-tokenize the whole
     # document for every shingle term — O(words²) instead of O(words)
     tokenized = docs.select("source", F.split("text", " ").alias("w"))
-    shingles = F.expr(
-        "transform(sequence(1, greatest(size(w) - 3, 1)), "
-        "i -> md5(concat_ws(' ', element_at(w, i), element_at(w, i + 1), "
-        "element_at(w, i + 2), element_at(w, i + 3))))"
-    )
-    fp = F.substring(F.array_min(shingles), 1, 16)
+    fp = F.expr(SHINGLE_FP_EXPR)
     return (
         tokenized.select("source", fp.alias("fingerprint"))
         .groupBy("source")
@@ -526,4 +552,121 @@ SELECT lang,
 FROM documents
 GROUP BY 1, 2
 ORDER BY lang, len_bucket
+"""
+
+
+# --- collocation / phrase detection (word2phrase-style lift) -----------------
+
+COLLOC_MIN_COUNT = 5
+COLLOC_TOP = 15
+
+
+def phrase_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase detection via association lift — the word2phrase primitive
+    training pipelines run before tokenizer/vocab construction: bigrams that
+    co-occur far more than their unigram frequencies predict are merged into
+    phrase tokens.
+
+    lift(a,b) = P(ab) / (P(a)·P(b)) = (c_ab · N) / (c_a · c_b), i.e.
+    exp(PMI). The lift form avoids ln(), whose last-ulp results differ
+    across libm implementations — every factor here is an exact int64 count
+    cast to double, and IEEE multiply/divide are correctly rounded, so both
+    engines agree bit-for-bit before the round(…, 6).
+
+    Plan shape (scales to a 100 TB corpus): one exploded-token scan feeds
+    BOTH count aggregations (unigram and bigram — each one shuffle keyed by
+    (lang, token), the word-count shape); per-language totals are a
+    broadcast-sized side table; the two unigram joins key on (lang, word)
+    — vocabulary-sized, evenly distributed, AQE handles hot stopwords; the
+    final top-K window runs per language over only surviving (c_ab ≥ 5)
+    bigrams."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", "doc_id", F.split("text", " ").alias("t")
+    ).persist()
+
+    uni = (
+        toks.select("lang", F.explode("t").alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("c_w"))
+    )
+    totals = uni.groupBy("lang").agg(F.sum("c_w").alias("n_total"))
+
+    bigrams = F.expr(
+        "CASE WHEN size(t) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(t) - 1), "
+        "i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2)) END"
+    )
+    bi = (
+        toks.select("lang", F.explode(bigrams).alias("b"))
+        .select("lang", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .groupBy("lang", "w1", "w2")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= COLLOC_MIN_COUNT)
+    )
+
+    u1 = uni.select(F.col("lang"), F.col("word").alias("w1"), F.col("c_w").alias("c_a"))
+    u2 = uni.select(F.col("lang"), F.col("word").alias("w2"), F.col("c_w").alias("c_b"))
+    lift = F.round(
+        (F.col("c_ab").cast("double") * F.col("n_total").cast("double"))
+        / (F.col("c_a").cast("double") * F.col("c_b").cast("double")),
+        6,
+    )
+    scored = (
+        bi.join(u1, ["lang", "w1"])
+        .join(u2, ["lang", "w2"])
+        .join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            F.concat_ws(" ", "w1", "w2").alias("phrase"),
+            "c_ab",
+            "c_a",
+            "c_b",
+            lift.alias("lift"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("lift").desc(), F.col("phrase").asc())
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= COLLOC_TOP)
+        .select("lang", "rank", "phrase", "c_ab", "c_a", "c_b", "lift")
+        .orderBy("lang", "rank")
+    )
+    rows, schema = out.collect(), out.schema
+    toks.unpersist()
+    return spark.createDataFrame(rows, schema)
+
+
+PHRASE_COLLOCATIONS_SQL = f"""
+WITH toks AS (
+  SELECT lang, doc_id, string_split(text, ' ') AS t FROM documents),
+uni AS (
+  SELECT lang, word, count(*) AS c_w
+  FROM (SELECT lang, unnest(t) AS word FROM toks)
+  GROUP BY lang, word),
+totals AS (
+  SELECT lang, CAST(sum(c_w) AS BIGINT) AS n_total FROM uni GROUP BY lang),
+bi AS (
+  SELECT lang, t[i.g] AS w1, t[i.g + 1] AS w2, count(*) AS c_ab
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS i(g)
+  GROUP BY 1, 2, 3
+  HAVING count(*) >= {COLLOC_MIN_COUNT}),
+scored AS (
+  SELECT bi.lang, bi.w1 || ' ' || bi.w2 AS phrase, bi.c_ab, u1.c_w AS c_a,
+         u2.c_w AS c_b,
+         round((CAST(bi.c_ab AS DOUBLE) * CAST(t.n_total AS DOUBLE))
+               / (CAST(u1.c_w AS DOUBLE) * CAST(u2.c_w AS DOUBLE)), 6) AS lift
+  FROM bi
+  JOIN uni u1 ON bi.lang = u1.lang AND bi.w1 = u1.word
+  JOIN uni u2 ON bi.lang = u2.lang AND bi.w2 = u2.word
+  JOIN totals t ON bi.lang = t.lang)
+SELECT lang, rank, phrase, c_ab, c_a, c_b, lift
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY lift DESC, phrase ASC) AS rank
+  FROM scored)
+WHERE rank <= {COLLOC_TOP}
+ORDER BY lang, rank
 """
