@@ -24,6 +24,7 @@ from nano_vectordb_rs_spark.operators import (
     pipeline,
     relational,
     relational2,
+    relational3,
     retrieval,
     similarity,
     textops,
@@ -156,6 +157,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and word2phrase-style collocation lift for phrase/vocab building
         "dedup_keep_best": dedup.dedup_keep_best,
         "phrase_collocations": textops.phrase_collocations,
+        # NEW in r05: the five remaining expressible TPC-H shapes (q2 alone
+        # is inseparable from the absent partsupp table) — EXISTS,
+        # star-join profit, fraction-of-total HAVING, NOT IN + exact
+        # distinct, correlated majority-share threshold
+        "tpch_q4_priority": relational3.tpch_q4_priority,
+        "tpch_q9_profit": relational3.tpch_q9_profit,
+        "tpch_q11_important_parts": relational3.tpch_q11_important_parts,
+        "tpch_q16_supplier_counts": relational3.tpch_q16_supplier_counts,
+        "tpch_q20_promotion_suppliers": relational3.tpch_q20_promotion_suppliers,
         # rotated out in r05 (multiply-verified; see policy above)
         "knn_threshold": knn.knn_threshold,
         "get_by_ids": crud.get_by_ids,
@@ -325,5 +335,10 @@ def oracle_sql() -> dict[str, str]:
         "streaming_click_attribution": events_stream.STREAMING_CLICK_ATTR_SQL,
         "dedup_keep_best": dedup.DEDUP_KEEP_BEST_SQL,
         "phrase_collocations": textops.PHRASE_COLLOCATIONS_SQL,
+        "tpch_q4_priority": relational3.TPCH_Q4_SQL,
+        "tpch_q9_profit": relational3.TPCH_Q9_SQL,
+        "tpch_q11_important_parts": relational3.TPCH_Q11_SQL,
+        "tpch_q16_supplier_counts": relational3.TPCH_Q16_SQL,
+        "tpch_q20_promotion_suppliers": relational3.TPCH_Q20_SQL,
         "length_filter_report": pipeline.LENGTH_FILTER_SQL,
     }

@@ -567,15 +567,15 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("label", F.col("id"))
     )
-    # The loop is deliberately LINEAGE-ONLY: no per-round persist or
-    # checkpoint. Labels are a few hundred rows, so re-executing round k's
-    # k-join lineage from the checkpointed edge list costs milliseconds,
-    # while per-round block-manager churn (the previous formulation) both
-    # adds a job per round and — on the test VM — triggers a compounding
-    # kernel-time storm (see bench.py's protocol note). At cluster scale
-    # with deep graphs you would re-introduce a checkpoint every few rounds
-    # to cap lineage depth; duplicate clusters are near-cliques (diameter
-    # 2-3), so depth stays trivial here.
+    # Lineage discipline: odd rounds stay LAZY (no job), and every even
+    # round the convergence probe's materialization is REUSED by
+    # localCheckpointing the stepped labels first — the probe count then
+    # reads checkpointed rows, and rounds k+1.. rebuild from a ≤2-join
+    # lineage instead of re-executing the whole k-join chain per action
+    # (the O(k²) total-jobs shape this loop had before). Net cost per
+    # pair of rounds: one checkpoint job + one trivial count; this is the
+    # same "checkpoint every few rounds" cadence a deep graph needs at
+    # cluster scale, so the local plan and the 100-TB plan are identical.
     for rnd in range(1, CLUSTER_MAX_ITERS + 1):
         neighbor_min = (
             edges.join(labels, edges.doc2 == labels.id)
@@ -594,13 +594,16 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "_changed"
             ),
         )
-        labels = stepped.drop("_changed")
-        # convergence probe every SECOND round only: odd rounds stay lazy
-        # (no job), so the driver runs ceil(rounds/2) count jobs instead of
-        # one per round. A converged graph makes the next round a no-op, so
-        # probing one round late still observes changed == 0.
-        if rnd % 2 == 0 and stepped.filter("_changed").limit(1).count() == 0:
-            break
+        # convergence probe every SECOND round only: a converged graph makes
+        # the next round a no-op, so probing one round late still observes
+        # changed == 0.
+        if rnd % 2 == 0:
+            stepped = stepped.localCheckpoint()
+            labels = stepped.drop("_changed")
+            if stepped.filter("_changed").limit(1).count() == 0:
+                break
+        else:
+            labels = stepped.drop("_changed")
     return (
         labels.groupBy("label")
         .agg(

@@ -1,0 +1,318 @@
+"""Third wave of TPC-H-shaped relational queries — q4/q9/q11/q16/q20
+adaptations, completing the 22-query shape catalogue (q2 alone has no
+faithful adaptation: its minimum-cost-supplier core is inseparable from the
+partsupp table the fixture lacks; every OTHER partsupp query's distinctive
+SHAPE survives adaptation and is exercised here).
+
+Shapes covered (none of which waves 1-2 exercise):
+- q4:  EXISTS subquery → aggregated semi join
+- q9:  profit decomposition over a 5-way star join, grouped by nation×year
+- q11: fraction-of-TOTAL HAVING (global scalar broadcast into the filter)
+- q16: NOT IN exclusion subquery + multi-key COUNT DISTINCT
+- q20: correlated 50%-of-total threshold → chained semi joins
+
+Adaptations to the fixture schema (TESTDATA.md; no partsupp,
+l_commitdate/l_receiptdate, s_comment): lateness := l_shipdate more than
+30 days after o_orderdate; supply cost := 60% of p_retailprice; the q16
+"complaints" supplier denylist := s_suppkey % 7 = 0 (deterministic
+stand-in for the comment scan); q20's availqty threshold := half of a
+part's total shipped quantity.
+
+Scale design (100 TB):
+- q4: the EXISTS is ONE aggregated semi join (lineitem pre-filtered to late
+  rows, distinct orderkeys) — never a correlated per-order rescan.
+- q9: part/supplier/nation are broadcast dims; the only big shuffle is
+  lineitem⋈orders on orderkey; the group-by output is nations×years rows.
+- q11: the national total is a 1-row aggregate broadcast into HAVING —
+  two passes over a pre-aggregated per-part frame, not over lineitem.
+- q16: the denylist is a broadcast anti join; count-distinct shuffles on
+  (brand, size-bucket, suppkey) then contracts — the two-level exact
+  distinct pattern.
+- q20: per-(part,supplier) and per-part aggregates reuse ONE shuffle of
+  lineitem on partkey (the second agg is a contraction of the first);
+  the comparison is a same-key join, and supplier resolution is broadcast.
+
+Determinism: DECIMAL(28,10) partial sums, round(…, 4) on every double
+output, explicit ORDER BY with tie-breaks (SURVEY.md §7.4).
+
+Reference parity note: the reference engine (/root/reference/src/lib.rs)
+has no relational surface at all — this whole module is north-star
+extension surface per SURVEY.md §2.3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nano_vectordb_rs_spark.sources.tables import load_table
+
+DEC = "decimal(28,10)"
+
+
+def _dsum(expr: str) -> F.Column:
+    return F.sum(F.expr(expr).cast(DEC))
+
+
+def _as_dbl(c: F.Column) -> F.Column:
+    return c.cast("double")
+
+
+# --- q4: order-priority checking (EXISTS) ------------------------------------
+
+Q4_START = "1996-01-01"
+Q4_END = "1996-04-01"
+LATE_DAYS = 30
+
+
+def tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders in one quarter with at least one LATE lineitem (shipped >30
+    days after the order date), counted per priority — TPC-H q4's EXISTS.
+
+    The correlated EXISTS becomes one semi join against the set of late
+    orderkeys: lineitem is pre-filtered scan-side (predicate pushdown on
+    l_shipdate is a no-op here since lateness needs o_orderdate, so the
+    filter runs post-join on the orderkey-shuffled pair — the one shuffle),
+    then LEFT SEMI keeps each qualifying order once regardless of how many
+    of its lines are late."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q4_START).cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit(Q4_END).cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(li, orders.o_orderkey == li.l_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS")
+    )
+    return (
+        orders.join(
+            late.select("l_orderkey").distinct(),
+            orders.o_orderkey == F.col("l_orderkey"),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+TPCH_Q4_SQL = f"""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '{Q4_START}'
+  AND o_orderdate < TIMESTAMP '{Q4_END}'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL {LATE_DAYS} DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --- q9: product-type profit by nation and year ------------------------------
+
+Q9_PART_LIKE = "widget"
+SUPPLY_COST_FRAC = 0.6
+
+
+def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit per (supplier nation, order year) for one product family —
+    TPC-H q9's star join. Supply cost adapts to 60% of p_retailprice
+    (fixture has no partsupp). part/supplier/nation broadcast onto the
+    lineitem scan; lineitem⋈orders shuffles once on orderkey; output is
+    nations × years."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains(Q9_PART_LIKE)
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+    )
+    profit = (
+        f"l_extendedprice * (1 - l_discount) - "
+        f"p_retailprice * {SUPPLY_COST_FRAC} * l_quantity"
+    )
+    return (
+        joined.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            F.expr(profit).cast(DEC).alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(_as_dbl(F.sum("amount")), 4).alias("sum_profit"))
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+TPCH_Q9_SQL = f"""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+             - p_retailprice * {SUPPLY_COST_FRAC} * l_quantity
+             AS DECIMAL(28,10))) AS DOUBLE), 4) AS sum_profit
+FROM lineitem, part, supplier, nation, orders
+WHERE l_partkey = p_partkey
+  AND l_suppkey = s_suppkey
+  AND s_nationkey = n_nationkey
+  AND l_orderkey = o_orderkey
+  AND p_name LIKE '%{Q9_PART_LIKE}%'
+GROUP BY 1, 2
+ORDER BY nation ASC, o_year DESC
+"""
+
+
+# --- q11: important stock (fraction-of-total HAVING) -------------------------
+
+Q11_FRACTION = 0.01
+
+
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose shipped value exceeds a fixed fraction of the GLOBAL
+    shipped value — TPC-H q11's fraction-of-total HAVING (value :=
+    l_extendedprice * l_quantity over all lineitems, the fixture's stand-in
+    for ps_supplycost * ps_availqty).
+
+    Plan: one shuffle aggregates per-part value; the global total is a
+    1-row contraction of THAT frame (never a second lineitem scan),
+    cross-joined (1-row broadcast) into the HAVING filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        _dsum("l_extendedprice * l_quantity").alias("value")
+    )
+    total = per_part.agg(F.sum("value").alias("grand_total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("grand_total") * Q11_FRACTION)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round(_as_dbl(F.col("value")), 4).alias("value"),
+        )
+        .orderBy(F.col("value").desc(), F.col("partkey").asc())
+    )
+
+
+TPCH_Q11_SQL = f"""
+WITH per_part AS (
+  SELECT l_partkey AS partkey,
+         sum(CAST(l_extendedprice * l_quantity AS DECIMAL(28,10))) AS value
+  FROM lineitem GROUP BY 1)
+SELECT partkey, round(CAST(value AS DOUBLE), 4) AS value
+FROM per_part
+WHERE value > (SELECT sum(value) FROM per_part) * {Q11_FRACTION}
+ORDER BY value DESC, partkey ASC
+"""
+
+
+# --- q16: supplier count by part attributes (NOT IN) -------------------------
+
+Q16_SIZE_BUCKET = 10
+DENYLIST_MOD = 7
+
+
+def tpch_q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct suppliers per (brand, size bucket), excluding denylisted
+    suppliers — TPC-H q16's NOT IN + COUNT DISTINCT. The supply relation is
+    derived from lineitem (fixture has no partsupp); the denylist
+    (s_suppkey % {DENYLIST_MOD} = 0, the deterministic stand-in for the
+    complaints-comment scan) lands as a broadcast LEFT ANTI join.
+    Exact distinct over (brand, bucket, suppkey) contracts in two hash
+    aggregations — the scalable exact-distinct shape."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part")
+    sup = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_suppkey") % DENYLIST_MOD == 0
+    )
+    bucket = (F.col("p_size") / Q16_SIZE_BUCKET).cast("bigint") * Q16_SIZE_BUCKET
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("p_brand", bucket.alias("size_bucket"), "l_suppkey")
+        .distinct()
+        .groupBy("p_brand", "size_bucket")
+        .agg(F.count("*").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("size_bucket").asc(),
+        )
+    )
+
+
+TPCH_Q16_SQL = f"""
+SELECT p_brand,
+       CAST(p_size // {Q16_SIZE_BUCKET} AS BIGINT) * {Q16_SIZE_BUCKET} AS size_bucket,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_suppkey % {DENYLIST_MOD} = 0)
+GROUP BY 1, 2
+ORDER BY supplier_cnt DESC, p_brand ASC, size_bucket ASC
+"""
+
+
+# --- q20: potential part promotion (correlated threshold) --------------------
+
+Q20_YEAR_START = "1997-01-01"
+Q20_YEAR_END = "1998-01-01"
+
+
+def tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who shipped MORE than half of a part's total 1997 volume —
+    TPC-H q20's correlated availqty > 0.5 * sum(l_quantity) threshold,
+    adapted to the lineitem-derived supply relation: a supplier qualifies
+    if for SOME part their own shipped quantity exceeds half that part's
+    total. Both aggregates come from ONE partkey-shuffled frame (the
+    per-part total is a contraction of the per-(part,supplier) frame); the
+    threshold comparison is a same-key join, then supplier/nation names
+    resolve by broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q20_YEAR_START).cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit(Q20_YEAR_END).cast("timestamp_ntz"))
+    )
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        _dsum("l_quantity").alias("supp_qty")
+    )
+    per_part = per_ps.groupBy("l_partkey").agg(F.sum("supp_qty").alias("part_qty"))
+    dominant = (
+        per_ps.join(per_part, "l_partkey")
+        .filter(F.col("supp_qty") > F.col("part_qty") * 0.5)
+        .select("l_suppkey")
+        .distinct()
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        sup.join(F.broadcast(dominant), sup.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_suppkey")
+    )
+
+
+TPCH_Q20_SQL = f"""
+WITH per_ps AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(l_quantity AS DECIMAL(28,10))) AS supp_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q20_YEAR_START}'
+    AND l_shipdate < TIMESTAMP '{Q20_YEAR_END}'
+  GROUP BY 1, 2),
+per_part AS (
+  SELECT l_partkey, sum(supp_qty) AS part_qty FROM per_ps GROUP BY 1),
+dominant AS (
+  SELECT DISTINCT l_suppkey
+  FROM per_ps JOIN per_part USING (l_partkey)
+  WHERE supp_qty > part_qty * 0.5)
+SELECT s_suppkey, s_name, n_name AS nation
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
+ORDER BY s_suppkey
+"""

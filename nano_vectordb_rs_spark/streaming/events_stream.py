@@ -270,16 +270,39 @@ def run_available_now(
 ) -> Any:
     """Drain a finite source to completion into a memory sink and return the
     in-memory table name. ``availableNow`` processes everything currently in
-    the source then stops — the deterministic test/backfill trigger."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    the source then stops — the deterministic test/backfill trigger.
+
+    State-partition count: a streaming query fixes its state-store partition
+    count from ``spark.sql.shuffle.partitions`` at start (AQE does NOT
+    coalesce streaming state), and every stateful operator then writes one
+    state+commit file per partition per micro-batch — at local drain scale
+    that per-partition file overhead dominates the actual state work (the
+    stream-stream join alone keeps four state stores). So the drain
+    harness starts the query under a small fixed count
+    (SPARK_GRAFT_STREAM_PARTITIONS, default 8) and restores the session
+    setting afterwards. A production deployment sizes this to its
+    executor count ONCE at query birth — it is a deployment parameter, not
+    plan logic, which is why it lives here in the harness."""
+    import os
+
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"),
     )
-    q.awaitTermination()
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return query_name
 
 
