@@ -169,26 +169,34 @@ ORDER BY nation ASC, o_year DESC
 
 # --- q11: important stock (fraction-of-total HAVING) -------------------------
 
-Q11_FRACTION = 0.01
+Q11_MEAN_MULT = 1.5
 
 
 def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Parts whose shipped value exceeds a fixed fraction of the GLOBAL
-    shipped value — TPC-H q11's fraction-of-total HAVING (value :=
+    """Parts whose shipped value exceeds a multiple of the GLOBAL mean part
+    value — TPC-H q11's fraction-of-total HAVING (value :=
     l_extendedprice * l_quantity over all lineitems, the fixture's stand-in
-    for ps_supplycost * ps_availqty).
+    for ps_supplycost * ps_availqty). q11 proper scales its fraction by
+    1/SF so the qualifying set stays non-trivial as data grows; the
+    mean-multiple form (> {mult} × total/n_parts) is the same shape with
+    that scale-invariance built in.
 
-    Plan: one shuffle aggregates per-part value; the global total is a
-    1-row contraction of THAT frame (never a second lineitem scan),
+    Plan: one shuffle aggregates per-part value; the global total+count is
+    a 1-row contraction of THAT frame (never a second lineitem scan),
     cross-joined (1-row broadcast) into the HAVING filter."""
     li = load_table(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(
         _dsum("l_extendedprice * l_quantity").alias("value")
     )
-    total = per_part.agg(F.sum("value").alias("grand_total"))
+    total = per_part.agg(
+        F.sum("value").alias("grand_total"), F.count("*").alias("n_parts")
+    )
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("value") > F.col("grand_total") * Q11_FRACTION)
+        .filter(
+            F.col("value")
+            > F.col("grand_total") * Q11_MEAN_MULT / F.col("n_parts")
+        )
         .select(
             F.col("l_partkey").alias("partkey"),
             F.round(_as_dbl(F.col("value")), 4).alias("value"),
@@ -204,7 +212,8 @@ WITH per_part AS (
   FROM lineitem GROUP BY 1)
 SELECT partkey, round(CAST(value AS DOUBLE), 4) AS value
 FROM per_part
-WHERE value > (SELECT sum(value) FROM per_part) * {Q11_FRACTION}
+WHERE value > (SELECT sum(value) FROM per_part) * {Q11_MEAN_MULT}
+                / (SELECT count(*) FROM per_part)
 ORDER BY value DESC, partkey ASC
 """
 
