@@ -41,7 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Declared query surface, 100 entries — every entry has a DuckDB value
+    """Declared query surface, 112 entries — every entry has a DuckDB value
     oracle in ``oracle_sql()`` (zero rows-only checks as of round 5).
 
     GATE-ROTATION POLICY (round 5): the driver's correctness gate checks the
@@ -53,19 +53,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       events+streaming, pipeline-prep, relational).
     * Queries that have NEVER had a driver CORRECTNESS row rotate IN each
       round; multiply-verified family siblings rotate OUT to make room.
-      Rotated in for round 5 (never driver-checked through r04):
-      stratified_sample_docs, bigram_stats, reservoir_per_key,
-      length_filter_report, events_json_stats, events_top_users,
-      events_union_slices, events_distinct_sketch, events_session_window,
-      events_value_percentiles_approx, media_frame_sample,
-      media_feature_stats, media_resize_summary — plus
-      customer_balance_quartiles_approx (previously rows-only, now carries
-      a tolerance oracle).
+      Rotated in for round 5:
+      - the 13 never-driver-checked through r04: stratified_sample_docs,
+        bigram_stats, reservoir_per_key, length_filter_report,
+        events_json_stats, events_top_users, events_union_slices,
+        events_distinct_sketch, events_session_window,
+        events_value_percentiles_approx, media_frame_sample,
+        media_feature_stats, media_resize_summary;
+      - customer_balance_quartiles_approx (previously rows-only, now a
+        tolerance oracle);
+      - the six r05-new non-relational queries: save_roundtrip_stats +
+        reference_json_roundtrip (persistence core O6/O7/O8/O15/O16),
+        streaming_dedup_counts + streaming_click_attribution (two more
+        REAL streams), dedup_keep_best, phrase_collocations.
       Rotated out (every one green in CORRECTNESS_r04, most also r01-r03):
-      knn_threshold, get_by_ids, delete_by_ids, normalize_all,
-      label_centroids, semantic_search_docs, lexical_search_docs,
-      hybrid_search_rrf, exact_dedup_docs, simhash_docs,
-      normalized_dedup_docs, lang_id, quality_scores, events_sessionized.
+      knn_threshold, knn_filtered, get_by_ids, delete_by_ids, upsert_merge,
+      count_stats, normalize_all, label_centroids, semantic_search_docs,
+      lexical_search_docs, hybrid_search_rrf, exact_dedup_docs,
+      simhash_docs, normalized_dedup_docs, lang_id, quality_scores,
+      events_sessionized, events_funnel, events_sliding_windows,
+      tpch_q1_pricing.
+    * Still never driver-checked after r05 (rotate into r06's front block):
+      the five relational3 TPC-H shapes (tpch_q4_priority, tpch_q9_profit,
+      tpch_q11_important_parts, tpch_q16_supplier_counts,
+      tpch_q20_promotion_suppliers) and label_centroids_mergeable.
     * Historical green rounds per family are tracked in PARITY.md §gate.
     * Entries 51+ keep full local coverage every round via
       tests/test_oracle_parity.py (stricter than the driver: dtype-class +
@@ -74,9 +85,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- reference-parity core (SURVEY.md §2.1) ---
         "knn_topk": knn.knn_topk,
-        "knn_filtered": knn.knn_filtered,
-        "upsert_merge": crud.upsert_merge,
-        "count_stats": crud.count_stats,
+        # r05 NEW core coverage: the four persistence components (O6/O7/O8
+        # save+sidecar, O15/O16 codec+validation) as checksum roundtrips
+        "save_roundtrip_stats": lifecycle.save_roundtrip_stats,
+        "reference_json_roundtrip": lifecycle.reference_json_roundtrip,
         # --- similarity search / ANN (SURVEY.md §7.5 + north star) ---
         "knn_join": similarity.knn_join,
         "near_dup_embeddings": similarity.near_dup_embeddings,
@@ -90,6 +102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup_docs": dedup.minhash_near_dup_docs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "contamination_check": dedup.contamination_check,
+        # r05 NEW: quality-aware keeper selection over fuzzy dup groups
+        "dedup_keep_best": dedup.dedup_keep_best,
         # iterative connected-components (driver-side convergence loop);
         # oracle = fixed-round unrolled min-label CTE chain, plus an
         # independent pure-Python union-find in tests/test_oracle_parity.py
@@ -103,6 +117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_length_histogram": textops.docs_length_histogram,
         "repetition_scores": textops.repetition_scores,
         "domain_mixture_weights": textops.domain_mixture_weights,
+        # r05 NEW: word2phrase collocation lift (phrase detection)
+        "phrase_collocations": textops.phrase_collocations,
         # --- multimodal binary columns (all five value-checked: the
         # ASCII-only MD5 fake codec is recomputable in VARCHAR-md5 SQL) ---
         "media_inventory": multimodal.media_inventory,
@@ -115,9 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- events surface ---
         "events_hourly": events.events_hourly,
         "events_asof_join": advanced.events_asof_join,
-        "events_funnel": events.events_funnel,
         "events_retention": events.events_retention,
-        "events_sliding_windows": events.events_sliding_windows,
         "events_user_seq": events.events_user_seq,
         "events_json_stats": events.events_json_stats,
         "events_top_users": events.events_top_users,
@@ -126,9 +140,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_distinct_sketch": events.events_distinct_sketch,
         "events_session_window": events.events_session_window,
         "events_value_percentiles_approx": events.events_value_percentiles_approx,
-        # a REAL stream in the gate: readStream → watermarked window agg →
-        # availableNow drain; full value oracle (finite source ⇒ batch-equal)
+        # THREE REAL streams in the gate: readStream plans drained
+        # availableNow with full value oracles (finite source ⇒ batch-equal)
+        # — watermarked tumbling agg, state-store replay dedup of a
+        # deliberately doubled source, and a watermark+range-bounded
+        # stream-stream interval join drained append-mode
         "streaming_hourly_counts": events_stream.streaming_hourly_counts,
+        "streaming_dedup_counts": events_stream.streaming_dedup_counts,
+        "streaming_click_attribution": events_stream.streaming_click_attribution,
         # --- LLM-pipeline extensions ---
         "pack_sequences": pipeline.pack_sequences,
         "embedding_quantize_stats": pipeline.embedding_quantize_stats,
@@ -138,26 +157,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_filter_report": pipeline.length_filter_report,
         # --- representative relational ---
         "skew_salted_join": advanced.skew_salted_join,
-        "tpch_q1_pricing": relational.tpch_q1_pricing,
         # scale twin of customer_balance_quartiles: approx_percentile
         # boundaries + comparison bucketing, tolerance-oracle from r05
         "customer_balance_quartiles_approx": relational2.customer_balance_quartiles_approx,
         # ---------------- entry 51+ (below the driver's 50-entry cap) -----
-        # NEW in r05 (rotate into the gated 50 in r06): the four previously
-        # pytest-only persistence components (O6 save, O7/O8 sidecar, O15
-        # codec, O16 load validation) as hash-checkable roundtrips
-        "save_roundtrip_stats": lifecycle.save_roundtrip_stats,
-        "reference_json_roundtrip": lifecycle.reference_json_roundtrip,
-        # NEW in r05: two more REAL streams behind the gate — state-store
-        # dedup of a deliberately doubled source (dropDuplicatesWithinWatermark)
-        # and a stream-stream interval join drained append-mode
-        "streaming_dedup_counts": events_stream.streaming_dedup_counts,
-        "streaming_click_attribution": events_stream.streaming_click_attribution,
-        # NEW in r05: quality-aware keeper selection over fuzzy dup groups,
-        # and word2phrase-style collocation lift for phrase/vocab building
-        "dedup_keep_best": dedup.dedup_keep_best,
-        "phrase_collocations": textops.phrase_collocations,
-        # NEW in r05: the five remaining expressible TPC-H shapes (q2 alone
+        # moved out of the front block in r05 (multiply green r01-r04)
+        "knn_filtered": knn.knn_filtered,
+        "upsert_merge": crud.upsert_merge,
+        "count_stats": crud.count_stats,
+        "events_funnel": events.events_funnel,
+        "events_sliding_windows": events.events_sliding_windows,
+        "tpch_q1_pricing": relational.tpch_q1_pricing,
+        # NEW in r05 (rotate into the gated 50 in r06): the five remaining
+        # expressible TPC-H shapes (q2 alone
         # is inseparable from the absent partsupp table) — EXISTS,
         # star-join profit, fraction-of-total HAVING, NOT IN + exact
         # distinct, correlated majority-share threshold

@@ -34,7 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession, functions as F  # noqa: E402
 
 from nano_vectordb_rs_spark.session import get_spark  # noqa: E402
-from nano_vectordb_rs_spark.operators import dedup, pipeline, similarity, knn  # noqa: E402
+from nano_vectordb_rs_spark.operators import dedup, pipeline, similarity, knn, textops  # noqa: E402
 
 BASE_SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 MULTS = [int(m) for m in sys.argv[2:]] or [1, 2, 4]
@@ -53,6 +53,10 @@ PROBES = [
     ("knn_topk", knn.knn_topk, ("embeddings",)),
     ("kmeans_embeddings", pipeline.kmeans_embeddings, ("embeddings",)),
     ("pack_sequences", pipeline.pack_sequences, ("documents",)),
+    # r05 additions: keeper-selection dedup (one fingerprint shuffle) and
+    # collocation lift (two token-keyed count shuffles + vocab joins)
+    ("dedup_keep_best", dedup.dedup_keep_best, ("documents",)),
+    ("phrase_collocations", textops.phrase_collocations, ("documents",)),
 ]
 
 ALL_TABLES = [
