@@ -188,3 +188,46 @@ def test_kmeans_assignment_is_scan_local(spark):
     assert a["n_shuffles"] == 0
     assert a["n_broadcast_joins"] == 0
     assert a["n_sort_merge_joins"] == 0
+
+
+def test_dedup_keep_best_is_joinless_single_group_shuffle(spark, queries):
+    df = queries["dedup_keep_best"](spark, SF_DIR)
+    df.collect()
+    a = audit_plan(df)
+    # quality + fingerprint are scan-local projections; keeper selection is
+    # max_by inside the ONE fingerprint groupBy — a window/rank formulation
+    # would add a second shuffle, a join formulation a third
+    assert a["n_broadcast_joins"] == 0
+    assert a["n_sort_merge_joins"] == 0
+    assert a["n_shuffles"] <= 2  # groupBy(fingerprint) + output sort
+
+
+def test_phrase_collocations_broadcasts_totals_no_cartesian(spark, queries):
+    df = queries["phrase_collocations"](spark, SF_DIR)
+    a = audit_plan(df)
+    # the per-language totals (1 row per language) must broadcast into the
+    # scored join; vocabulary joins may hash-shuffle (they are vocab-sized)
+    # but nothing may plan as a nested-loop/cartesian
+    assert a["n_broadcast_joins"] >= 1
+    assert a["n_nested_loop_joins"] == 0
+
+
+def test_tpch_q9_broadcasts_all_dimensions(spark, queries):
+    a = audit_plan(queries["tpch_q9_profit"](spark, SF_DIR))
+    # part, supplier, nation are broadcast dims; only lineitem⋈orders and
+    # the nation×year aggregation shuffle
+    assert a["n_broadcast_joins"] >= 3
+    assert any("p_name" in p for p in a["pushed_filters"])
+
+
+def test_tpch_q20_reuses_partkey_shuffle_for_both_aggregates(spark, queries):
+    from nano_vectordb_rs_spark.plans import plan_string
+
+    df = queries["tpch_q20_promotion_suppliers"](spark, SF_DIR)
+    df.collect()
+    plan = plan_string(df)
+    a = audit_plan(df)
+    # the per-part total is a contraction of the per-(part,supplier) frame:
+    # no second lineitem scan may appear
+    assert plan.count("lineitem") <= 1 or plan.lower().count("filescan") <= 2
+    assert a["n_nested_loop_joins"] == 0
