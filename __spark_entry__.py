@@ -178,6 +178,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q11_important_parts": relational3.tpch_q11_important_parts,
         "tpch_q16_supplier_counts": relational3.tpch_q16_supplier_counts,
         "tpch_q20_promotion_suppliers": relational3.tpch_q20_promotion_suppliers,
+        # NEW in r05: clustering→inspection composition (seed-centroid
+        # assignment joined back to doc text; per-cluster topic summary)
+        "cluster_topic_report": pipeline.cluster_topic_report,
         # rotated out in r05 (multiply-verified; see policy above)
         "knn_threshold": knn.knn_threshold,
         "get_by_ids": crud.get_by_ids,
@@ -352,5 +355,6 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q11_important_parts": relational3.TPCH_Q11_SQL,
         "tpch_q16_supplier_counts": relational3.TPCH_Q16_SQL,
         "tpch_q20_promotion_suppliers": relational3.TPCH_Q20_SQL,
+        "cluster_topic_report": pipeline.CLUSTER_TOPIC_SQL,
         "length_filter_report": pipeline.LENGTH_FILTER_SQL,
     }

@@ -493,16 +493,21 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _duck_kmeans_sql() -> str:
-    cents = _init_centroids()
-    values = ",\n    ".join(
+def _centroid_values_sql() -> str:
+    """The seed centroids as a VALUES list for (cell, pos, val) CTEs."""
+    return ",\n    ".join(
         f"({c}, {p + 1}, CAST('{v!r}' AS DOUBLE))"
-        for c, vec in enumerate(cents)
+        for c, vec in enumerate(_init_centroids())
         for p, v in enumerate(vec)
     )
 
-    def assign_cte(cent: str, out: str) -> str:
-        return f"""{out}_dots AS (
+
+def _assign_cte_sql(cent: str, out: str) -> str:
+    """DuckDB twin of ``_assign``: ×1e15 fixed-point integer dots against
+    centroid table ``cent``, max-dot cell with ascending tie-break. Shared
+    by the k-means oracle (every Lloyd round) and cluster_topic_report
+    (seed-centroid assignment)."""
+    return f"""{out}_dots AS (
   SELECT e.vec_id, c.cell,
          sum(CAST(trunc(CAST(e.embedding[c.pos] AS DOUBLE) * c.val * 1e15) AS BIGINT)) AS dot
   FROM embeddings e, {cent} c
@@ -513,6 +518,11 @@ def _duck_kmeans_sql() -> str:
                                  ORDER BY dot DESC, cell ASC) AS rn
     FROM {out}_dots)
   WHERE rn = 1)"""
+
+
+def _duck_kmeans_sql() -> str:
+    values = _centroid_values_sql()
+    assign_cte = _assign_cte_sql
 
     def update_cte(assign: str, prev: str, out: str) -> str:
         return f"""{out}_raw AS (
@@ -563,3 +573,95 @@ FROM (
 WHERE rank <= {BIGRAM_TOP}
 ORDER BY lang, rank
 """
+
+
+# --- embedding-cluster topic report ------------------------------------------
+
+TOPIC_TOP_TERMS = 5
+TOPIC_STOPWORDS = ("the", "a")
+
+
+def cluster_topic_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The clustering→inspection composition every corpus-curation pipeline
+    runs: assign each embedding to its nearest seed centroid (the
+    deterministic IVF/k-means cells), join the assignment back to the
+    documents table on the shared id space, and summarize each cluster by
+    size, language spread, and its most frequent content terms — the
+    human-readable "what IS this cluster" report.
+
+    Plan: the assignment is the scan-local fixed-point projection
+    (pipeline._assign — zero joins/shuffles); the doc join hash-shuffles
+    both sides on the id once; term counting is one (cell, tok) shuffle; the
+    per-cell top-K window runs over K cells. Top-term strings are built via
+    array_sort(struct(rank, tok)) so collect_list's arrival order never
+    leaks into the output."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assign = _assign(spark, emb, _init_centroids()).select("vec_id", "cell")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    joined = assign.join(docs, assign.vec_id == docs.doc_id).select(
+        "cell", "doc_id", "lang", "text"
+    )
+    stats = joined.groupBy("cell").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    toks = (
+        joined.select("cell", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(~F.col("tok").isin(*TOPIC_STOPWORDS))
+        .groupBy("cell", "tok")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("cell").orderBy(F.col("n").desc(), F.col("tok").asc())
+    top = (
+        toks.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOPIC_TOP_TERMS)
+        .groupBy("cell")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rk", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                "|",
+            ).alias("top_terms")
+        )
+    )
+    return (
+        stats.join(top, "cell")
+        .select(F.col("cell").alias("cluster_id"), "n_docs", "n_langs", "top_terms")
+        .orderBy("cluster_id")
+    )
+
+
+def _duck_topic_sql() -> str:
+    stops = ", ".join(f"'{s}'" for s in TOPIC_STOPWORDS)
+    return f"""
+WITH c0(cell, pos, val) AS (VALUES
+    {_centroid_values_sql()}),
+{_assign_cte_sql('c0', 'a0')},
+joined AS (
+  SELECT a0.cell, d.doc_id, d.lang, d.text
+  FROM a0 JOIN documents d ON a0.vec_id = d.doc_id),
+stats AS (
+  SELECT cell, count(*) AS n_docs, count(DISTINCT lang) AS n_langs
+  FROM joined GROUP BY cell),
+counts AS (
+  SELECT cell, tok, count(*) AS n
+  FROM (SELECT cell, unnest(string_split(text, ' ')) AS tok FROM joined)
+  WHERE tok NOT IN ({stops})
+  GROUP BY cell, tok),
+top AS (
+  SELECT cell, string_agg(tok, '|' ORDER BY rk) AS top_terms
+  FROM (
+    SELECT cell, tok, row_number() OVER (PARTITION BY cell
+                                         ORDER BY n DESC, tok ASC) AS rk
+    FROM counts)
+  WHERE rk <= {TOPIC_TOP_TERMS}
+  GROUP BY cell)
+SELECT s.cell AS cluster_id, s.n_docs, s.n_langs, t.top_terms
+FROM stats s JOIN top t ON s.cell = t.cell
+ORDER BY cluster_id
+"""
+
+
+CLUSTER_TOPIC_SQL = _duck_topic_sql()
