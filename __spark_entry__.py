@@ -181,6 +181,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW in r05: clustering→inspection composition (seed-centroid
         # assignment joined back to doc text; per-cluster topic summary)
         "cluster_topic_report": pipeline.cluster_topic_report,
+        # NEW in r05: second iterative-ML surface — power-iteration dominant
+        # principal component with an unrolled-CTE oracle (kmeans's sibling)
+        "embedding_top_component": pipeline.embedding_top_component,
         # rotated out in r05 (multiply-verified; see policy above)
         "knn_threshold": knn.knn_threshold,
         "get_by_ids": crud.get_by_ids,
@@ -356,5 +359,6 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q16_supplier_counts": relational3.TPCH_Q16_SQL,
         "tpch_q20_promotion_suppliers": relational3.TPCH_Q20_SQL,
         "cluster_topic_report": pipeline.CLUSTER_TOPIC_SQL,
+        "embedding_top_component": pipeline.EMBEDDING_TOP_COMPONENT_SQL,
         "length_filter_report": pipeline.LENGTH_FILTER_SQL,
     }

@@ -665,3 +665,170 @@ ORDER BY cluster_id
 
 
 CLUSTER_TOPIC_SQL = _duck_topic_sql()
+
+
+# --- dominant principal component (power iteration) --------------------------
+
+PCA_ITERS = 2
+PCA_SEED = 7
+
+
+def _pca_apply(emb: DataFrame, v: list[float]) -> DataFrame:
+    """One power-iteration application w = Σ_rows (x·v)·x, engine-exact.
+
+    The iteration-k direction is DATA (collected to the driver), embedded as
+    literals: the per-row projection d is the ×1e15 fixed-point integer fold
+    (same trick as the k-means assignment — truncation + exact long adds =
+    order-free), descaled once per row with the same two ops both engines
+    run (CAST(bigint AS DOUBLE) / 1e15). The per-dimension accumulation
+    posexplodes the embedding with multiplier d and sums
+    CAST(d·x AS DECIMAL(38,20)) — map-side partial aggregation means the
+    one exchange carries dim × n_partitions partial rows, never N×dim."""
+    vec = F.array(*[F.lit(float(x)) for x in v])
+    d_int = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            vec,
+            lambda x, y: (x.cast("double") * y * F.lit(1e15)).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    d_dbl = (d_int.cast("double") / F.lit(1e15)).alias("d")
+    return (
+        emb.select(d_dbl, "embedding")
+        .select("d", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.sum((F.col("d") * F.col("x").cast("double")).cast(DECP)).alias("w")
+        )
+    )
+
+
+def _pca_normalize(w_by_pos: dict[int, float]) -> list[float]:
+    """Driver-side renormalization of the 64 accumulated w values — twin of
+    the oracle's decimal-norm CTE: norm² = Σ decimal(w·w), one double sqrt,
+    one division per coordinate. The heavy sums are decimal-exact in both
+    engines; the renormalization itself passes through double division, so
+    the directions can differ in the last ulps — which is why every output
+    column rounds at 6 decimals (the same tolerance discipline the rest of
+    the float surface uses), not why they would be wrong."""
+    from decimal import Decimal
+
+    n2 = sum(Decimal(repr(w * w)) for w in w_by_pos.values())
+    norm = float(n2) ** 0.5
+    return [w_by_pos[p] / norm for p in sorted(w_by_pos)]
+
+
+def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the (uncentered) embedding cloud via
+    power iteration — the spectral primitive under PCA whitening, spectral
+    dedup and outlier scoring. PCA_ITERS rounds of w = Σ (x·v)x from a
+    deterministic seed direction, renormalized each round; output: per
+    label, member count and mean projection onto the final component —
+    plus the component's leading coordinate so sign/direction is pinned.
+
+    Same Pregel-lite shape as kmeans_embeddings: tiny state (one dim-length
+    vector) collected per round, every heavy stage a declarative scan with
+    map-side-combined aggregation, and the DuckDB oracle unrolls the same
+    rounds as chained CTEs with identical fixed-point/decimal arithmetic,
+    so the driver hash-checks an iterative spectral algorithm end-to-end.
+
+    Determinism chain per round: fixed-point projection fold (order-free
+    exact) → bigint→double descale → double multiply → DECIMAL(38,20)
+    order-free sums → decimal norm² → one double sqrt+divide. The two
+    double steps are the only cross-engine wiggle (last-ulp), absorbed by
+    the round(…, 6) on every output — the same tolerance discipline the
+    rest of the float surface uses."""
+    from nano_vectordb_rs_spark.functions.vector import deterministic_vector
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    v = deterministic_vector(EMBEDDING_DIM, seed=PCA_SEED)
+    for _ in range(PCA_ITERS):
+        rows = _pca_apply(emb, v).collect()
+        # decimal -> float via str() matches the oracle's CAST(dec AS DOUBLE)
+        v = _pca_normalize({r["pos"]: float(r["w"]) for r in rows})
+    vec = F.array(*[F.lit(float(x)) for x in v])
+    proj = (
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                vec,
+                lambda x, y: (x.cast("double") * y * F.lit(1e15)).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).cast("double")
+        / F.lit(1e15)
+    )
+    lead = F.lit(round(v[0], 6))
+    return (
+        emb.select("label", proj.alias("p"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(
+                F.sum(F.col("p").cast(DECP)).cast("double") / F.count("*"), 6
+            ).alias("mean_proj"),
+            F.round(
+                F.max(F.abs(F.col("p").cast(DECP)).cast("double")), 6
+            ).alias("max_abs_proj"),
+        )
+        .withColumn("component_lead", lead)
+        .orderBy("label")
+    )
+
+
+def _duck_pca_sql() -> str:
+    from nano_vectordb_rs_spark.functions.vector import deterministic_vector
+
+    v0 = deterministic_vector(EMBEDDING_DIM, seed=PCA_SEED)
+    values = ",\n    ".join(
+        f"({p + 1}, CAST('{x!r}' AS DOUBLE))" for p, x in enumerate(v0)
+    )
+
+    def apply_cte(vin: str, out: str) -> str:
+        # d: fixed-point projection per row; w: decimal per-dimension sums;
+        # norm: decimal sum of squares; vout: renormalized direction
+        return f"""{out}_d AS (
+  SELECT e.vec_id,
+         CAST(sum(CAST(trunc(CAST(e.embedding[v.pos] AS DOUBLE) * v.val * 1e15) AS BIGINT)) AS DOUBLE) / 1e15 AS d
+  FROM embeddings e, {vin} v
+  GROUP BY e.vec_id),
+{out}_w AS (
+  SELECT p.g AS pos,
+         CAST(sum(CAST(dd.d * CAST(e.embedding[p.g] AS DOUBLE) AS DECIMAL(38,20))) AS DOUBLE) AS w
+  FROM {out}_d dd JOIN embeddings e USING (vec_id),
+       UNNEST(generate_series(1, {EMBEDDING_DIM})) AS p(g)
+  GROUP BY p.g),
+{out}_n AS (
+  SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,20))) AS DOUBLE)) AS nrm
+  FROM {out}_w),
+{out} AS (
+  SELECT pos, w / (SELECT nrm FROM {out}_n) AS val FROM {out}_w)"""
+
+    chain = ",\n".join(
+        apply_cte(f"v{i}", f"v{i + 1}") for i in range(PCA_ITERS)
+    )
+    return f"""
+WITH v0(pos, val) AS (VALUES
+    {values}),
+{chain},
+final_d AS (
+  SELECT e.vec_id, e.label,
+         CAST(sum(CAST(trunc(CAST(e.embedding[v.pos] AS DOUBLE) * v.val * 1e15) AS BIGINT)) AS DOUBLE) / 1e15 AS p
+  FROM embeddings e, v{PCA_ITERS} v
+  GROUP BY e.vec_id, e.label)
+SELECT label, count(*) AS n_vecs,
+       round(CAST(sum(CAST(p AS DECIMAL(38,20))) AS DOUBLE) / count(*), 6) AS mean_proj,
+       round(max(CAST(abs(CAST(p AS DECIMAL(38,20))) AS DOUBLE)), 6) AS max_abs_proj,
+       (SELECT round(val, 6) FROM v{PCA_ITERS} WHERE pos = 1) AS component_lead
+FROM final_d
+GROUP BY label
+ORDER BY label
+"""
+
+
+EMBEDDING_TOP_COMPONENT_SQL = _duck_pca_sql()
