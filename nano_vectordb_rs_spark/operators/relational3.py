@@ -28,9 +28,9 @@ Scale design (100 TB):
 - q16: the denylist is a broadcast anti join; count-distinct shuffles on
   (brand, size-bucket, suppkey) then contracts — the two-level exact
   distinct pattern.
-- q20: per-(part,supplier) and per-part aggregates reuse ONE shuffle of
-  lineitem on partkey (the second agg is a contraction of the first);
-  the comparison is a same-key join, and supplier resolution is broadcast.
+- q20: ONE lineitem scan → per-(part,supplier) aggregate → the per-part
+  total as a partkey WINDOW over that contracted frame (no self-join, no
+  second scan); supplier resolution is broadcast.
 
 Determinism: DECIMAL(28,10) partial sums, round(…, 4) on every double
 output, explicit ORDER BY with tie-breaks (SURVEY.md §7.4).
@@ -277,10 +277,12 @@ def tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     TPC-H q20's correlated availqty > 0.5 * sum(l_quantity) threshold,
     adapted to the lineitem-derived supply relation: a supplier qualifies
     if for SOME part their own shipped quantity exceeds half that part's
-    total. Both aggregates come from ONE partkey-shuffled frame (the
-    per-part total is a contraction of the per-(part,supplier) frame); the
-    threshold comparison is a same-key join, then supplier/nation names
-    resolve by broadcast."""
+    total. The per-part total is a WINDOW over the per-(part,supplier)
+    aggregate — one lineitem scan, no self-join, no second scan; the
+    window's partkey exchange carries only the contracted (part, supplier)
+    frame. Supplier/nation names resolve by broadcast."""
+    from pyspark.sql.window import Window
+
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit(Q20_YEAR_START).cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit(Q20_YEAR_END).cast("timestamp_ntz"))
@@ -288,9 +290,9 @@ def tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
         _dsum("l_quantity").alias("supp_qty")
     )
-    per_part = per_ps.groupBy("l_partkey").agg(F.sum("supp_qty").alias("part_qty"))
+    part_total = F.sum("supp_qty").over(Window.partitionBy("l_partkey"))
     dominant = (
-        per_ps.join(per_part, "l_partkey")
+        per_ps.withColumn("part_qty", part_total)
         .filter(F.col("supp_qty") > F.col("part_qty") * 0.5)
         .select("l_suppkey")
         .distinct()

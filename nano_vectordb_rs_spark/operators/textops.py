@@ -583,9 +583,12 @@ def phrase_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "lang", "doc_id", F.split("text", " ").alias("t")
-    ).persist()
+    # the token projection feeds both count aggregations; deliberately NOT
+    # persisted — re-tokenizing a scan-local split is cheaper locally than
+    # block-manager churn, and keeping the plan lazy lets the plan audit
+    # (tests/test_plan_audit.py) see the join strategy. On a 100 TB corpus
+    # you would .persist(DISK_ONLY) this frame to pay the tokenize once.
+    toks = docs.select("lang", "doc_id", F.split("text", " ").alias("t"))
 
     uni = (
         toks.select("lang", F.explode("t").alias("word"))
@@ -628,15 +631,12 @@ def phrase_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("lang").orderBy(F.col("lift").desc(), F.col("phrase").asc())
-    out = (
+    return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= COLLOC_TOP)
         .select("lang", "rank", "phrase", "c_ab", "c_a", "c_b", "lift")
         .orderBy("lang", "rank")
     )
-    rows, schema = out.collect(), out.schema
-    toks.unpersist()
-    return spark.createDataFrame(rows, schema)
 
 
 PHRASE_COLLOCATIONS_SQL = f"""

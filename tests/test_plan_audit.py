@@ -220,14 +220,41 @@ def test_tpch_q9_broadcasts_all_dimensions(spark, queries):
     assert any("p_name" in p for p in a["pushed_filters"])
 
 
-def test_tpch_q20_reuses_partkey_shuffle_for_both_aggregates(spark, queries):
+def test_tpch_q20_single_lineitem_scan_window_total(spark, queries):
     from nano_vectordb_rs_spark.plans import plan_string
 
     df = queries["tpch_q20_promotion_suppliers"](spark, SF_DIR)
     df.collect()
     plan = plan_string(df)
     a = audit_plan(df)
-    # the per-part total is a contraction of the per-(part,supplier) frame:
-    # no second lineitem scan may appear
-    assert plan.count("lineitem") <= 1 or plan.lower().count("filescan") <= 2
+    # the per-part total is a partkey window over the contracted
+    # per-(part,supplier) frame: exactly one lineitem scan, no self-join
+    assert plan.count("lineitem") <= 1
     assert a["n_nested_loop_joins"] == 0
+
+
+def test_cluster_topic_assignment_stays_scan_local(spark, queries):
+    df = queries["cluster_topic_report"](spark, SF_DIR)
+    df.collect()
+    a = audit_plan(df)
+    # the centroid assignment contributes no join (literal-array fold); the
+    # only joins are docs⋈cells and the tiny per-cell stats⋈top-terms merge
+    assert a["n_nested_loop_joins"] == 0
+    # id join + (cell,tok) agg + top-K window + stats join + output sort
+    assert a["n_shuffles"] <= 6
+
+
+def test_pca_apply_is_single_contraction_exchange(spark):
+    from nano_vectordb_rs_spark.functions.vector import deterministic_vector
+    from nano_vectordb_rs_spark.operators.pipeline import PCA_SEED, _pca_apply
+    from nano_vectordb_rs_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    df = _pca_apply(emb, deterministic_vector(64, seed=PCA_SEED))
+    df.collect()
+    a = audit_plan(df)
+    # the projection is a literal fold (no join); the per-dimension sums are
+    # map-side combined, so the one exchange carries dim-keyed partials
+    assert a["n_broadcast_joins"] == 0
+    assert a["n_sort_merge_joins"] == 0
+    assert a["n_shuffles"] <= 1
