@@ -184,6 +184,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW in r05: second iterative-ML surface — power-iteration dominant
         # principal component with an unrolled-CTE oracle (kmeans's sibling)
         "embedding_top_component": pipeline.embedding_top_component,
+        # NEW in r05: per-user z-score anomaly triage over event values
+        "events_anomaly_report": events.events_anomaly_report,
+        # NEW in r05: deterministic shard-export manifest + tokenizer
+        # vocabulary coverage sizing
+        "train_shard_manifest": pipeline.train_shard_manifest,
+        "vocab_coverage_report": pipeline.vocab_coverage_report,
         # rotated out in r05 (multiply-verified; see policy above)
         "knn_threshold": knn.knn_threshold,
         "get_by_ids": crud.get_by_ids,
@@ -360,5 +366,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q20_promotion_suppliers": relational3.TPCH_Q20_SQL,
         "cluster_topic_report": pipeline.CLUSTER_TOPIC_SQL,
         "embedding_top_component": pipeline.EMBEDDING_TOP_COMPONENT_SQL,
+        "events_anomaly_report": events.EVENTS_ANOMALY_SQL,
+        "train_shard_manifest": pipeline.TRAIN_SHARD_MANIFEST_SQL,
+        "vocab_coverage_report": pipeline.VOCAB_COVERAGE_SQL,
         "length_filter_report": pipeline.LENGTH_FILTER_SQL,
     }

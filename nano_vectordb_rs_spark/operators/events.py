@@ -663,3 +663,83 @@ FROM flagged
 GROUP BY day
 ORDER BY day
 """
+
+
+# --- per-user anomaly scoring (z-score outliers) -----------------------------
+
+ANOMALY_Z = 2.0
+ANOMALY_MIN_EVENTS = 5
+
+
+def events_anomaly_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score outlier detection over event values — the data-quality
+    triage step ingestion pipelines run to catch instrumentation bugs and
+    abuse: events whose value sits more than ANOMALY_Z standard deviations
+    from that user's own mean, reported per event type.
+
+    Determinism: the user moments go through DECIMAL partial sums
+    (order-free), and variance uses the explicit (m2 - s²/n)/(n-1) op
+    sequence in BOTH engines, so every z is built from bit-agreed inputs;
+    outputs round at 4. Scale shape: one groupBy(user) shuffle for moments
+    (map-side combined), one user-keyed join back onto the event scan (both
+    sides hash-partition on user_id — co-located), one tiny (event_type)
+    contraction. Users with < ANOMALY_MIN_EVENTS events are excluded (a
+    2-event user makes every event an 'outlier' of its own mean)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("value").cast("double").alias("v")
+    )
+    stats = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("v").cast(DEC)).cast("double").alias("s"),
+            F.sum((F.col("v") * F.col("v")).cast(DEC)).cast("double").alias("m2"),
+        )
+        .filter(F.col("n") >= ANOMALY_MIN_EVENTS)
+        .select(
+            "user_id",
+            (F.col("s") / F.col("n")).alias("mean_v"),
+            F.sqrt(
+                (F.col("m2") - F.col("s") * F.col("s") / F.col("n"))
+                / (F.col("n") - 1)
+            ).alias("std_v"),
+        )
+        .filter(F.col("std_v") > 0)
+    )
+    z = (F.col("v") - F.col("mean_v")) / F.col("std_v")
+    return (
+        ev.join(stats, "user_id")
+        .select("event_type", z.alias("z"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_scored"),
+            F.sum((F.abs(F.col("z")) > ANOMALY_Z).cast("int")).alias("n_outliers"),
+            F.round(F.max(F.abs(F.col("z"))), 4).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_ANOMALY_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_type, CAST(value AS DOUBLE) AS v FROM events),
+stats AS (
+  SELECT user_id,
+         s / n AS mean_v,
+         sqrt((m2 - s * s / n) / (n - 1)) AS std_v
+  FROM (
+    SELECT user_id, count(*) AS n,
+           CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE) AS s,
+           CAST(sum(CAST(v * v AS DECIMAL(28,10))) AS DOUBLE) AS m2
+    FROM ev GROUP BY user_id)
+  WHERE n >= {ANOMALY_MIN_EVENTS})
+SELECT event_type,
+       count(*) AS n_scored,
+       CAST(sum(CASE WHEN abs((v - mean_v) / std_v) > {ANOMALY_Z} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       round(max(abs((v - mean_v) / std_v)), 4) AS max_abs_z
+FROM ev JOIN stats USING (user_id)
+WHERE std_v > 0
+GROUP BY event_type
+ORDER BY event_type
+"""

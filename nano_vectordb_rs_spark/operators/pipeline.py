@@ -832,3 +832,136 @@ ORDER BY label
 
 
 EMBEDDING_TOP_COMPONENT_SQL = _duck_pca_sql()
+
+
+# --- training shard manifest -------------------------------------------------
+
+N_SHARDS = 16
+
+
+def train_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard assignment for training-data export — the
+    "global shuffle" step that materializes a corpus as N fixed shards
+    (WebDataset/TFRecord style): shard = md5(doc_id) mod N, so assignment
+    is reproducible across runs, engines, and partitionings with no RNG
+    seed handshake, and any subset of machines can materialize any subset
+    of shards independently. Output: the manifest a trainer consumes —
+    per shard, doc/token/byte counts plus the doc_id span — which also
+    serves as the balance check (hash sharding ⇒ near-uniform shards).
+
+    Scale shape: the assignment is a scan-local projection; the manifest
+    is ONE N-row aggregation. The actual data movement at export time is
+    a write partitioned by shard — Spark shuffles once on the shard key,
+    exactly the plan this manifest predicts."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = F.expr(
+        f"CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % {N_SHARDS}"
+    )
+    return (
+        docs.select(
+            shard.alias("shard"),
+            "doc_id",
+            F.size(F.split("text", " ")).alias("tok"),
+            "n_chars",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok").alias("n_tokens"),
+            F.sum("n_chars").alias("n_bytes"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
+TRAIN_SHARD_MANIFEST_SQL = f"""
+SELECT CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % {N_SHARDS} AS BIGINT) AS shard,
+       count(*) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc
+FROM documents
+GROUP BY 1
+ORDER BY shard
+"""
+
+
+# --- vocabulary coverage -----------------------------------------------------
+
+VOCAB_TOP_K = 10
+
+
+def vocab_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary sizing: build the top-K whole-word vocabulary by
+    corpus frequency and report, per language, what fraction of token
+    OCCURRENCES the shared top-K vocab covers — the curve a tokenizer team
+    reads before fixing a vocab size (coverage of the head vs the long
+    tail of out-of-vocab tokens).
+
+    Plan: one exploded-token count shuffle builds the global vocab; the
+    top-K cut is a K-row broadcast; per-language coverage is a second
+    count aggregation joined against that broadcast — the corpus never
+    shuffles on anything wider than (lang, token)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("c").desc(), F.col("tok").asc())
+            ),
+        )
+        .filter(F.col("rk") <= VOCAB_TOP_K)
+        .select("tok")
+    )
+    per_lang = toks.groupBy("lang", "tok").agg(F.count("*").alias("n"))
+    covered = per_lang.join(F.broadcast(vocab), "tok", "left_semi").groupBy(
+        "lang"
+    ).agg(F.sum("n").alias("n_covered"))
+    totals = per_lang.groupBy("lang").agg(
+        F.sum("n").alias("n_total"),
+        F.count("*").alias("n_distinct_toks"),
+    )
+    return (
+        totals.join(covered, "lang")
+        .select(
+            "lang",
+            "n_total",
+            "n_distinct_toks",
+            "n_covered",
+            F.round(F.col("n_covered") / F.col("n_total"), 6).alias("coverage"),
+        )
+        .orderBy("lang")
+    )
+
+
+VOCAB_COVERAGE_SQL = f"""
+WITH toks AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+vocab AS (
+  SELECT tok FROM (
+    SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS rk
+    FROM toks GROUP BY tok)
+  WHERE rk <= {VOCAB_TOP_K}),
+per_lang AS (
+  SELECT lang, tok, count(*) AS n FROM toks GROUP BY lang, tok),
+covered AS (
+  SELECT lang, CAST(sum(n) AS BIGINT) AS n_covered
+  FROM per_lang WHERE tok IN (SELECT tok FROM vocab)
+  GROUP BY lang),
+totals AS (
+  SELECT lang, CAST(sum(n) AS BIGINT) AS n_total,
+         count(*) AS n_distinct_toks
+  FROM per_lang GROUP BY lang)
+SELECT t.lang, t.n_total, t.n_distinct_toks, c.n_covered,
+       round(c.n_covered / CAST(t.n_total AS DOUBLE), 6) AS coverage
+FROM totals t JOIN covered c ON t.lang = c.lang
+ORDER BY t.lang
+"""
