@@ -258,3 +258,33 @@ def test_pca_apply_is_single_contraction_exchange(spark):
     assert a["n_broadcast_joins"] == 0
     assert a["n_sort_merge_joins"] == 0
     assert a["n_shuffles"] <= 1
+
+
+def test_events_anomaly_no_second_events_scan_explosion(spark, queries):
+    df = queries["events_anomaly_report"](spark, SF_DIR)
+    df.collect()
+    a = audit_plan(df)
+    # moments groupBy + join back + event_type contraction + output sort;
+    # no nested loop anywhere
+    assert a["n_nested_loop_joins"] == 0
+    assert a["n_shuffles"] <= 5
+
+
+def test_train_shard_manifest_is_scan_local_single_agg(spark, queries):
+    df = queries["train_shard_manifest"](spark, SF_DIR)
+    df.collect()
+    a = audit_plan(df)
+    # shard assignment is a projection; only the N_SHARDS-row aggregation
+    # and the output sort shuffle
+    assert a["n_broadcast_joins"] == 0 and a["n_sort_merge_joins"] == 0
+    assert a["n_shuffles"] <= 2
+
+
+def test_vocab_coverage_broadcasts_topk_vocab(spark, queries):
+    df = queries["vocab_coverage_report"](spark, SF_DIR)
+    df.collect()
+    a = audit_plan(df)
+    # the K-row vocabulary must broadcast into the coverage semi join — a
+    # shuffle join against the (lang, tok) counts would move the corpus
+    assert a["n_broadcast_joins"] >= 1
+    assert a["n_nested_loop_joins"] == 0
