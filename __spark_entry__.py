@@ -193,6 +193,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # vocabulary coverage sizing
         "train_shard_manifest": pipeline.train_shard_manifest,
         "vocab_coverage_report": pipeline.vocab_coverage_report,
+        # NEW in r05: PQ/ADC completes the ANN portfolio (IVF, LSH, PQ)
+        "ann_pq_topk": similarity.ann_pq_topk,
         # rotated out in r05 (multiply-verified; see policy above)
         "knn_threshold": knn.knn_threshold,
         "get_by_ids": crud.get_by_ids,
@@ -372,5 +374,6 @@ def oracle_sql() -> dict[str, str]:
         "events_anomaly_report": events.EVENTS_ANOMALY_SQL,
         "train_shard_manifest": pipeline.TRAIN_SHARD_MANIFEST_SQL,
         "vocab_coverage_report": pipeline.VOCAB_COVERAGE_SQL,
+        "ann_pq_topk": similarity.ANN_PQ_SQL,
         "length_filter_report": pipeline.LENGTH_FILTER_SQL,
     }

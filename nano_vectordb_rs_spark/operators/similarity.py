@@ -738,3 +738,190 @@ JOIN sizes s2 ON id2 = s2.doc_id
 ORDER BY cos_score DESC, id1, id2
 LIMIT 50
 """
+
+
+# --- product-quantization ANN ------------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_SUB = EMBEDDING_DIM // PQ_M  # dims per subspace
+PQ_K = 16  # codes per subspace
+PQ_TOPK = 10
+_FP = 1e15
+
+
+def _pq_codebook() -> list[list[list[float]]]:
+    """Deterministic unit codebooks, one K-entry book per subspace (seeds
+    1000+). Untrained (the per-subspace Lloyd refinement k-means runs for
+    the IVF cells would drop in unchanged), but every PQ mechanism —
+    encode, LUT build, ADC scan — is the real algorithm; with unit codes,
+    max-dot encoding equals the canonical min-L2 assignment
+    (argmin ‖x−c‖² = argmax x·c − ‖c‖²/2, and ‖c‖ ≡ 1)."""
+    return [
+        [
+            deterministic_vector(PQ_SUB, seed=1000 + m * PQ_K + k)
+            for k in range(PQ_K)
+        ]
+        for m in range(PQ_M)
+    ]
+
+
+def _pq_lut_fp(query: list[float]) -> list[list[int]]:
+    """ADC lookup table as EXACT fixed-point integers: lut[m][k] =
+    Σ_i trunc(q_i · c_i · 1e15). Python float ops are IEEE doubles with the
+    same (q·c)·1e15 association both engines use and int() truncates toward
+    zero like Spark's double→long cast and DuckDB's trunc, so the literal
+    ints embedded into BOTH sides are identical by construction."""
+    cb = _pq_codebook()
+    return [
+        [
+            sum(
+                int(query[m * PQ_SUB + i] * cb[m][k][i] * _FP)
+                for i in range(PQ_SUB)
+            )
+            for k in range(PQ_K)
+        ]
+        for m in range(PQ_M)
+    ]
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN — the third leg of the ANN portfolio next
+    to IVF cells and LSH buckets, and the one that scales MEMORY: each
+    vector compresses to M=8 4-bit codes (4 bytes vs 256), and queries
+    scan codes with a per-subspace lookup table (ADC) instead of touching
+    floats.
+
+    Plan shape (100 TB story): encode is a scan-local projection against
+    LITERAL codebooks (zero joins — same trick as the k-means assignment);
+    in production the codes materialize once as a 4-byte column and the
+    ADC scan reads ONLY that column (column pruning does the 64×
+    compression); scoring sums M literal-array lookups per row, and top-k
+    is the bounded TakeOrderedAndProject every KNN query here uses. The
+    exact cosine rides along per survivor so the approximation error is
+    visible in the result itself.
+
+    Determinism: codes come from ×1e15 fixed-point integer dots
+    (truncation + exact long adds — order-free); the ADC score is a sum of
+    integer LUT entries, compared as the INTEGER before any rounding, so
+    ranking ties are impossible to disagree on."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = _pq_codebook()
+    lut = _pq_lut_fp(QUERY_VECTOR)
+
+    def sub_dot(m: int, code_vec: list[float]):
+        # compact HOF fold over the pre-bound subspace slice — an unrolled
+        # 8-term expression ×128 codes blows the whole-stage-codegen method
+        # limit and falls back to interpreted eval (~10× slower); the
+        # zip_with/aggregate form stays inside codegen like the k-means
+        # assignment it mirrors
+        code = F.array(*[F.lit(float(v)) for v in code_vec])
+        return F.aggregate(
+            F.zip_with(
+                F.col(f"_s{m}"),
+                code,
+                lambda x, y: (x.cast("double") * y * F.lit(_FP)).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        )
+
+    # bind each subspace slice once, then each subspace's K dots as a named
+    # array column — array_position(array_max) reads it twice, and
+    # rebuilding the 16-fold dot array inline would double the projection
+    coded = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        *[
+            F.slice("embedding", m * PQ_SUB + 1, PQ_SUB).alias(f"_s{m}")
+            for m in range(PQ_M)
+        ],
+    ).select(
+        "vec_id",
+        "label",
+        "embedding",
+        *[
+            F.array(*[sub_dot(m, cb[m][k]) for k in range(PQ_K)]).alias(f"_d{m}")
+            for m in range(PQ_M)
+        ],
+    ).select(
+        "vec_id",
+        "label",
+        "embedding",
+        *[
+            (F.expr(f"array_position(_d{m}, array_max(_d{m}))") - 1)
+            .cast("int")
+            .alias(f"code{m}")
+            for m in range(PQ_M)
+        ],
+    )
+    score_fp = None
+    for m in range(PQ_M):
+        term = F.element_at(
+            F.array(*[F.lit(int(v)) for v in lut[m]]), F.col(f"code{m}") + 1
+        )
+        score_fp = term if score_fp is None else score_fp + term
+    return (
+        coded.withColumn("score_fp", score_fp)
+        .select(
+            "vec_id",
+            "label",
+            "score_fp",
+            F.round(F.col("score_fp").cast("double") / F.lit(_FP), 6).alias(
+                "pq_dot"
+            ),
+            F.round(F.expr(cosine_expr("embedding", QUERY_VECTOR)), 6).alias(
+                "exact_cos"
+            ),
+        )
+        .orderBy(F.col("score_fp").desc(), F.col("vec_id").asc())
+        .limit(PQ_TOPK)
+        .drop("score_fp")
+    )
+
+
+def _duck_pq_sql() -> str:
+    cb = _pq_codebook()
+    lut = _pq_lut_fp(QUERY_VECTOR)
+    cb_values = ",\n    ".join(
+        f"({m}, {k}, {i + 1}, CAST('{cb[m][k][i]!r}' AS DOUBLE))"
+        for m in range(PQ_M)
+        for k in range(PQ_K)
+        for i in range(PQ_SUB)
+    )
+    lut_values = ",\n    ".join(
+        f"({m}, {k}, CAST({lut[m][k]} AS BIGINT))"
+        for m in range(PQ_M)
+        for k in range(PQ_K)
+    )
+    exact = duck_cosine_lit("embedding", QUERY_VECTOR, EMBEDDING_DIM)
+    return f"""
+WITH cb(m, k, pos, val) AS (VALUES
+    {cb_values}),
+lut(m, k, fp) AS (VALUES
+    {lut_values}),
+dots AS (
+  SELECT e.vec_id, c.m, c.k,
+         sum(CAST(trunc(CAST(e.embedding[c.m * {PQ_SUB} + c.pos] AS DOUBLE) * c.val * 1e15) AS BIGINT)) AS dot
+  FROM embeddings e, cb c
+  GROUP BY 1, 2, 3),
+codes AS (
+  SELECT vec_id, m, k AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                 ORDER BY dot DESC, k ASC) AS rn
+    FROM dots)
+  WHERE rn = 1),
+scores AS (
+  SELECT c.vec_id, sum(l.fp) AS score_fp
+  FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.k
+  GROUP BY c.vec_id)
+SELECT e.vec_id, e.label,
+       round(CAST(s.score_fp AS DOUBLE) / 1e15, 6) AS pq_dot,
+       round({exact}, 6) AS exact_cos
+FROM scores s JOIN embeddings e ON s.vec_id = e.vec_id
+ORDER BY s.score_fp DESC, e.vec_id ASC
+LIMIT {PQ_TOPK}
+"""
+
+
+ANN_PQ_SQL = _duck_pq_sql()
