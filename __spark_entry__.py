@@ -41,7 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Declared query surface, 117 entries — every entry has a DuckDB value
+    """Declared query surface, 118 entries — every entry has a DuckDB value
     oracle in ``oracle_sql()`` (zero rows-only checks as of round 5).
 
     GATE-ROTATION POLICY (round 5): the driver's correctness gate checks the
@@ -79,7 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       tpch_q20_promotion_suppliers), label_centroids_mergeable, and the
       post-freeze r05 additions (cluster_topic_report,
       embedding_top_component, events_anomaly_report, train_shard_manifest,
-      vocab_coverage_report).
+      vocab_coverage_report, ann_pq_topk).
     * Historical green rounds per family are tracked in PARITY.md §gate.
     * Entries 51+ keep full local coverage every round via
       tests/test_oracle_parity.py (stricter than the driver: dtype-class +
