@@ -57,6 +57,9 @@ PROBES = [
     # collocation lift (two token-keyed count shuffles + vocab joins)
     ("dedup_keep_best", dedup.dedup_keep_best, ("documents",)),
     ("phrase_collocations", textops.phrase_collocations, ("documents",)),
+    # r05 late additions: PQ encode+ADC (scan-local) and power-iteration PCA
+    ("ann_pq_topk", similarity.ann_pq_topk, ("embeddings",)),
+    ("embedding_top_component", pipeline.embedding_top_component, ("embeddings",)),
 ]
 
 ALL_TABLES = [
