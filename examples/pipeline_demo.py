@@ -10,6 +10,8 @@ corpus into packed LLM pre-training contexts:
     → cleaned corpus       (written back as a documents table)
     → pack_sequences       (two-phase prefix-sum context packing)
     → corpus_budget_report (what's left, per language)
+    → train_shard_manifest (deterministic md5-mod-N export shards)
+    → vocab_coverage_report (top-K vocabulary coverage curve)
 
 Composition pattern: every stage is declarative DataFrame algebra; the
 cleaned corpus is written as `<out>/documents.parquet`, which makes the
@@ -82,9 +84,13 @@ def main(spark=None, sf_dir: str = "/root/testdata/sf0.001", out_dir: str | None
     #    declared operator now runs against it unchanged
     train.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
 
-    # 6-7. downstream, straight from the declared surface
+    # 6-9. downstream, straight from the declared surface: context packing,
+    #    per-language budget, the shard-export manifest a trainer consumes,
+    #    and the tokenizer vocab-coverage curve — all corpus-dir-generic
     packed = pipeline.pack_sequences(spark, out_dir)
     budget = textops.corpus_budget_report(spark, out_dir)
+    shards = pipeline.train_shard_manifest(spark, out_dir)
+    coverage = pipeline.vocab_coverage_report(spark, out_dir)
 
     n_train = spark.read.parquet(f"{out_dir}/documents.parquet").count()
     n_contexts = packed.count()
@@ -93,6 +99,8 @@ def main(spark=None, sf_dir: str = "/root/testdata/sf0.001", out_dir: str | None
         "n_train_clean": n_train,
         "n_contexts": n_contexts,
         "budget_rows": budget.collect(),
+        "n_shards": shards.count(),
+        "coverage_rows": coverage.collect(),
         "out_dir": out_dir,
     }
     print(
