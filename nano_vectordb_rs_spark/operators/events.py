@@ -377,15 +377,62 @@ def events_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFra
     percentiles (rounded to 4) plus one boolean per quantile claiming the
     sketch estimate lies inside the exact [q-0.02, q+0.02] quantile bracket
     — GK's rank guarantee at accuracy 10000 is 1e-4 quantile units, so a
-    healthy sketch sits 200× inside the bracket, and a comparison against
-    VALUES (not interpolation) keeps sparse-tail discretization from
-    flipping the boolean. The oracle emits quantile_cont + literal TRUEs."""
+    healthy sketch sits 200× inside the bracket. The oracle emits
+    quantile_cont + literal TRUEs.
+
+    SCALE (round-6 rewrite): the exact brackets are NOT computed with the
+    exact-``percentile`` UDAF (ObjectHashAggregate buffers every value per
+    group — unbounded memory, the precise shape the sketch path exists to
+    avoid). Instead they come from a bounded pre-aggregation:
+    ``groupBy(event_type, value).count()`` (map-side combining, state
+    bounded by distinct-value cardinality) → a cumulative-count window per
+    event_type assigns each distinct value its 0-based rank interval
+    ``[lo_rank, hi_rank]`` → one conditional-max aggregate picks the value
+    at ``floor(h)``/``ceil(h)`` for each target rank ``h = q*(n-1)`` →
+    the same ``lower + (higher-lower)*(h-floor(h))`` interpolation Spark's
+    percentile and DuckDB's quantile_cont both use. Window partitions hold
+    only the distinct values of one event_type (~18k rows at sf0.1). A
+    plan-audit test asserts the exact-percentile UDAF never reappears."""
     ev = _events(spark, sf_dir)
-    # [lo, target, hi] per quantile; hi of p99 is the max (quantile 1.0)
-    qs = "array(0.48D, 0.5D, 0.52D, 0.88D, 0.9D, 0.92D, 0.97D, 0.99D, 1.0D)"
-    agg = ev.groupBy("event_type").agg(
+    # bounded pre-aggregation: distinct (event_type, value) with multiplicity
+    g = ev.groupBy("event_type", "value").agg(F.count("*").alias("cnt"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    ranked = g.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        "value",
+        "cnt",
+        (F.sum("cnt").over(w_cum) - F.col("cnt")).alias("lo_rank"),
+        (F.sum("cnt").over(w_cum) - F.lit(1)).alias("hi_rank"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+
+    # interpolation targets: [lo, target, hi] per quantile; p99's hi is max
+    QS = [0.48, 0.5, 0.52, 0.88, 0.9, 0.92, 0.97, 0.99, 1.0]
+
+    def value_at(rank):  # exactly one distinct value's interval contains rank
+        hit = (F.col("lo_rank") <= rank) & (rank <= F.col("hi_rank"))
+        return F.max(F.when(hit, F.col("value")))
+
+    agg_exprs = [F.max("n").alias("_n")]
+    for i, q in enumerate(QS):
+        h = F.lit(q) * (F.col("n") - F.lit(1)).cast("double")
+        agg_exprs.append(value_at(F.floor(h)).alias(f"_vf{i}"))
+        agg_exprs.append(value_at(F.ceil(h)).alias(f"_vc{i}"))
+    ex = ranked.groupBy("event_type").agg(*agg_exprs)
+
+    def exq(i: int, q: float):  # Spark/DuckDB linear interpolation form
+        h = F.lit(q) * (F.col("_n") - F.lit(1)).cast("double")
+        frac = h - F.floor(h).cast("double")
+        return F.col(f"_vf{i}") + (F.col(f"_vc{i}") - F.col(f"_vf{i}")) * frac
+
+    # GK sketch: partial sketches merge map-side, memory bounded by accuracy
+    ap = ev.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        F.expr(f"percentile(value, {qs})").alias("_ex"),
         F.expr("percentile_approx(value, array(0.5D, 0.9D, 0.99D), 10000)").alias(
             "_ap"
         ),
@@ -393,20 +440,25 @@ def events_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFra
 
     def ok(i: int, lo: int, hi: int, name: str):
         return (
-            (F.col("_ap")[i] >= F.col("_ex")[lo])
-            & (F.col("_ap")[i] <= F.col("_ex")[hi])
+            (F.col("_ap")[i] >= exq(lo, QS[lo]))
+            & (F.col("_ap")[i] <= exq(hi, QS[hi]))
         ).alias(name)
 
-    return agg.select(
-        "event_type",
-        "n_events",
-        F.round(F.col("_ex")[1], 4).alias("p50"),
-        F.round(F.col("_ex")[4], 4).alias("p90"),
-        F.round(F.col("_ex")[7], 4).alias("p99"),
-        ok(0, 0, 2, "p50_ok"),
-        ok(1, 3, 5, "p90_ok"),
-        ok(2, 6, 8, "p99_ok"),
-    ).orderBy("event_type")
+    # both sides are ~#event_type rows; broadcast the sketch side
+    return (
+        ex.join(F.broadcast(ap), "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            F.round(exq(1, 0.5), 4).alias("p50"),
+            F.round(exq(4, 0.9), 4).alias("p90"),
+            F.round(exq(7, 0.99), 4).alias("p99"),
+            ok(0, 0, 2, "p50_ok"),
+            ok(1, 3, 5, "p90_ok"),
+            ok(2, 6, 8, "p99_ok"),
+        )
+        .orderBy("event_type")
+    )
 
 
 EVENTS_VALUE_PCTL_SQL = """

@@ -929,14 +929,19 @@ def vocab_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_total"),
         F.count("*").alias("n_distinct_toks"),
     )
+    # LEFT join + coalesce(0): a language whose tokens never reach the
+    # top-K vocab must surface with coverage 0.0 — the worst-covered
+    # languages are exactly what this report exists to expose
     return (
-        totals.join(covered, "lang")
+        totals.join(covered, "lang", "left")
         .select(
             "lang",
             "n_total",
             "n_distinct_toks",
-            "n_covered",
-            F.round(F.col("n_covered") / F.col("n_total"), 6).alias("coverage"),
+            F.coalesce("n_covered", F.lit(0)).alias("n_covered"),
+            F.round(
+                F.coalesce("n_covered", F.lit(0)) / F.col("n_total"), 6
+            ).alias("coverage"),
         )
         .orderBy("lang")
     )
@@ -960,8 +965,9 @@ totals AS (
   SELECT lang, CAST(sum(n) AS BIGINT) AS n_total,
          count(*) AS n_distinct_toks
   FROM per_lang GROUP BY lang)
-SELECT t.lang, t.n_total, t.n_distinct_toks, c.n_covered,
-       round(c.n_covered / CAST(t.n_total AS DOUBLE), 6) AS coverage
-FROM totals t JOIN covered c ON t.lang = c.lang
+SELECT t.lang, t.n_total, t.n_distinct_toks,
+       CAST(coalesce(c.n_covered, 0) AS BIGINT) AS n_covered,
+       round(coalesce(c.n_covered, 0) / CAST(t.n_total AS DOUBLE), 6) AS coverage
+FROM totals t LEFT JOIN covered c ON t.lang = c.lang
 ORDER BY t.lang
 """

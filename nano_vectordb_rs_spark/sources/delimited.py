@@ -64,7 +64,17 @@ def read_csv_collection(
     array<float>, metadata columns); ``quarantine`` holds every rejected
     input row with a ``reject_reason`` column (malformed line / wrong
     dimension / non-numeric or non-finite vector element) — the
-    bad-records side channel a production ingest keeps for triage."""
+    bad-records side channel a production ingest keeps for triage.
+
+    CACHING CONTRACT: both frames split one cached scan of the parsed
+    input, and the CALLER owns its lifetime — long-lived sessions doing
+    repeated loads must release it once the split is consumed, via the
+    ``source_cache`` attribute set on both returned frames::
+
+        clean, quarantine = read_csv_collection(spark, path, dim)
+        ...  # materialize what you need
+        clean.source_cache.unpersist()
+    """
     fields = [
         T.StructField(ID_COL, T.StringType(), True),
         T.StructField(VECTOR_COL, T.StringType(), True),
@@ -92,8 +102,12 @@ def read_csv_collection(
     )
     with_vec = raw.withColumn("__parsed__", parsed)
     ok_dim = F.size("__parsed__") == embedding_dim
+    # reject null (unparseable), NaN, AND ±Inf — try_cast accepts the
+    # strings 'Infinity'/'-Infinity', and an infinite element poisons every
+    # downstream norm/dot product
     ok_elems = ~F.exists(
-        "__parsed__", lambda x: x.isNull() | F.isnan(x)
+        "__parsed__",
+        lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
     )
     ok = (
         F.col(CORRUPT_COL).isNull()
@@ -124,4 +138,7 @@ def read_csv_collection(
         reason.alias("reject_reason"),
         F.col(CORRUPT_COL),
     )
+    # hand the cached intermediate to the caller (see docstring contract)
+    clean.source_cache = raw
+    quarantine.source_cache = raw
     return clean, quarantine

@@ -80,10 +80,13 @@ def read_events_stream(
 def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Tumbling-window per-type counts with late-data watermark.
 
-    Emits (hour_start epoch-seconds, event_type, n_events, n_users) — the same
-    key/shape as the batch ``events_hourly`` so results are comparable 1:1.
-    ``approx_count_distinct`` is NOT used here: the batch twin uses exact
-    distinct, and the streaming agg keys are low-cardinality enough for exact.
+    Emits (hour_start epoch-seconds, event_type, n_events, approx_users).
+    User cardinality is ``approx_count_distinct`` (HLL++): exact distinct in
+    a streaming agg would hold every user id per open window in the state
+    store, while the sketch keeps state O(1) per key — the scale-correct
+    choice for an unbounded stream. (The GATED query,
+    ``streaming_hourly_counts`` below, instead emits exact counts + a
+    DECIMAL sum so its oracle is value-hashable.)
     """
     return (
         events.withWatermark("event_time", watermark)
@@ -301,9 +304,19 @@ def run_available_now(
             .start()
         )
         q.awaitTermination()
+        # data micro-batch count, for callers whose semantics assume the
+        # drain ran as a single batch (see streaming_dedup_counts)
+        _DATA_BATCHES[query_name] = sum(
+            1 for p in q.recentProgress if p and p.get("numInputRows", 0) > 0
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return query_name
+
+
+#: query name -> number of micro-batches that carried input rows in the last
+#: availableNow drain (bounded: entries are popped by _drain_to_local)
+_DATA_BATCHES: dict[str, int] = {}
 
 
 # --- declared driver-gate query ---------------------------------------------
@@ -375,12 +388,21 @@ ORDER BY 1, 2
 
 
 def _drain_to_local(
-    spark: SparkSession, stream_df: DataFrame, output_mode: str, prefix: str
+    spark: SparkSession,
+    stream_df: DataFrame,
+    output_mode: str,
+    prefix: str,
+    max_data_batches: int | None = None,
 ) -> DataFrame:
     """availableNow-drain ``stream_df`` into a memory sink, materialize the
     bounded result driver-side, then drop the sink table and checkpoint dir
     (same no-leak contract as streaming_hourly_counts) and hand back a
-    self-contained local DataFrame."""
+    self-contained local DataFrame.
+
+    ``max_data_batches``: callers whose CORRECTNESS depends on the drain
+    arriving in at most N micro-batches (see streaming_dedup_counts) pass
+    it so a config drift (maxFilesPerTrigger in session conf, a multi-file
+    fixture) fails loudly here instead of as a puzzling hash mismatch."""
     import shutil
     import tempfile
     import uuid
@@ -389,6 +411,17 @@ def _drain_to_local(
     name = run_available_now(
         stream_df, f"{prefix}_{uuid.uuid4().hex[:8]}", output_mode, ckpt
     )
+    n_batches = _DATA_BATCHES.pop(name, None)
+    if (
+        max_data_batches is not None
+        and n_batches is not None
+        and n_batches > max_data_batches
+    ):
+        raise RuntimeError(
+            f"{prefix}: drain split into {n_batches} data micro-batches "
+            f"(max {max_data_batches}); the caller's watermark semantics "
+            "assume fewer — check maxFilesPerTrigger / source file layout"
+        )
     sunk = spark.table(name)
     rows, schema = sunk.collect(), sunk.schema
     spark.catalog.dropTempView(name)
@@ -410,7 +443,18 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     mismatch immediately, so the state-store semantics — not just the agg —
     are what the value check pins. Dedup-key state is watermark-bounded
     (O(arrival rate x horizon)); both stateful operators key their state
-    with the shuffle, so the plan runs unbounded on a real cluster."""
+    with the shuffle, so the plan runs unbounded on a real cluster.
+
+    SINGLE-BATCH ASSUMPTION (oracle-side only): the replay collapses to
+    exactly one copy only while both copies of an event land inside the
+    dedup state horizon. With the one-file fixture and no
+    maxFilesPerTrigger, the availableNow drain is one micro-batch, so this
+    holds trivially; if a config change ever splits the drain, state older
+    than max_ts - 2h could evict between batches and replays double-count.
+    The drain therefore asserts ONE data micro-batch (max_data_batches=1)
+    and fails with a clear error instead of a puzzling hash mismatch. A
+    production at-least-once ingest sizes the dedup watermark to its
+    redelivery horizon — the semantics are batch-count-free there."""
     doubled = read_events_stream(spark, sf_dir).unionByName(
         read_events_stream(spark, sf_dir)
     )
@@ -432,7 +476,9 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    out = _drain_to_local(spark, agg, "complete", "stream_dedup")
+    out = _drain_to_local(
+        spark, agg, "complete", "stream_dedup", max_data_batches=1
+    )
     return out.orderBy("hour_start", "event_type")
 
 

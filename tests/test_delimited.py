@@ -60,6 +60,9 @@ def test_csv_quarantine_catches_bad_rows(spark, tmp_path):
         f"a,{good_vec},x\n"  # clean
         "b,0.5;0.5;0.5,x\n"  # wrong dimension (3 of 4)
         "c,0.5;oops;0.5;0.5,x\n"  # non-numeric element
+        "d,0.5;Infinity;0.5;0.5,x\n"  # infinite element (try_cast accepts!)
+        "e,0.5;-Infinity;0.5;0.5,x\n"
+        "f,0.5;NaN;0.5;0.5,x\n"
         f",{good_vec},x\n"  # missing id
     )
     clean, quarantine = read_csv_collection(spark, str(d), 4, META)
@@ -69,6 +72,18 @@ def test_csv_quarantine_catches_bad_rows(spark, tmp_path):
         r["reject_reason"] for r in quarantine.select("reject_reason").collect()
     }
     assert reasons == {"wrong_dimension", "bad_vector_element", "missing_field"}
+
+
+def test_csv_source_cache_is_releasable(spark, tmp_path):
+    src = _fixture_frame(spark).limit(5)
+    path = str(tmp_path / "col_cache")
+    write_csv_collection(src, path)
+    clean, quarantine = read_csv_collection(spark, path, 64, META)
+    clean.count()
+    assert clean.source_cache.storageLevel.useMemory  # split shares one scan
+    assert quarantine.source_cache is clean.source_cache
+    clean.source_cache.unpersist(blocking=True)
+    assert not clean.source_cache.storageLevel.useMemory
 
 
 def test_tsv_delimiter_variant(spark, tmp_path):

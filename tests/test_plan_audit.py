@@ -212,6 +212,24 @@ def test_phrase_collocations_broadcasts_totals_no_cartesian(spark, queries):
     assert a["n_nested_loop_joins"] == 0
 
 
+def test_percentiles_approx_never_uses_exact_percentile_udaf(spark, queries):
+    import re
+
+    from nano_vectordb_rs_spark.plans import plan_string
+
+    df = queries["events_value_percentiles_approx"](spark, SF_DIR)
+    df.collect()
+    plan = plan_string(df)
+    # the exact brackets must come from the bounded groupBy(type, value) +
+    # cumulative-rank window — the exact-percentile UDAF buffers every value
+    # per group (ObjectHashAggregate, unbounded memory at corpus scale)
+    # (percentile_approx itself plans as ObjectHashAggregate too, but its
+    # state is bounded by the accuracy parameter — only the EXACT UDAF,
+    # whose state is every value in the group, is banned here)
+    assert "percentile_approx" in plan
+    assert not re.search(r"(?<![_a-z])percentile\(", plan)
+
+
 def test_tpch_q9_broadcasts_all_dimensions(spark, queries):
     a = audit_plan(queries["tpch_q9_profit"](spark, SF_DIR))
     # part, supplier, nation are broadcast dims; only lineitem⋈orders and
