@@ -557,11 +557,20 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: one row per multi-document cluster — canonical keeper (min
     doc_id), size, and the '|'-joined sorted member list."""
-    pairs = minhash_near_dup_docs(spark, sf_dir).select("doc1", "doc2")
+    # checkpoint the PAIRS, not the union: union branches share no subtree
+    # at execution time, so checkpointing after the union ran the whole
+    # MinHash pipeline twice (measured 5.7 s vs 2.8 s at sf0.1). The union
+    # stays lazy — per round it re-reads checkpointed partitions, not the
+    # LSH join.
+    pairs = (
+        minhash_near_dup_docs(spark, sf_dir)
+        .select("doc1", "doc2")
+        .localCheckpoint()
+    )
     edges = pairs.union(
         pairs.select(F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2"))
-    ).localCheckpoint()
-    # no checkpoint: two cheap ops above the already-checkpointed edges
+    )
+    # no second checkpoint: two cheap ops above the checkpointed pairs
     labels = (
         edges.select(F.col("doc1").alias("id"))
         .distinct()
