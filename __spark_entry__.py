@@ -41,7 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Declared query surface, 119 entries — every entry has a DuckDB value
+    """Declared query surface, 121 entries — every entry has a DuckDB value
     oracle in ``oracle_sql()`` (zero rows-only checks since round 5).
 
     GATE-ROTATION POLICY: the driver's correctness gate checks the FIRST 50
@@ -64,15 +64,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         label_centroids_mergeable, and nation_supplier_lists (the one
         query that crashed the r01/r02 canonicalizer on list cells — its
         redemption row; it emits a |-joined string since r03);
-      - ann_pq_codes_topk, NEW r06: the materialized-codes PQ twin
-        (pq_build_codes writes the 4-byte packed code column once; the
-        probe scans codes only — same top-10, same oracle as ann_pq_topk).
+      - the three NEW r06 queries, gated from birth so the union stays
+        complete: ann_pq_codes_topk (the materialized-codes PQ twin —
+        pq_build_codes writes the 4-byte packed code column once; the
+        probe scans codes only, same top-10 and oracle as ann_pq_topk),
+        exact_substring_contamination (character-window equi-join
+        decontamination), and events_props_scrub (digit-run redaction
+        with a mergeable redacted-corpus checksum).
       Rotated out (every one green in CORRECTNESS_r04 AND r05; family
       siblings remain in the gate): knn_join, ngram_jaccard_pairs,
-      corpus_budget_report, idf_top_terms, docs_length_histogram,
-      repetition_scores, domain_mixture_weights, media_inventory,
-      media_fingerprints, events_hourly, events_asof_join, events_user_seq,
-      pack_sequences, embedding_quantize_stats.
+      token_counts, docs_split_assignment, corpus_budget_report,
+      idf_top_terms, docs_length_histogram, repetition_scores,
+      domain_mixture_weights, media_inventory, media_fingerprints,
+      events_hourly, events_asof_join, events_user_seq, pack_sequences,
+      embedding_quantize_stats.
     * Historical green rounds per family are tracked in PARITY.md §gate.
     * Entries 51+ keep full local coverage every round via
       tests/test_oracle_parity.py (stricter than the driver: dtype-class +
@@ -105,15 +110,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- dedup family ---
         "minhash_near_dup_docs": dedup.minhash_near_dup_docs,
         "contamination_check": dedup.contamination_check,
+        # NEW r06: exact-substring decontamination — character-window
+        # equi-join; the verbatim-leakage twin of the shingle method
+        "exact_substring_contamination": dedup.exact_substring_contamination,
         "dedup_keep_best": dedup.dedup_keep_best,
         # iterative connected-components (driver-side convergence loop);
         # oracle = fixed-round unrolled min-label CTE chain, plus an
         # independent pure-Python union-find in tests/test_oracle_parity.py
         "dup_clusters": dedup.dup_clusters,
         # --- text analysis ---
-        "token_counts": textops.token_counts,
         "doc_fingerprints": textops.doc_fingerprints,
-        "docs_split_assignment": textops.docs_split_assignment,
         "phrase_collocations": textops.phrase_collocations,
         # --- multimodal binary columns (the ASCII-only MD5 fake codec is
         # recomputable in VARCHAR-md5 SQL) ---
@@ -141,6 +147,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r06 gate debut: per-user z-score anomaly triage (decimal moments,
         # co-partitioned join back)
         "events_anomaly_report": events.events_anomaly_report,
+        # NEW r06: structured-log scrubbing (digit-run redaction with an
+        # order-free mergeable checksum of the redacted corpus)
+        "events_props_scrub": events.events_props_scrub,
         # THREE REAL streams in the gate: readStream plans drained
         # availableNow with full value oracles (finite source ⇒ batch-equal)
         # — watermarked tumbling agg, state-store replay dedup of a
@@ -178,6 +187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_supplier_lists": relational2.nation_supplier_lists,
         # ---------------- entry 51+ (below the driver's 50-entry cap) -----
         # rotated out in r06 (green r04 AND r05)
+        "token_counts": textops.token_counts,
+        "docs_split_assignment": textops.docs_split_assignment,
         "knn_join": similarity.knn_join,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "corpus_budget_report": textops.corpus_budget_report,
@@ -347,6 +358,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_split_assignment": textops.DOCS_SPLIT_SQL,
         "corpus_budget_report": textops.CORPUS_BUDGET_SQL,
         "contamination_check": dedup._contamination_sql(),
+        "exact_substring_contamination": dedup.EXACT_SUBSTRING_SQL,
+        "events_props_scrub": events.EVENTS_PROPS_SCRUB_SQL,
         "idf_top_terms": textops.IDF_TOP_TERMS_SQL,
         "repetition_scores": textops.REPETITION_SCORES_SQL,
         "domain_mixture_weights": textops.DOMAIN_MIXTURE_SQL,

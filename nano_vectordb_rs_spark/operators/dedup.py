@@ -298,6 +298,122 @@ LIMIT {CONTAM_TOP}
 """
 
 
+# --- exact-substring decontamination ----------------------------------------
+
+SUBSTR_W = 40  # window width (chars)
+SUBSTR_STRIDE = 10  # train-side stride; detection guarantee = W + stride - 1
+SUBSTR_TOP = 50
+
+
+def exact_substring_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level EXACT-substring decontamination — the second standard
+    decontamination method next to shingle overlap (contamination_check):
+    flag train-split documents that share a verbatim character run with any
+    test-split document. Token-shingle Jaccard misses verbatim leakage that
+    crosses token boundaries or survives light reformatting; the exact
+    method is what the published LLM training reports use for benchmark
+    scrubbing (e.g. N-character exact-match decontamination).
+
+    Mechanics: test docs explode into ALL length-W character windows
+    (stride 1 — benchmark/test sets are small, so this side is cheap at any
+    corpus scale); train docs explode into stride-S windows (bounding the
+    big side at n_chars/S rows). A shared run of length >= W + S - 1 chars
+    is GUARANTEED to align some train window with some test window, so the
+    equi-join on the window string finds it. Detection threshold here:
+    49 verbatim chars.
+
+    Scale shape: one equi-join keyed by the window string (at 100 TB,
+    shuffle xxhash64(window) as an 8-byte key and re-verify the string on
+    the survivors); candidate-driven — never train x test. The window
+    explode is a scan-local projection; output is bounded by SUBSTR_TOP."""
+    from nano_vectordb_rs_spark.operators.textops import (
+        SPLIT_TRAIN_PCT,
+        SPLIT_VALID_PCT,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VALID_PCT, "valid")
+        .otherwise("test")
+    )
+    base = docs.select("doc_id", "text", split.alias("split")).filter(
+        F.length("text") >= SUBSTR_W
+    )
+
+    def windows(df: DataFrame, stride: int, id_alias: str) -> DataFrame:
+        return df.select(
+            F.col("doc_id").alias(id_alias),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(text) - {SUBSTR_W} + 1, "
+                    f"{stride}), i -> substring(text, i, {SUBSTR_W}))"
+                )
+            ).alias("w"),
+        )
+
+    tr = windows(base.filter(F.col("split") == "train"), SUBSTR_STRIDE, "train_doc")
+    te = windows(base.filter(F.col("split") == "test"), 1, "test_doc")
+    return (
+        tr.join(te, "w")
+        .groupBy("train_doc")
+        .agg(
+            F.countDistinct("w").alias("n_windows"),
+            F.countDistinct("test_doc").alias("n_test_docs"),
+            F.min("test_doc").alias("first_test_doc"),
+        )
+        .orderBy(F.col("n_windows").desc(), F.col("train_doc").asc())
+        .limit(SUBSTR_TOP)
+    )
+
+
+def _exact_substring_sql() -> str:
+    from nano_vectordb_rs_spark.operators.textops import (
+        SPLIT_TRAIN_PCT,
+        SPLIT_VALID_PCT,
+    )
+
+    return f"""
+WITH splits AS (
+  SELECT doc_id,
+         CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN bucket < {SPLIT_TRAIN_PCT + SPLIT_VALID_PCT} THEN 'valid'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+             AS bucket
+    FROM documents)),
+base AS (
+  SELECT d.doc_id, d.text, s.split
+  FROM documents d JOIN splits s ON d.doc_id = s.doc_id
+  WHERE length(d.text) >= {SUBSTR_W}),
+tr AS (
+  SELECT doc_id AS train_doc, substr(text, CAST(t.i AS INT), {SUBSTR_W}) AS w
+  FROM base, UNNEST(generate_series(1, length(text) - {SUBSTR_W} + 1, {SUBSTR_STRIDE})) AS t(i)
+  WHERE split = 'train'),
+te AS (
+  SELECT doc_id AS test_doc, substr(text, CAST(t.i AS INT), {SUBSTR_W}) AS w
+  FROM base, UNNEST(generate_series(1, length(text) - {SUBSTR_W} + 1, 1)) AS t(i)
+  WHERE split = 'test')
+SELECT train_doc,
+       count(DISTINCT w) AS n_windows,
+       count(DISTINCT test_doc) AS n_test_docs,
+       min(test_doc) AS first_test_doc
+FROM tr JOIN te USING (w)
+GROUP BY train_doc
+ORDER BY n_windows DESC, train_doc ASC
+LIMIT {SUBSTR_TOP}
+"""
+
+
+EXACT_SUBSTRING_SQL = _exact_substring_sql()
+
+
 # --- SimHash ----------------------------------------------------------------
 
 

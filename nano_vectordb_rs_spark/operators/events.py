@@ -795,3 +795,65 @@ WHERE std_v > 0
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# --- structured-log scrubbing ------------------------------------------------
+
+NUM_TOKEN = "<NUM>"
+
+
+def events_props_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-log scrubbing before logs become training data: redact
+    every digit run in the semi-structured ``props`` payload with a
+    placeholder token and report, per event type, what the scrub did —
+    match counts, length delta, surviving distinct payload forms, and an
+    order-free checksum of the redacted corpus (so the redaction itself,
+    not just its counts, is value-pinned).
+
+    The checksum is SUM over rows of an 8-hex-digit md5 prefix of the
+    redacted string — commutative and mergeable, so it map-side combines
+    and never needs a sorted collect_list (a per-group list would be
+    unbounded memory at corpus scale; the sum is O(1) state per key).
+    Everything is built-in JVM regexp/md5 — a scan-local projection
+    followed by an #event_type-keyed aggregation."""
+    ev = _events(spark, sf_dir)
+    redacted = F.regexp_replace(F.col("props"), "[0-9]+", NUM_TOKEN)
+    n_matches = F.size(F.expr("regexp_extract_all(props, '[0-9]+', 0)"))
+    row_hash = (
+        F.conv(F.substring(F.md5(redacted), 1, 8), 16, 10).cast("bigint")
+    )
+    return (
+        ev.select(
+            "event_type",
+            redacted.alias("red"),
+            n_matches.alias("m"),
+            (F.length(redacted) - F.length("props")).alias("delta"),
+            row_hash.alias("h"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("m").alias("n_num_matches"),
+            F.sum("delta").alias("len_delta"),
+            F.countDistinct("red").alias("n_distinct_forms"),
+            F.sum("h").alias("redacted_checksum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_PROPS_SCRUB_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT) AS n_num_matches,
+       CAST(sum(length(red) - length(props)) AS BIGINT) AS len_delta,
+       count(DISTINCT red) AS n_distinct_forms,
+       CAST(sum(CAST(concat('0x', substr(md5(red), 1, 8)) AS BIGINT)) AS BIGINT)
+         AS redacted_checksum
+FROM (
+  SELECT event_type, props,
+         regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS red
+  FROM events)
+GROUP BY event_type
+ORDER BY event_type
+"""

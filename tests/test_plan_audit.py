@@ -230,6 +230,29 @@ def test_percentiles_approx_never_uses_exact_percentile_udaf(spark, queries):
     assert not re.search(r"(?<![_a-z])percentile\(", plan)
 
 
+def test_exact_substring_contamination_is_equi_join(spark, queries):
+    df = queries["exact_substring_contamination"](spark, SF_DIR)
+    df.collect()
+    a = audit_plan(df)
+    # candidate-driven window equi-join — never a nested-loop train x test
+    assert a["n_nested_loop_joins"] == 0
+
+
+def test_events_props_scrub_is_single_group_shuffle_no_lists(spark, queries):
+    from nano_vectordb_rs_spark.plans import plan_string
+
+    df = queries["events_props_scrub"](spark, SF_DIR)
+    df.collect()
+    plan = plan_string(df)
+    a = audit_plan(df)
+    # the redacted-corpus checksum must be the mergeable per-row-hash SUM,
+    # never a collected list (unbounded per-group memory at corpus scale)
+    assert "collect_list" not in plan
+    assert a["n_broadcast_joins"] == 0 and a["n_sort_merge_joins"] == 0
+    # groupBy(event_type) (+ distinct-forms expand) + output sort
+    assert a["n_shuffles"] <= 3
+
+
 def test_tpch_q9_broadcasts_all_dimensions(spark, queries):
     a = audit_plan(queries["tpch_q9_profit"](spark, SF_DIR))
     # part, supplier, nation are broadcast dims; only lineitem⋈orders and
