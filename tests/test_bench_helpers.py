@@ -1,0 +1,75 @@
+"""bench.py harness helpers — pure-Python, no Spark session needed.
+
+The retime/storm-rejection machinery decides what lands in the committed
+BENCH snapshot, so its parsing and filtering logic deserves pins: a bug
+here silently contaminates (or silently hides) performance numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import bench  # noqa: E402
+
+
+def test_load_prior_times_reads_own_and_driver_shapes(tmp_path, monkeypatch):
+    # own shape: top-level queries map
+    (tmp_path / "BENCH_r01.json").write_text(
+        json.dumps({"queries": {"q_a": 1.5, "q_b": 0.2}})
+    )
+    # driver shape: parsed null, payload (front-truncated) in tail
+    (tmp_path / "BENCH_r02.json").write_text(
+        json.dumps(
+            {
+                "parsed": None,
+                "tail": 'ncated..., "q_a": 0.9, "q_c": 2.0}, "sf": "0.1"}',
+            }
+        )
+    )
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    prior = bench.load_prior_times({"q_a", "q_b", "q_c"})
+    assert prior == {"q_a": 0.9, "q_b": 0.2, "q_c": 2.0}
+
+
+def test_load_prior_times_filters_unknown_names(tmp_path, monkeypatch):
+    (tmp_path / "BENCH_r01.json").write_text(
+        json.dumps({"queries": {"q_a": 1.0, "n_errors": 3.0}})
+    )
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    assert bench.load_prior_times({"q_a"}) == {"q_a": 1.0}
+
+
+def test_micro_timed_discards_storm_runs(monkeypatch):
+    # deterministic "clock": five clean ~1 s runs with one 30x storm
+    seq = iter([1.0, 1.01, 30.0, 0.99, 1.02, 1.0])
+    monkeypatch.setattr(bench, "timed_all", lambda fn, n: [next(seq)])
+    monkeypatch.setattr(bench, "wait_for_quiet", lambda tag: None)
+    monkeypatch.setattr(bench, "MICRO_RUNS", 5)
+    stats: dict = {}
+    best = bench.micro_timed(lambda: None, stats, "m")
+    rec = stats["m"]
+    assert best == 0.99
+    assert rec["discarded_storm_runs"] == [30.0]
+    assert len(rec["runs"]) == 5
+    assert rec["std"] < 0.05  # storm no longer contaminates the summary
+
+
+def test_micro_timed_retroactively_discards_inflated_head(monkeypatch):
+    # first runs contaminated; a later clean run reveals them as outliers
+    seq = iter([10.0, 9.5, 1.0, 1.01, 0.99, 1.02, 1.0])
+    monkeypatch.setattr(bench, "timed_all", lambda fn, n: [next(seq)])
+    monkeypatch.setattr(bench, "wait_for_quiet", lambda tag: None)
+    monkeypatch.setattr(bench, "MICRO_RUNS", 5)
+    stats: dict = {}
+    best = bench.micro_timed(lambda: None, stats, "m")
+    rec = stats["m"]
+    assert best == 0.99
+    assert set(rec["discarded_storm_runs"]) == {10.0, 9.5}
+    assert all(t <= 3 * 0.99 for t in rec["runs"])
