@@ -194,3 +194,41 @@ def test_stream_upsert_into_collection(spark, tmp_path):
     assert set(rows) == {"a", "b", "c"}
     assert rows["b"]["tag"] == "y2"
     assert rows["b"]["vector"] == [0.0, 0.0, 1.0, 0.0]  # unit already
+
+
+def test_drain_guard_rejects_multi_batch_when_single_assumed(spark, tmp_path):
+    """streaming_dedup_counts' replay-collapse oracle assumes the drain is
+    ONE data micro-batch (see its docstring); the guard must turn a config
+    drift into a clear error, not a puzzling hash mismatch."""
+    from pyspark.sql import functions as F
+
+    from nano_vectordb_rs_spark.streaming import events_stream as es
+
+    # force a multi-batch drain: a TWO-file source directory read one file
+    # per trigger (the exact replay shape the dedup query's docstring warns
+    # about: the two copies of an event arrive in different micro-batches)
+    batch = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .limit(200)
+        .coalesce(1)
+    )
+    src = str(tmp_path / "two_file_source")
+    batch.write.parquet(src)
+    batch.write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("event_time", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        stream.withWatermark("event_time", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy(F.window("event_time", "1 hour"))
+        .agg(F.count("*").alias("n"))
+    )
+    with pytest.raises(RuntimeError, match="micro-batches"):
+        es._drain_to_local(
+            spark, agg, "complete", "multi_batch_guard", max_data_batches=1
+        )
