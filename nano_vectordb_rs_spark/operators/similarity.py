@@ -939,12 +939,11 @@ def ann_pq_codes_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_fp").desc(), F.col("vec_id").asc())
         .limit(PQ_TOPK)
     )
-    exact = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.round(F.expr(cosine_expr("embedding", QUERY_VECTOR)), 6).alias(
-            "exact_cos"
-        ),
-    )
+    # join FIRST, cosine AFTER: projecting exact_cos below the join would
+    # evaluate the full HOF cosine for EVERY corpus row before the 10-row
+    # hash probe discards them (measured: slope 1.56 across 1-4x sf0.1 —
+    # the full-scan cost PQ exists to avoid; post-join it's k cosines)
+    exact = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return (
         exact.join(F.broadcast(topk), "vec_id")
         .select(
@@ -954,7 +953,9 @@ def ann_pq_codes_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("score_fp").cast("double") / F.lit(_FP), 6).alias(
                 "pq_dot"
             ),
-            "exact_cos",
+            F.round(F.expr(cosine_expr("embedding", QUERY_VECTOR)), 6).alias(
+                "exact_cos"
+            ),
         )
         .orderBy(F.col("score_fp").desc(), F.col("vec_id").asc())
         .drop("score_fp")

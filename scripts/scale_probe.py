@@ -60,6 +60,13 @@ PROBES = [
     # r05 late additions: PQ encode+ADC (scan-local) and power-iteration PCA
     ("ann_pq_topk", similarity.ann_pq_topk, ("embeddings",)),
     ("embedding_top_component", pipeline.embedding_top_component, ("embeddings",)),
+    # r06 additions: materialized-codes PQ probe (code-column scan; the
+    # warm pass builds the codes, so the timed slope is the probe path the
+    # 100-TB claim is about) and stride-window exact-substring
+    # decontamination (window equi-join — the shape that would go
+    # quadratic without the candidate-driven join)
+    ("ann_pq_codes_topk", similarity.ann_pq_codes_topk, ("embeddings",)),
+    ("exact_substring_contamination", dedup.exact_substring_contamination, ("documents",)),
 ]
 
 ALL_TABLES = [
