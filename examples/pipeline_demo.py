@@ -6,6 +6,8 @@ corpus into packed LLM pre-training contexts:
     → exact dedup          (keep min doc_id per content hash)
     → near-dup resolution  (MinHash+LSH clusters; keep one doc per cluster)
     → quality filter       (token-count floor — the cheap first gate)
+    → decontamination      (drop train docs sharing a verbatim 49+-char
+                            run with the held-out test split)
     → train split          (stable md5-bucket 80/10/10 assignment)
     → cleaned corpus       (written back as a documents table)
     → pack_sequences       (two-phase prefix-sum context packing)
@@ -71,6 +73,15 @@ def main(spark=None, sf_dir: str = "/root/testdata/sf0.001", out_dir: str | None
 
     # 3. quality floor — cheapest gate last-before-split: token count
     docs = docs.filter(F.size(F.split("text", " ")) >= MIN_TOKENS)
+
+    # 3b. benchmark decontamination — drop every train doc flagged by the
+    #     exact-substring check (verbatim 49+-char run shared with the
+    #     held-out test split); the shingle-overlap variant
+    #     (dedup.contamination_check) composes the same way
+    contaminated = dedup.exact_substring_contamination(spark, sf_dir).select(
+        F.col("train_doc").alias("doc_id")
+    )
+    docs = docs.join(F.broadcast(contaminated), "doc_id", "left_anti")
 
     # 4. stable split assignment (same md5-bucket rule as
     #    docs_split_assignment) — keep the train shard
