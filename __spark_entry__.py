@@ -41,7 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Declared query surface, 121 entries — every entry has a DuckDB value
+    """Declared query surface, 123 entries — every entry has a DuckDB value
     oracle in ``oracle_sql()`` (zero rows-only checks since round 5).
 
     GATE-ROTATION POLICY: the driver's correctness gate checks the FIRST 50
@@ -64,19 +64,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         label_centroids_mergeable, and nation_supplier_lists (the one
         query that crashed the r01/r02 canonicalizer on list cells — its
         redemption row; it emits a |-joined string since r03);
-      - the three NEW r06 queries, gated from birth so the union stays
+      - the five NEW r06 queries, gated from birth so the union stays
         complete: ann_pq_codes_topk (the materialized-codes PQ twin —
         pq_build_codes writes the 4-byte packed code column once; the
         probe scans codes only, same top-10 and oracle as ann_pq_topk),
         exact_substring_contamination (character-window equi-join
-        decontamination), and events_props_scrub (digit-run redaction
-        with a mergeable redacted-corpus checksum).
+        decontamination), events_props_scrub (digit-run redaction with a
+        mergeable redacted-corpus checksum), ngram_novelty_scores
+        (first-occurrence shingle fractions per source), and
+        quality_weighted_sample (deterministic q²-importance sampling).
       Rotated out (every one green in CORRECTNESS_r04 AND r05; family
       siblings remain in the gate): knn_join, ngram_jaccard_pairs,
-      token_counts, docs_split_assignment, corpus_budget_report,
-      idf_top_terms, docs_length_histogram, repetition_scores,
-      domain_mixture_weights, media_inventory, media_fingerprints,
-      events_hourly, events_asof_join, events_user_seq, pack_sequences,
+      token_counts, docs_split_assignment, doc_fingerprints,
+      corpus_budget_report, idf_top_terms, docs_length_histogram,
+      repetition_scores, domain_mixture_weights, media_inventory,
+      media_fingerprints, events_hourly, events_asof_join,
+      events_user_seq, events_retention, pack_sequences,
       embedding_quantize_stats.
     * Historical green rounds per family are tracked in PARITY.md §gate.
     * Entries 51+ keep full local coverage every round via
@@ -113,13 +116,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW r06: exact-substring decontamination — character-window
         # equi-join; the verbatim-leakage twin of the shingle method
         "exact_substring_contamination": dedup.exact_substring_contamination,
+        # NEW r06: per-source n-gram novelty (first-occurrence fractions —
+        # the boilerplate/recombination curation signal)
+        "ngram_novelty_scores": dedup.ngram_novelty_scores,
         "dedup_keep_best": dedup.dedup_keep_best,
         # iterative connected-components (driver-side convergence loop);
         # oracle = fixed-round unrolled min-label CTE chain, plus an
         # independent pure-Python union-find in tests/test_oracle_parity.py
         "dup_clusters": dedup.dup_clusters,
         # --- text analysis ---
-        "doc_fingerprints": textops.doc_fingerprints,
         "phrase_collocations": textops.phrase_collocations,
         # --- multimodal binary columns (the ASCII-only MD5 fake codec is
         # recomputable in VARCHAR-md5 SQL) ---
@@ -133,7 +138,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_top_component": pipeline.embedding_top_component,
         "cluster_topic_report": pipeline.cluster_topic_report,
         # --- events surface ---
-        "events_retention": events.events_retention,
         "events_json_stats": events.events_json_stats,
         "events_top_users": events.events_top_users,
         "events_union_slices": events.events_union_slices,
@@ -159,6 +163,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_counts": events_stream.streaming_dedup_counts,
         "streaming_click_attribution": events_stream.streaming_click_attribution,
         # --- LLM-pipeline extensions ---
+        # NEW r06: q²-importance sampling (soft quality weighting; exact
+        # IEEE multiply at the acceptance boundary, no pow())
+        "quality_weighted_sample": pipeline.quality_weighted_sample,
         "stratified_sample_docs": pipeline.stratified_sample_docs,
         "bigram_stats": pipeline.bigram_stats,
         "reservoir_per_key": pipeline.reservoir_per_key,
@@ -189,6 +196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out in r06 (green r04 AND r05)
         "token_counts": textops.token_counts,
         "docs_split_assignment": textops.docs_split_assignment,
+        "doc_fingerprints": textops.doc_fingerprints,
+        "events_retention": events.events_retention,
         "knn_join": similarity.knn_join,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "corpus_budget_report": textops.corpus_budget_report,
@@ -360,6 +369,8 @@ def oracle_sql() -> dict[str, str]:
         "contamination_check": dedup._contamination_sql(),
         "exact_substring_contamination": dedup.EXACT_SUBSTRING_SQL,
         "events_props_scrub": events.EVENTS_PROPS_SCRUB_SQL,
+        "ngram_novelty_scores": dedup.NGRAM_NOVELTY_SQL,
+        "quality_weighted_sample": pipeline.QUALITY_WEIGHTED_SAMPLE_SQL,
         "idf_top_terms": textops.IDF_TOP_TERMS_SQL,
         "repetition_scores": textops.REPETITION_SCORES_SQL,
         "domain_mixture_weights": textops.DOMAIN_MIXTURE_SQL,

@@ -298,6 +298,83 @@ LIMIT {CONTAM_TOP}
 """
 
 
+# --- n-gram novelty ----------------------------------------------------------
+
+
+def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram novelty: for each document, the fraction of its
+    distinct 3-gram shingles whose corpus-wide FIRST occurrence (minimum
+    doc_id) is this document — the data-curation signal that separates
+    template/boilerplate-heavy sources (low novelty: their shingles
+    already exist elsewhere) from content-bearing ones, and the aggregate
+    twin of memorization auditing (a near-zero-novelty doc is a recombined
+    copy even when no single pair-level dup check fires).
+
+    Plan: one distinct-shingle explode (shared derivation with the MinHash
+    pipeline), a shingle-keyed min aggregate for the first-occurrence
+    table, a join back on the same shingle key (co-partitioned with the
+    aggregate — no second shuffle pattern), a per-doc contraction, and a
+    #source-keyed report. Doc ordering by id is the deterministic stand-in
+    for ingest order, so 'first' is engine-stable. Sums go through DECIMAL
+    so the per-source means are shuffle-order-exact."""
+    sh = _shingles(spark, sf_dir)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("int")
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id", (F.col("n_novel") / F.col("n_sh")).alias("novelty")
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        per_doc.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                (F.sum(F.col("novelty").cast("decimal(28,10)")) / F.count("*"))
+                .cast("double"),
+                6,
+            ).alias("avg_novelty"),
+            F.round(F.min("novelty"), 6).alias("min_novelty"),
+            F.round(F.max("novelty"), 6).alias("max_novelty"),
+            F.sum((F.col("novelty") == 1.0).cast("int")).alias("n_fully_novel"),
+        )
+        .orderBy("source")
+    )
+
+
+NGRAM_NOVELTY_SQL = f"""
+WITH sh AS ({_DUCK_SHINGLES}),
+first AS (
+  SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle),
+per_doc AS (
+  SELECT s.doc_id,
+         CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*) AS novelty
+  FROM sh s JOIN first f ON s.shingle = f.shingle
+  GROUP BY s.doc_id)
+SELECT d.source,
+       count(*) AS n_docs,
+       round(CAST(sum(CAST(p.novelty AS DECIMAL(28,10))) / count(*) AS DOUBLE), 6)
+         AS avg_novelty,
+       round(min(p.novelty), 6) AS min_novelty,
+       round(max(p.novelty), 6) AS max_novelty,
+       CAST(sum(CASE WHEN p.novelty = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fully_novel
+FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
 # --- exact-substring decontamination ----------------------------------------
 
 SUBSTR_W = 40  # window width (chars)

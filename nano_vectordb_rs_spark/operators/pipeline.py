@@ -151,6 +151,86 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling by quality: keep a doc with probability q² — the
+    curation move that tilts a fixed token budget toward higher-quality
+    text instead of cutting a hard threshold (soft weighting preserves
+    diversity in the mid-quality band that a cliff filter destroys).
+
+    Determinism without an RNG: the acceptance draw is a per-doc uniform
+    from md5(doc_id) (bit-identical in both engines), and the weight is
+    q·q (exact IEEE multiply — no pow(), whose libm rounding could differ
+    across engines at the acceptance boundary). q is the SAME scoring
+    chain the hash-green quality_scores query pins (textops.quality_col).
+    Scale shape: the accept decision is a scan-local projection; the
+    report is one #lang-keyed aggregate — subsampling 100 TB costs one
+    pass and a tiny shuffle."""
+    from nano_vectordb_rs_spark.operators.textops import quality_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.expr(
+            "CAST(conv(substring(md5(concat('qs:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    q = quality_col()
+    kept = (u < q * q).cast("int")
+    return (
+        docs.select(
+            "lang",
+            "doc_id",
+            q.alias("q"),
+            kept.alias("kept"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("kept").alias("n_kept"),
+            F.round(F.sum("kept") / F.count("*"), 4).alias("realized_rate"),
+            F.round(
+                F.sum(
+                    F.when(F.col("kept") == 1, F.col("q")).cast(
+                        "decimal(28,10)"
+                    )
+                ).cast("double"),
+                4,
+            ).alias("kept_quality"),
+            F.sum(F.when(F.col("kept") == 1, F.col("doc_id"))).alias(
+                "kept_id_checksum"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def _quality_weighted_sample_sql() -> str:
+    from nano_vectordb_rs_spark.operators.textops import DUCK_QUALITY_DOC_ROW
+
+    return f"""
+WITH scored AS ({DUCK_QUALITY_DOC_ROW}),
+drawn AS (
+  SELECT lang, doc_id, q,
+         CASE WHEN CAST(concat('0x', substr(md5('qs:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   / 4294967296.0 < q * q
+              THEN 1 ELSE 0 END AS kept
+  FROM scored)
+SELECT lang,
+       count(*) AS n_total,
+       CAST(sum(kept) AS BIGINT) AS n_kept,
+       round(sum(kept) / CAST(count(*) AS DOUBLE), 4) AS realized_rate,
+       round(CAST(sum(CASE WHEN kept = 1 THEN CAST(q AS DECIMAL(28,10)) END) AS DOUBLE), 4)
+         AS kept_quality,
+       CAST(sum(CASE WHEN kept = 1 THEN doc_id END) AS BIGINT) AS kept_id_checksum
+FROM drawn
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+QUALITY_WEIGHTED_SAMPLE_SQL = _quality_weighted_sample_sql()
+
+
 RESERVOIR_N = 5  # fixed sample size per source
 
 

@@ -253,6 +253,26 @@ def test_events_props_scrub_is_single_group_shuffle_no_lists(spark, queries):
     assert a["n_shuffles"] <= 3
 
 
+def test_quality_weighted_sample_is_scan_local_single_agg(spark, queries):
+    df = queries["quality_weighted_sample"](spark, SF_DIR)
+    df.collect()
+    a = audit_plan(df)
+    # accept decision + quality score are projections; only the lang
+    # aggregate and the output sort shuffle — no join anywhere
+    assert a["n_broadcast_joins"] == 0 and a["n_sort_merge_joins"] == 0
+    assert a["n_shuffles"] <= 2
+
+
+def test_ngram_novelty_reuses_shingle_partitioning(spark, queries):
+    df = queries["ngram_novelty_scores"](spark, SF_DIR)
+    df.collect()
+    a = audit_plan(df)
+    # shingle agg + shingle join (co-keyed) + doc contraction + source join
+    # + source agg + sort — bounded constant, and never a nested loop
+    assert a["n_nested_loop_joins"] == 0
+    assert a["n_shuffles"] <= 7
+
+
 def test_tpch_q9_broadcasts_all_dimensions(spark, queries):
     a = audit_plan(queries["tpch_q9_profit"](spark, SF_DIR))
     # part, supplier, nation are broadcast dims; only lineitem⋈orders and
