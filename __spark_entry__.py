@@ -41,7 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Declared query surface, 123 entries — every entry has a DuckDB value
+    """Declared query surface, 127 entries — every entry has a DuckDB value
     oracle in ``oracle_sql()`` (zero rows-only checks since round 5).
 
     GATE-ROTATION POLICY: the driver's correctness gate checks the FIRST 50
@@ -64,15 +64,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         label_centroids_mergeable, and nation_supplier_lists (the one
         query that crashed the r01/r02 canonicalizer on list cells — its
         redemption row; it emits a |-joined string since r03);
-      - the five NEW r06 queries, gated from birth so the union stays
+      - the nine NEW r06 queries, gated from birth so the union stays
         complete: ann_pq_codes_topk (the materialized-codes PQ twin —
         pq_build_codes writes the 4-byte packed code column once; the
         probe scans codes only, same top-10 and oracle as ann_pq_topk),
         exact_substring_contamination (character-window equi-join
         decontamination), events_props_scrub (digit-run redaction with a
         mergeable redacted-corpus checksum), ngram_novelty_scores
-        (first-occurrence shingle fractions per source), and
-        quality_weighted_sample (deterministic q²-importance sampling).
+        (first-occurrence shingle fractions per source),
+        quality_weighted_sample (deterministic q²-importance sampling),
+        cross_source_overlap (pairwise source shingle-overlap matrix),
+        doc_chunk_report (overlapping context-window chunking),
+        embedding_outlier_report (peak-concentration ±2σ QA), and
+        events_value_drift (week-over-week mean drift per type).
       Rotated out (every one green in CORRECTNESS_r04 AND r05; family
       siblings remain in the gate): knn_join, ngram_jaccard_pairs,
       token_counts, docs_split_assignment, doc_fingerprints,
@@ -80,7 +84,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       repetition_scores, domain_mixture_weights, media_inventory,
       media_fingerprints, events_hourly, events_asof_join,
       events_user_seq, events_retention, pack_sequences,
-      embedding_quantize_stats.
+      embedding_quantize_stats, near_dup_embeddings, ann_ivf_topk,
+      minhash_near_dup_docs, kmeans_embeddings.
     * Historical green rounds per family are tracked in PARITY.md §gate.
     * Entries 51+ keep full local coverage every round via
       tests/test_oracle_parity.py (stricter than the driver: dtype-class +
@@ -94,8 +99,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "save_roundtrip_stats": lifecycle.save_roundtrip_stats,
         "reference_json_roundtrip": lifecycle.reference_json_roundtrip,
         # --- similarity search / ANN (SURVEY.md §7.5 + north star) ---
-        "near_dup_embeddings": similarity.near_dup_embeddings,
-        "ann_ivf_topk": similarity.ann_ivf_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
         # declarative top-10 ∩ exact composition; CTE oracle over the
         # KNN/IVF/LSH SQL
@@ -111,8 +114,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # labels at scale; never driver-checked before r06
         "label_centroids_mergeable": similarity.label_centroids_mergeable,
         # --- dedup family ---
-        "minhash_near_dup_docs": dedup.minhash_near_dup_docs,
         "contamination_check": dedup.contamination_check,
+        # NEW r06 (2nd wave): pairwise source shingle-overlap matrix —
+        # the dedup-lineage signal for dropping re-serving crawls wholesale
+        "cross_source_overlap": dedup.cross_source_overlap,
         # NEW r06: exact-substring decontamination — character-window
         # equi-join; the verbatim-leakage twin of the shingle method
         "exact_substring_contamination": dedup.exact_substring_contamination,
@@ -134,9 +139,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- iterative ML: Lloyd k-means + power-iteration PCA, both with
         # full unrolled-CTE oracles; the clustering→inspection composition
         # joins seed-centroid assignments back to doc text ---
-        "kmeans_embeddings": pipeline.kmeans_embeddings,
         "embedding_top_component": pipeline.embedding_top_component,
         "cluster_topic_report": pipeline.cluster_topic_report,
+        # NEW r06 (2nd wave): embedding-dump QA — peak-concentration ±2σ
+        # outliers per label (the statistic with real variance; the norm is
+        # reported only as a coarse unit-check)
+        "embedding_outlier_report": pipeline.embedding_outlier_report,
         # --- events surface ---
         "events_json_stats": events.events_json_stats,
         "events_top_users": events.events_top_users,
@@ -154,6 +162,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW r06: structured-log scrubbing (digit-run redaction with an
         # order-free mergeable checksum of the redacted corpus)
         "events_props_scrub": events.events_props_scrub,
+        # NEW r06 (2nd wave): week-over-week value-distribution drift per
+        # type — Monday-aligned integer week bucketing on epoch micros
+        "events_value_drift": events.events_value_drift,
         # THREE REAL streams in the gate: readStream plans drained
         # availableNow with full value oracles (finite source ⇒ batch-equal)
         # — watermarked tumbling agg, state-store replay dedup of a
@@ -166,6 +177,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW r06: q²-importance sampling (soft quality weighting; exact
         # IEEE multiply at the acceptance boundary, no pow())
         "quality_weighted_sample": pipeline.quality_weighted_sample,
+        # NEW r06 (2nd wave): overlapping context-window chunking (the
+        # RAG/fine-tuning prep twin of pack_sequences), chunk texts pinned
+        # by an order-free md5 checksum
+        "doc_chunk_report": pipeline.doc_chunk_report,
         "stratified_sample_docs": pipeline.stratified_sample_docs,
         "bigram_stats": pipeline.bigram_stats,
         "reservoir_per_key": pipeline.reservoir_per_key,
@@ -194,6 +209,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_supplier_lists": relational2.nation_supplier_lists,
         # ---------------- entry 51+ (below the driver's 50-entry cap) -----
         # rotated out in r06 (green r04 AND r05)
+        "near_dup_embeddings": similarity.near_dup_embeddings,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
+        "minhash_near_dup_docs": dedup.minhash_near_dup_docs,
+        "kmeans_embeddings": pipeline.kmeans_embeddings,
         "token_counts": textops.token_counts,
         "docs_split_assignment": textops.docs_split_assignment,
         "doc_fingerprints": textops.doc_fingerprints,
@@ -371,6 +390,10 @@ def oracle_sql() -> dict[str, str]:
         "events_props_scrub": events.EVENTS_PROPS_SCRUB_SQL,
         "ngram_novelty_scores": dedup.NGRAM_NOVELTY_SQL,
         "quality_weighted_sample": pipeline.QUALITY_WEIGHTED_SAMPLE_SQL,
+        "cross_source_overlap": dedup.CROSS_SOURCE_OVERLAP_SQL,
+        "doc_chunk_report": pipeline.DOC_CHUNK_REPORT_SQL,
+        "embedding_outlier_report": pipeline.EMBEDDING_OUTLIER_REPORT_SQL,
+        "events_value_drift": events.EVENTS_VALUE_DRIFT_SQL,
         "idf_top_terms": textops.IDF_TOP_TERMS_SQL,
         "repetition_scores": textops.REPETITION_SCORES_SQL,
         "domain_mixture_weights": textops.DOMAIN_MIXTURE_SQL,

@@ -375,6 +375,87 @@ ORDER BY d.source
 """
 
 
+# --- cross-source overlap ---------------------------------------------------
+
+
+def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix: for every unordered pair of sources
+    (src_a < src_b), the number of distinct 3-gram shingles present in
+    BOTH sources' documents, each side's distinct-shingle count, and the
+    Jaccard of the two shingle sets — the dedup-lineage report that tells
+    a curation run which crawls/snapshots are re-serving each other's
+    content (a high-Jaccard pair gets one member dropped wholesale instead
+    of paying per-doc near-dup checks; shingle sets catch the re-serving
+    even when no two documents are byte-identical, which is why this is
+    set overlap at the shingle level, not the content-hash level).
+
+    Plan: the shared shingle derivation (one scan-local explode), a doc_id
+    join to attach sources, a distinct on (shingle, source) — one shuffle
+    keyed on the shingle; a shingle-keyed self-equi-join whose fan-out per
+    shingle is bounded by #sources (not corpus size); a #source²-bounded
+    aggregate; per-source totals broadcast back. At 100 TB every heavy
+    stage is shingle-keyed and uniform."""
+    sh = _shingles(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ss = sh.join(docs, "doc_id").select("shingle", "source").distinct()
+    totals = ss.groupBy("source").agg(F.count("*").alias("n"))
+    shared = (
+        ss.alias("a")
+        .join(ss.alias("b"), "shingle")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    t_a = F.broadcast(
+        totals.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    )
+    t_b = F.broadcast(
+        totals.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    )
+    return (
+        shared.join(t_a, "src_a")
+        .join(t_b, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+CROSS_SOURCE_OVERLAP_SQL = f"""
+WITH shg AS ({_DUCK_SHINGLES}),
+hs AS (
+  SELECT DISTINCT s.shingle, d.source
+  FROM shg s JOIN documents d ON s.doc_id = d.doc_id),
+tot AS (SELECT source, count(*) AS n FROM hs GROUP BY source),
+sh AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+  FROM hs a JOIN hs b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY a.source, b.source)
+SELECT sh.src_a, sh.src_b,
+       CAST(sh.n_shared AS BIGINT) AS n_shared,
+       CAST(ta.n AS BIGINT) AS n_a,
+       CAST(tb.n AS BIGINT) AS n_b,
+       round(sh.n_shared / CAST(ta.n + tb.n - sh.n_shared AS DOUBLE), 6)
+         AS jaccard
+FROM sh
+JOIN tot ta ON sh.src_a = ta.source
+JOIN tot tb ON sh.src_b = tb.source
+ORDER BY src_a, src_b
+"""
+
+
 # --- exact-substring decontamination ----------------------------------------
 
 SUBSTR_W = 40  # window width (chars)

@@ -797,6 +797,83 @@ ORDER BY event_type
 """
 
 
+# --- weekly value drift -------------------------------------------------------
+
+DAY_US = 86_400_000_000
+
+
+def events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week value-distribution drift per event type — the
+    monitoring query a long-running ingest pipeline keys alerts on (a mean
+    that jumps between weeks is an upstream schema/unit change; training
+    data cut from the drifted window needs re-weighting or exclusion).
+
+    Week bucketing is pure integer arithmetic on epoch micros (Monday-
+    aligned: epoch day 0 is a Thursday, so ``(day + 3) div 7`` shifts the
+    boundary to Monday) — no date_trunc, so both engines agree on both
+    fixture flavors (nanos-as-long AND wall-clock timestamp) by
+    construction. Means go through DECIMAL partial sums; drift is the
+    double subtraction of two identically-derived means.
+
+    Scale shape: one (week, type)-keyed aggregate over the scan, then a
+    lag window over #weeks×#types rows — the window input is tiny at any
+    corpus scale, so the global sort it implies is free."""
+    ev = _events(spark, sf_dir)
+    wk = F.expr(f"((ts_us div {DAY_US}) + 3) div 7")
+    agg = (
+        ev.groupBy(wk.alias("wk"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).alias("sum_dec"),
+        )
+        .withColumn(
+            "mean_raw", F.col("sum_dec").cast("double") / F.col("n_events")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("wk")
+    return (
+        agg.withColumn("prev", F.lag("mean_raw").over(w))
+        .select(
+            # ISO string, not DATE: date cells are the one dtype the result
+            # canonicalizer refuses (same policy as hour_start epoch ints)
+            F.date_add(
+                F.to_date(F.lit("1970-01-01")),
+                (F.col("wk") * 7 - 3).cast("int"),
+            )
+            .cast("string")
+            .alias("week_start"),
+            "event_type",
+            "n_events",
+            F.round("mean_raw", 6).alias("mean_value"),
+            F.coalesce(
+                F.round(F.col("mean_raw") - F.col("prev"), 6), F.lit(0.0)
+            ).alias("drift"),
+        )
+        .orderBy("week_start", "event_type")
+    )
+
+
+EVENTS_VALUE_DRIFT_SQL = f"""
+WITH agg AS (
+  SELECT ((epoch_us(ts) // {DAY_US}) + 3) // 7 AS wk, event_type,
+         count(*) AS n_events,
+         sum(CAST(value AS DECIMAL(28,10))) AS sum_dec
+  FROM events GROUP BY 1, 2),
+m AS (
+  SELECT wk, event_type, n_events,
+         CAST(sum_dec AS DOUBLE) / n_events AS mean_raw,
+         lag(CAST(sum_dec AS DOUBLE) / n_events)
+           OVER (PARTITION BY event_type ORDER BY wk) AS prev
+  FROM agg)
+SELECT CAST(DATE '1970-01-01' + CAST(wk * 7 - 3 AS INT) AS VARCHAR) AS week_start,
+       event_type, n_events,
+       round(mean_raw, 6) AS mean_value,
+       coalesce(round(mean_raw - prev, 6), 0.0) AS drift
+FROM m
+ORDER BY week_start, event_type
+"""
+
+
 # --- structured-log scrubbing ------------------------------------------------
 
 NUM_TOKEN = "<NUM>"

@@ -231,6 +231,219 @@ ORDER BY lang
 QUALITY_WEIGHTED_SAMPLE_SQL = _quality_weighted_sample_sql()
 
 
+CHUNK_W = 64  # chunk width (tokens)
+CHUNK_S = 48  # chunk stride (tokens) — overlap = CHUNK_W - CHUNK_S
+
+
+def doc_chunk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking — the RAG/fine-tuning prep twin
+    of pack_sequences: instead of concatenating docs into a continuous
+    stream, each document is cut into CHUNK_W-token windows every CHUNK_S
+    tokens (overlap keeps boundary sentences in two chunks). Output: per
+    lang, the chunk counts, expansion factor, short-tail fraction, and an
+    order-free content checksum over every chunk's md5 (pins the exact
+    chunk texts, not just their count).
+
+    Chunk i of a doc covers tokens [i·S+1, i·S+W]; the last chunk starts at
+    i = ceil(max(n_tok-W, 0)/S) so every token is covered and no chunk
+    starts past the end. All arithmetic is integer + one exactly-rounded
+    double ceil — engine-identical.
+
+    Scale shape: tokenize + index explode + slice are scan-local (flatMap);
+    the ONLY shuffle is the final #lang-keyed aggregate. Chunking 100 TB is
+    one pass."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.split("text", " ").alias("toks"))
+        .withColumn("n_tok", F.size("toks"))
+        .withColumn(
+            "i",
+            F.explode(
+                F.expr(
+                    f"sequence(0, CAST(ceil(greatest(n_tok - {CHUNK_W}, 0)"
+                    f" / CAST({CHUNK_S} AS DOUBLE)) AS INT))"
+                )
+            ),
+        )
+        .withColumn("chunk", F.expr(f"slice(toks, i * {CHUNK_S} + 1, {CHUNK_W})"))
+        .select(
+            "lang",
+            "doc_id",
+            F.size("chunk").alias("c_len"),
+            F.expr(
+                "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', "
+                "CAST(i AS STRING), ':', array_join(chunk, ' '))), 1, 8), 16, 10)"
+                " AS BIGINT)"
+            ).alias("c_sum"),
+        )
+    )
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_chunks"),
+            F.round(F.count("*") / F.countDistinct("doc_id"), 4).alias(
+                "chunks_per_doc"
+            ),
+            F.sum((F.col("c_len") < CHUNK_W).cast("int")).alias("n_tail_chunks"),
+            F.sum("c_sum").alias("chunk_checksum"),
+        )
+        .orderBy("lang")
+    )
+
+
+DOC_CHUNK_REPORT_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents),
+idx AS (
+  SELECT doc_id, lang, toks, n_tok,
+         unnest(range(0,
+           CAST(ceil(greatest(n_tok - {CHUNK_W}, 0)
+                     / CAST({CHUNK_S} AS DOUBLE)) AS INT) + 1)) AS i
+  FROM tok),
+chunks AS (
+  SELECT lang, doc_id,
+         len(list_slice(toks, i*{CHUNK_S} + 1, i*{CHUNK_S} + {CHUNK_W}))
+           AS c_len,
+         CAST(concat('0x', substr(md5(
+             CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR) || ':' ||
+             array_to_string(list_slice(toks, i*{CHUNK_S} + 1,
+                                        i*{CHUNK_S} + {CHUNK_W}), ' ')
+           ), 1, 8)) AS BIGINT) AS c_sum
+  FROM idx)
+SELECT lang,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_chunks,
+       round(count(*) / CAST(count(DISTINCT doc_id) AS DOUBLE), 4)
+         AS chunks_per_doc,
+       CAST(sum(CASE WHEN c_len < {CHUNK_W} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tail_chunks,
+       CAST(sum(c_sum) AS BIGINT) AS chunk_checksum
+FROM chunks
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def embedding_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-corpus QA: per label, the peak-component concentration
+    (max|x_i| of each vector) mean/std and how many vectors fall outside
+    mean ± 2·std — the sanity gate a pipeline runs on a fresh embedding
+    dump before building ANN structures on it (a high peak is a one-hot-
+    ish/clipped vector, a low peak an over-smoothed one; a label whose
+    spread explodes mixed encoder versions). The L2 norm is reported too
+    as a coarse unit-normalization check — but the outlier statistic is
+    deliberately NOT the norm: on unit-normalized corpora the norm's
+    variance is a handful of double ulps (pure encode noise), where
+    mean²-cancellation makes any ±kσ rule engine-unstable AND meaningless.
+    Peak concentration has real physical variance (~1/√dim scale).
+
+    Exactness: per-vector peak/norm are the same scan-local expressions
+    the oracle writes explicitly (array_max over exact |·| casts; the
+    norm² left-assoc fold as a 64-term chain); per-label moments go
+    through DECIMAL partial sums (shuffle-order-proof); mean, std, and the
+    ±2σ comparisons are then the identical sequence of exactly-rounded
+    IEEE ops (÷, sqrt, ×, −) in both engines, on a statistic whose
+    variance sits ~10¹³ ulps above cancellation noise.
+
+    Scale shape: peak/norm are scan-local; the moment aggregate is one
+    #label shuffle; the stats table (K rows) broadcasts back for the
+    outlier count — a second #label shuffle. Two tiny shuffles total."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = "CAST(x AS DOUBLE)"
+    norm = F.expr(
+        f"sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + {d} * {d}))"
+    )
+    peak = F.expr(f"array_max(transform(embedding, x -> abs({d})))")
+    per = emb.select("label", norm.alias("norm"), peak.alias("peak"))
+    stats = (
+        per.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(F.col("peak").cast("decimal(38,20)")).alias("s1"),
+            F.sum((F.col("peak") * F.col("peak")).cast("decimal(38,20)")).alias(
+                "s2"
+            ),
+        )
+        .withColumn("mean", F.col("s1").cast("double") / F.col("n_vecs"))
+        .withColumn(
+            "std",
+            F.sqrt(
+                F.greatest(
+                    F.col("s2").cast("double") / F.col("n_vecs")
+                    - F.col("mean") * F.col("mean"),
+                    F.lit(0.0),
+                )
+            ),
+        )
+        .select("label", "n_vecs", "mean", "std")
+    )
+    return (
+        per.join(F.broadcast(stats), "label")
+        .groupBy("label")
+        .agg(
+            F.first("n_vecs").alias("n_vecs"),
+            F.round(
+                F.sum(F.col("norm").cast("decimal(38,20)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_norm"),
+            F.round(F.first("mean"), 9).alias("avg_peak"),
+            F.round(F.first("std"), 9).alias("std_peak"),
+            F.sum(
+                (F.col("peak") > F.col("mean") + 2.0 * F.col("std")).cast("int")
+            ).alias("n_hi_outliers"),
+            F.sum(
+                (F.col("peak") < F.col("mean") - 2.0 * F.col("std")).cast("int")
+            ).alias("n_lo_outliers"),
+        )
+        .orderBy("label")
+    )
+
+
+def _duck_outlier_report_sql() -> str:
+    d = "CAST(embedding[{i}] AS DOUBLE)"
+    chain = " + ".join(
+        f"{d.format(i=i)} * {d.format(i=i)}" for i in range(1, EMBEDDING_DIM + 1)
+    )
+    peak = ", ".join(f"abs({d.format(i=i)})" for i in range(1, EMBEDDING_DIM + 1))
+    return f"""
+WITH per AS (
+  SELECT label, sqrt({chain}) AS norm, greatest({peak}) AS peak
+  FROM embeddings),
+stats AS (
+  SELECT label, count(*) AS n_vecs,
+         sum(CAST(peak AS DECIMAL(38,20))) AS s1,
+         sum(CAST(peak * peak AS DECIMAL(38,20))) AS s2
+  FROM per GROUP BY label),
+ms AS (
+  SELECT label, n_vecs,
+         CAST(s1 AS DOUBLE) / n_vecs AS mean,
+         sqrt(greatest(CAST(s2 AS DOUBLE) / n_vecs
+                       - (CAST(s1 AS DOUBLE) / n_vecs)
+                         * (CAST(s1 AS DOUBLE) / n_vecs), 0.0)) AS std
+  FROM stats)
+SELECT p.label,
+       CAST(any_value(m.n_vecs) AS BIGINT) AS n_vecs,
+       round(CAST(sum(CAST(p.norm AS DECIMAL(38,20))) AS DOUBLE) / count(*), 6)
+         AS avg_norm,
+       round(any_value(m.mean), 9) AS avg_peak,
+       round(any_value(m.std), 9) AS std_peak,
+       CAST(sum(CASE WHEN p.peak > m.mean + 2.0 * m.std THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hi_outliers,
+       CAST(sum(CASE WHEN p.peak < m.mean - 2.0 * m.std THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_lo_outliers
+FROM per p JOIN ms m ON p.label = m.label
+GROUP BY p.label
+ORDER BY p.label
+"""
+
+
+EMBEDDING_OUTLIER_REPORT_SQL = _duck_outlier_report_sql()
+
+
 RESERVOIR_N = 5  # fixed sample size per source
 
 

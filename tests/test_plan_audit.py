@@ -273,6 +273,46 @@ def test_ngram_novelty_reuses_shingle_partitioning(spark, queries):
     assert a["n_shuffles"] <= 7
 
 
+def test_doc_chunk_report_is_scan_local_single_agg(spark, queries):
+    df = queries["doc_chunk_report"](spark, SF_DIR)
+    df.collect()
+    a = audit_plan(df)
+    # tokenize + index explode + slice + hash are all scan-local; only the
+    # lang aggregate (distinct-doc expand) and the output sort shuffle
+    assert a["n_broadcast_joins"] == 0 and a["n_sort_merge_joins"] == 0
+    assert a["n_shuffles"] <= 3
+
+
+def test_cross_source_overlap_never_nested_loop(spark, queries):
+    df = queries["cross_source_overlap"](spark, SF_DIR)
+    df.collect()
+    a = audit_plan(df)
+    # the self-join is a shingle-keyed EQUI-join (per-key fan-out bounded
+    # by #sources); totals come back as broadcasts
+    assert a["n_nested_loop_joins"] == 0
+    assert a["n_broadcast_joins"] >= 2
+
+
+def test_embedding_outlier_report_broadcasts_stats(spark, queries):
+    df = queries["embedding_outlier_report"](spark, SF_DIR)
+    df.collect()
+    a = audit_plan(df)
+    # per-label stats (K rows) must broadcast back, never sort-merge
+    assert a["n_broadcast_joins"] >= 1
+    assert a["n_sort_merge_joins"] == 0
+
+
+def test_events_value_drift_bounded_window(spark, queries):
+    df = queries["events_value_drift"](spark, SF_DIR)
+    df.collect()
+    a = audit_plan(df)
+    # one (week,type) aggregate, the lag window over #weeks×#types rows,
+    # and the output sort — no joins at all
+    assert a["n_broadcast_joins"] == 0 and a["n_sort_merge_joins"] == 0
+    assert a["n_nested_loop_joins"] == 0
+    assert a["n_shuffles"] <= 3
+
+
 def test_tpch_q9_broadcasts_all_dimensions(spark, queries):
     a = audit_plan(queries["tpch_q9_profit"](spark, SF_DIR))
     # part, supplier, nation are broadcast dims; only lineitem⋈orders and
