@@ -352,6 +352,9 @@ def main() -> None:
         "sum": 0.42,
         "identity_arrow_roundtrip": 0.545,
     }
+    results["micro_insert_100k_1024"] = micro_timed(
+        micro_insert, micro_stats, "micro_insert_100k_1024"
+    )
     ins = results["micro_insert_100k_1024"]
     micro_stats["structural_note"] = (
         f"Measured insert {ins:.3f} s = {ins / 0.175:.2f}x the reference's "
@@ -364,9 +367,6 @@ def main() -> None:
         "paths). The Spark path's return is horizontal: per-executor "
         "throughput at this rate scales out to the 100 TB corpus the "
         "reference cannot hold."
-    )
-    results["micro_insert_100k_1024"] = micro_timed(
-        micro_insert, micro_stats, "micro_insert_100k_1024"
     )
 
     # one persisted copy feeds the save/query micros (materialized once,
