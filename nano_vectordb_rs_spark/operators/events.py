@@ -439,14 +439,21 @@ def events_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
     def ok(i: int, lo: int, hi: int, name: str):
-        return (
+        # coalesce(TRUE): a type whose values are ALL NULL has no sketch
+        # estimate and no brackets (both sides NULL) — the oracle keeps the
+        # group with NULL percentiles and literal TRUE flags, so mirror it
+        return F.coalesce(
             (F.col("_ap")[i] >= exq(lo, QS[lo]))
-            & (F.col("_ap")[i] <= exq(hi, QS[hi]))
+            & (F.col("_ap")[i] <= exq(hi, QS[hi])),
+            F.lit(True),
         ).alias(name)
 
-    # both sides are ~#event_type rows; broadcast the sketch side
+    # both sides are ~#event_type rows. LEFT join FROM the sketch side: the
+    # exact-bracket side drops all-NULL-value types (value IS NOT NULL
+    # filter) while count(*) groups keep them — a left join preserves the
+    # oracle's group set (quantile_cont ignores NULLs but keeps the group)
     return (
-        ex.join(F.broadcast(ap), "event_type")
+        ap.join(F.broadcast(ex), "event_type", "left")
         .select(
             "event_type",
             "n_events",
@@ -895,7 +902,14 @@ def events_props_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     followed by an #event_type-keyed aggregation."""
     ev = _events(spark, sf_dir)
     redacted = F.regexp_replace(F.col("props"), "[0-9]+", NUM_TOKEN)
-    n_matches = F.size(F.expr("regexp_extract_all(props, '[0-9]+', 0)"))
+    # NULL guard: legacy sizeOfNull makes F.size(NULL) = -1, while the
+    # oracle's sum(len(...)) skips NULL rows — coalesce to a NULL count so
+    # SUM ignores the row in both engines (delta/h/red are already NULL-
+    # propagating and both SUMs/countDistinct skip NULLs)
+    n_matches = F.when(
+        F.col("props").isNotNull(),
+        F.size(F.expr("regexp_extract_all(props, '[0-9]+', 0)")),
+    )
     row_hash = (
         F.conv(F.substring(F.md5(redacted), 1, 8), 16, 10).cast("bigint")
     )

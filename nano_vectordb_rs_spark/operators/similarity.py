@@ -55,6 +55,36 @@ N_PLANES = 4
 PLANES = [deterministic_vector(EMBEDDING_DIM, seed=200 + p) for p in range(N_PLANES)]
 
 
+def _materialize_cached(keyed_path: str, write_fn) -> str:
+    """Build a content-keyed index directory exactly once, safely under
+    concurrency (parallel pytest workers, bench + gate on one fixture).
+
+    A bare ``exists(_SUCCESS)`` check plus ``mode('overwrite')`` races: a
+    reader can scan while another process's overwrite deletes the files
+    under it. Instead each builder writes to its OWN unique temp directory
+    and publishes with ``os.rename`` (atomic on the same filesystem):
+    readers only ever see a fully-written directory or none. If another
+    builder won the rename, the loser discards its copy — last-writer-
+    loses, both copies are identical by construction (deterministic
+    codebooks)."""
+    import os
+    import shutil
+    import uuid
+
+    if os.path.exists(os.path.join(keyed_path, "_SUCCESS")):
+        return keyed_path
+    tmp = f"{keyed_path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    write_fn(tmp)
+    try:
+        os.rename(tmp, keyed_path)
+    except OSError:
+        if os.path.exists(os.path.join(keyed_path, "_SUCCESS")):
+            shutil.rmtree(tmp, ignore_errors=True)  # concurrent builder won
+        else:
+            raise
+    return keyed_path
+
+
 # --- KNN similarity join ----------------------------------------------------
 
 
@@ -895,19 +925,27 @@ def pq_build_codes(spark: SparkSession, sf_dir: str) -> str:
         f"pq{PQ_M}x{PQ_K}v1".encode()
     ).hexdigest()[:16]
     path = os.path.join(tempfile.gettempdir(), "nano_vdb_pq_codes", key)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        emb = load_table(spark, sf_dir, "embeddings")
-        packed = None
-        for m in range(PQ_M):
-            term = F.shiftleft(F.col(f"code{m}"), 4 * m)
-            packed = term if packed is None else packed + term
-        (
-            _pq_encode(emb, ["label"])
-            .select("vec_id", "label", packed.cast("int").alias("pq_code"))
-            .write.mode("overwrite")
-            .parquet(path)
-        )
-    return path
+
+    def _write(tmp: str) -> None:
+        pq_codes_df(spark, sf_dir).write.mode("overwrite").parquet(tmp)
+
+    return _materialize_cached(path, _write)
+
+
+def pq_codes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ index-build plan itself — (vec_id, label, pq_code) with the
+    8×4-bit codes packed into one INT — as a DataFrame, so the build cost
+    can be timed on its own (bench entry ``pq_build_codes``) separately
+    from the probe (``ann_pq_codes_topk``). One scan-local literal-codebook
+    projection, zero joins, zero shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    packed = None
+    for m in range(PQ_M):
+        term = F.shiftleft(F.col(f"code{m}"), 4 * m)
+        packed = term if packed is None else packed + term
+    return _pq_encode(emb, ["label"]).select(
+        "vec_id", "label", packed.cast("int").alias("pq_code")
+    )
 
 
 def ann_pq_codes_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1089,7 +1127,8 @@ def ivf_pq_build_index(spark: SparkSession, sf_dir: str) -> str:
         f"ivf{N_CENTROIDS}pq{PQ_M}x{PQ_K}v1".encode()
     ).hexdigest()[:16]
     path = os.path.join(tempfile.gettempdir(), "nano_vdb_ivfpq_index", key)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+
+    def _write(tmp: str) -> None:
         emb = load_table(spark, sf_dir, "embeddings")
         # cell assignment needs the s0..s7 score columns in scope
         scored = emb.select(
@@ -1115,9 +1154,10 @@ def ivf_pq_build_index(spark: SparkSession, sf_dir: str) -> str:
             )
             .write.mode("overwrite")
             .partitionBy("cell")
-            .parquet(path)
+            .parquet(tmp)
         )
-    return path
+
+    return _materialize_cached(path, _write)
 
 
 def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1160,12 +1200,16 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PQ_TOPK)
     )
     exact = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # order by the exact INTEGER score before dropping it (same rule as
+    # ann_pq_codes_topk): ordering by the 6-decimal-rounded pq_dot could
+    # disagree with the oracle's score_fp ordering on round-equal ties
     return (
         exact.join(F.broadcast(topk), "vec_id")
         .select(
             "vec_id",
             "label",
             "cell",
+            "score_fp",
             F.round(F.col("score_fp").cast("double") / F.lit(_FP), 6).alias(
                 "pq_dot"
             ),
@@ -1173,7 +1217,8 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "exact_cos"
             ),
         )
-        .orderBy(F.col("pq_dot").desc(), F.col("vec_id").asc())
+        .orderBy(F.col("score_fp").desc(), F.col("vec_id").asc())
+        .drop("score_fp")
     )
 
 

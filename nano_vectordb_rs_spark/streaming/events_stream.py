@@ -282,17 +282,27 @@ def run_available_now(
     that per-partition file overhead dominates the actual state work (the
     stream-stream join alone keeps four state stores). So the drain
     harness starts the query under a small fixed count
-    (SPARK_GRAFT_STREAM_PARTITIONS, default 8) and restores the session
+    (SPARK_GRAFT_STREAM_PARTITIONS, default 4) and restores the session
     setting afterwards. A production deployment sizes this to its
     executor count ONCE at query birth — it is a deployment parameter, not
-    plan logic, which is why it lives here in the harness."""
+    plan logic, which is why it lives here in the harness.
+
+    Default 4, not 8 (round-7 variance chase): the r06 bench saw
+    streaming_click_attribution swing 3.4 ↔ 7.7 s between runs. Measured
+    at sf0.1, 3 runs per setting: 8 partitions → [6.4, 4.4, 3.8] s;
+    4 → [3.15, 3.01, 2.97]; 2 → [3.04, 3.06, 2.87]; 1 → [3.16, 3.07,
+    3.09]. The swing is per-partition state-file churn (4 join state
+    stores × partitions × per-batch state+commit files on the HDFS-backed
+    provider), not the join itself — halving the partitions removes the
+    variance and ~1.5 s of constant cost while leaving state still keyed
+    and distributed."""
     import os
 
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions",
-        os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8"),
+        os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4"),
     )
     try:
         q = (

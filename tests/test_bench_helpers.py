@@ -46,6 +46,15 @@ def test_load_prior_times_filters_unknown_names(tmp_path, monkeypatch):
     assert bench.load_prior_times({"q_a"}) == {"q_a": 1.0}
 
 
+def test_detect_regressions_trips_only_past_3x_prior():
+    prior = {"q_a": 1.0, "q_b": 0.5}
+    results = {"q_a": 3.5, "q_b": 1.4, "q_new": 9.0}  # q_new: no prior
+    reg = bench.detect_regressions(results, prior)
+    assert reg == {"q_a": {"best_sec": 3.5, "prior_best_sec": 1.0}}
+    # exactly-3x does not trip (strict >)
+    assert bench.detect_regressions({"q_a": 3.0}, prior) == {}
+
+
 def test_micro_timed_discards_storm_runs(monkeypatch):
     # deterministic "clock": five clean ~1 s runs with one 30x storm
     seq = iter([1.0, 1.01, 30.0, 0.99, 1.02, 1.0])
