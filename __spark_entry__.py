@@ -53,39 +53,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       events+streaming, pipeline-prep, relational).
     * Queries that have NEVER had a driver CORRECTNESS row rotate IN each
       round; multiply-verified family siblings rotate OUT to make room.
-      Rotated in for round 6 — with these, every query ever declared has a
-      driver CORRECTNESS row at least once (cross-round union = full
-      surface):
-      - the 13 never-driver-checked through r05: tpch_q4_priority,
-        tpch_q9_profit, tpch_q11_important_parts, tpch_q16_supplier_counts,
-        tpch_q20_promotion_suppliers, cluster_topic_report,
-        embedding_top_component, events_anomaly_report,
-        train_shard_manifest, vocab_coverage_report, ann_pq_topk,
-        label_centroids_mergeable, and nation_supplier_lists (the one
-        query that crashed the r01/r02 canonicalizer on list cells — its
-        redemption row; it emits a |-joined string since r03);
-      - the nine NEW r06 queries, gated from birth so the union stays
-        complete: ann_pq_codes_topk (the materialized-codes PQ twin —
-        pq_build_codes writes the 4-byte packed code column once; the
-        probe scans codes only, same top-10 and oracle as ann_pq_topk),
-        exact_substring_contamination (character-window equi-join
-        decontamination), events_props_scrub (digit-run redaction with a
-        mergeable redacted-corpus checksum), ngram_novelty_scores
-        (first-occurrence shingle fractions per source),
-        quality_weighted_sample (deterministic q²-importance sampling),
-        cross_source_overlap (pairwise source shingle-overlap matrix),
-        doc_chunk_report (overlapping context-window chunking),
-        embedding_outlier_report (peak-concentration ±2σ QA), and
-        events_value_drift (week-over-week mean drift per type).
-      Rotated out (every one green in CORRECTNESS_r04 AND r05; family
-      siblings remain in the gate): knn_join, ngram_jaccard_pairs,
-      token_counts, docs_split_assignment, doc_fingerprints,
-      corpus_budget_report, idf_top_terms, docs_length_histogram,
-      repetition_scores, domain_mixture_weights, media_inventory,
-      media_fingerprints, events_hourly, events_asof_join,
-      events_user_seq, events_retention, pack_sequences,
-      embedding_quantize_stats, near_dup_embeddings, ann_ivf_topk,
-      minhash_near_dup_docs, kmeans_embeddings.
+      Round-7 rotation (per VERDICT r06 tasks 2 and 8):
+      - REDEMPTION rows in: events_value_bands, events_next_transition,
+        events_daily_full_outer — their latest driver row was the r03
+        fixture-schema error (the shared ``_events`` helper's
+        TIMESTAMP_NTZ mismatch, fixed at events.py:33; five siblings
+        re-passed r04-r05) — gating them makes the LATEST-status union
+        green, not just the ever-checked union.
+      - NEW r07 queries, gated from birth: ann_ivf_pq_topk (coarse cells
+        AND packed PQ codes in one partitioned index — the FAISS-IVFPQ
+        layout; was dead code in r06, now ordered by exact score_fp and
+        wired), mixture_temperature_weights (q ∝ sqrt(p) temperature
+        sampling, the mT5/XLM-R recipe), tokenizer_fertility (chars per
+        subword per language — vocab-sizing signal),
+        dedup_pair_recall (sampled-audit recall of the MinHash-LSH
+        candidate stage vs brute-force exact Jaccard on a constant-size
+        block).
+      - CHANGED queries stay gated for re-verification:
+        events_value_percentiles_approx (left join from the sketch side so
+        all-NULL-value types survive, ADVICE r06) and events_props_scrub
+        (NULL-props guard, ADVICE r06).
+      - Rotated out (green in r06, family siblings remain): ann_pq_topk,
+        ann_pq_codes_topk, exact_substring_contamination,
+        ngram_novelty_scores, quality_weighted_sample,
+        cross_source_overlap, doc_chunk_report, embedding_outlier_report,
+        events_value_drift. The front block is 48 entries, so the first
+        two tail entries (near_dup_embeddings, ann_ivf_topk; green
+        r04 AND r05) re-enter the 50-row gate as free cross-checks.
     * Historical green rounds per family are tracked in PARITY.md §gate.
     * Entries 51+ keep full local coverage every round via
       tests/test_oracle_parity.py (stricter than the driver: dtype-class +
@@ -104,26 +98,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # KNN/IVF/LSH SQL
         "ann_recall": similarity.ann_recall,
         "crossmodal_dup_check": similarity.crossmodal_dup_check,
-        # r06 gate debut: PQ/ADC (r05-new, never driver-checked) + its NEW
-        # materialized-codes production twin — codes written once as a
-        # 4-byte packed column, probe scans codes only (64x byte reduction)
-        "ann_pq_topk": similarity.ann_pq_topk,
-        "ann_pq_codes_topk": similarity.ann_pq_codes_topk,
+        # NEW r07: IVF cells AND packed PQ codes in ONE partitioned index —
+        # the probe reads n_probe/n_cells of the files x 1/64th the bytes
+        "ann_ivf_pq_topk": similarity.ann_ivf_pq_topk,
         # mergeable (map-side-combining) twin of the label_centroids
         # grouped-map UDAF — the giant-group-safe formulation for skewed
         # labels at scale; never driver-checked before r06
         "label_centroids_mergeable": similarity.label_centroids_mergeable,
         # --- dedup family ---
         "contamination_check": dedup.contamination_check,
-        # NEW r06 (2nd wave): pairwise source shingle-overlap matrix —
-        # the dedup-lineage signal for dropping re-serving crawls wholesale
-        "cross_source_overlap": dedup.cross_source_overlap,
-        # NEW r06: exact-substring decontamination — character-window
-        # equi-join; the verbatim-leakage twin of the shingle method
-        "exact_substring_contamination": dedup.exact_substring_contamination,
-        # NEW r06: per-source n-gram novelty (first-occurrence fractions —
-        # the boilerplate/recombination curation signal)
-        "ngram_novelty_scores": dedup.ngram_novelty_scores,
+        # NEW r07: sampled-audit recall/efficiency of the MinHash-LSH
+        # candidate stage vs brute-force exact Jaccard on a bounded block —
+        # pins what the banding MISSES, not just what it emits
+        "dedup_pair_recall": dedup.dedup_pair_recall,
         "dedup_keep_best": dedup.dedup_keep_best,
         # iterative connected-components (driver-side convergence loop);
         # oracle = fixed-round unrolled min-label CTE chain, plus an
@@ -131,6 +118,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": dedup.dup_clusters,
         # --- text analysis ---
         "phrase_collocations": textops.phrase_collocations,
+        # NEW r07: temperature-scaled sampling mixture (q ∝ sqrt(p), T=2 —
+        # sqrt is IEEE-exact in both engines, unlike arbitrary pow) and
+        # per-language tokenizer fertility (vocab-sizing signal)
+        "mixture_temperature_weights": textops.mixture_temperature_weights,
+        "tokenizer_fertility": textops.tokenizer_fertility,
         # --- multimodal binary columns (the ASCII-only MD5 fake codec is
         # recomputable in VARCHAR-md5 SQL) ---
         "media_frame_sample": multimodal.media_frame_sample,
@@ -141,10 +133,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # joins seed-centroid assignments back to doc text ---
         "embedding_top_component": pipeline.embedding_top_component,
         "cluster_topic_report": pipeline.cluster_topic_report,
-        # NEW r06 (2nd wave): embedding-dump QA — peak-concentration ±2σ
-        # outliers per label (the statistic with real variance; the norm is
-        # reported only as a coarse unit-check)
-        "embedding_outlier_report": pipeline.embedding_outlier_report,
         # --- events surface ---
         "events_json_stats": events.events_json_stats,
         "events_top_users": events.events_top_users,
@@ -159,12 +147,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r06 gate debut: per-user z-score anomaly triage (decimal moments,
         # co-partitioned join back)
         "events_anomaly_report": events.events_anomaly_report,
-        # NEW r06: structured-log scrubbing (digit-run redaction with an
-        # order-free mergeable checksum of the redacted corpus)
+        # CHANGED r07 (ADVICE: NULL-props guard) — stays gated to re-verify
         "events_props_scrub": events.events_props_scrub,
-        # NEW r06 (2nd wave): week-over-week value-distribution drift per
-        # type — Monday-aligned integer week bucketing on epoch micros
-        "events_value_drift": events.events_value_drift,
+        # REDEMPTION rows (VERDICT r06 task 2): latest driver rows were the
+        # r03 _events TIMESTAMP_NTZ error; helper fixed at events.py:33 and
+        # siblings re-passed r04-r05 — these three get their own green rows
+        "events_value_bands": advanced.events_value_bands,
+        "events_next_transition": events.events_next_transition,
+        "events_daily_full_outer": events.events_daily_full_outer,
         # THREE REAL streams in the gate: readStream plans drained
         # availableNow with full value oracles (finite source ⇒ batch-equal)
         # — watermarked tumbling agg, state-store replay dedup of a
@@ -174,13 +164,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup_counts": events_stream.streaming_dedup_counts,
         "streaming_click_attribution": events_stream.streaming_click_attribution,
         # --- LLM-pipeline extensions ---
-        # NEW r06: q²-importance sampling (soft quality weighting; exact
-        # IEEE multiply at the acceptance boundary, no pow())
-        "quality_weighted_sample": pipeline.quality_weighted_sample,
-        # NEW r06 (2nd wave): overlapping context-window chunking (the
-        # RAG/fine-tuning prep twin of pack_sequences), chunk texts pinned
-        # by an order-free md5 checksum
-        "doc_chunk_report": pipeline.doc_chunk_report,
         "stratified_sample_docs": pipeline.stratified_sample_docs,
         "bigram_stats": pipeline.bigram_stats,
         "reservoir_per_key": pipeline.reservoir_per_key,
@@ -207,10 +190,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # redemption row: crashed the r01/r02 canonicalizer (list cells);
         # emits a |-joined string since r03, never re-gated until now
         "nation_supplier_lists": relational2.nation_supplier_lists,
-        # ---------------- entry 51+ (below the driver's 50-entry cap) -----
-        # rotated out in r06 (green r04 AND r05)
+        # ---------------- entry 49+ (the driver gates the first 50, so the
+        # next two re-enter as free cross-checks; both green r04 AND r05) --
         "near_dup_embeddings": similarity.near_dup_embeddings,
         "ann_ivf_topk": similarity.ann_ivf_topk,
+        # rotated out in r07 (green r06, siblings gated)
+        "ann_pq_topk": similarity.ann_pq_topk,
+        "ann_pq_codes_topk": similarity.ann_pq_codes_topk,
+        "exact_substring_contamination": dedup.exact_substring_contamination,
+        "ngram_novelty_scores": dedup.ngram_novelty_scores,
+        "cross_source_overlap": dedup.cross_source_overlap,
+        "quality_weighted_sample": pipeline.quality_weighted_sample,
+        "doc_chunk_report": pipeline.doc_chunk_report,
+        "embedding_outlier_report": pipeline.embedding_outlier_report,
+        "events_value_drift": events.events_value_drift,
         "minhash_near_dup_docs": dedup.minhash_near_dup_docs,
         "kmeans_embeddings": pipeline.kmeans_embeddings,
         "token_counts": textops.token_counts,
@@ -285,9 +278,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cumulative": advanced.orders_cumulative,
         "order_value_quantiles": advanced.order_value_quantiles,
         "supplier_percent_rank": relational2.supplier_percent_rank,
-        "events_value_bands": advanced.events_value_bands,
-        "events_daily_full_outer": events.events_daily_full_outer,
-        "events_next_transition": events.events_next_transition,
     }
 
 
@@ -425,4 +415,9 @@ def oracle_sql() -> dict[str, str]:
         # but must produce the identical top-10 — same oracle by design
         "ann_pq_codes_topk": similarity.ANN_PQ_SQL,
         "length_filter_report": pipeline.LENGTH_FILTER_SQL,
+        # r07 additions
+        "ann_ivf_pq_topk": similarity.ANN_IVF_PQ_SQL,
+        "mixture_temperature_weights": textops.MIXTURE_TEMPERATURE_SQL,
+        "tokenizer_fertility": textops.TOKENIZER_FERTILITY_SQL,
+        "dedup_pair_recall": dedup.DEDUP_PAIR_RECALL_SQL,
     }

@@ -201,6 +201,155 @@ LIMIT 100
 """
 
 
+RECALL_BLOCK = 500  # sampled-audit block: doc_id < 500 (constant vs corpus)
+
+
+def dedup_pair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled recall audit of the MinHash-LSH candidate stage: inside a
+    bounded probe block (doc_id < RECALL_BLOCK) compute the EXACT
+    shingle-Jaccard ≥ JACCARD_MIN pair set by brute force, re-derive the
+    LSH band-bucket candidates for the same block, and report how many
+    true pairs the banding surfaced (recall) and what fraction of
+    candidates were true (efficiency). One summary row.
+
+    This is how dedup recall is actually measured at 100 TB: the exact
+    pair set over the corpus is uncomputable by design (the LSH exists to
+    avoid it), so production audits brute-force a CONSTANT-size sample
+    block and extrapolate. The block's all-pairs cost is
+    RECALL_BLOCK²-bounded — independent of corpus size — while the
+    banding audited is bit-identical to the full run's (band keys are
+    per-doc, so candidates-within-block equal the block-restriction of
+    the full candidate set).
+
+    Catches the silent failure mode LSH dedup has in production: a bad
+    band/row configuration (or a broken hash) loses recall with NO error
+    anywhere — counts just drop. `minhash_near_dup_docs` pins which pairs
+    the stage emits; this pins what it MISSES."""
+    sh = _shingles(spark, sf_dir).filter(F.col("doc_id") < RECALL_BLOCK).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # exact side: brute-force all-pairs within the block (bounded)
+    s1, s2 = sh.alias("s1"), sh.alias("s2")
+    inter = (
+        s1.join(
+            s2,
+            (F.col("s1.shingle") == F.col("s2.shingle"))
+            & (F.col("s1.doc_id") < F.col("s2.doc_id")),
+        )
+        .groupBy(
+            F.col("s1.doc_id").alias("doc1"), F.col("s2.doc_id").alias("doc2")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    a, b = sizes.alias("a"), sizes.alias("b")
+    exact = (
+        inter.join(a, F.col("doc1") == F.col("a.doc_id"))
+        .join(b, F.col("doc2") == F.col("b.doc_id"))
+        .filter(
+            F.col("n_inter")
+            / (F.col("a.n") + F.col("b.n") - F.col("n_inter"))
+            >= JACCARD_MIN
+        )
+        .select("doc1", "doc2")
+    )
+    # LSH side: the same signature/banding as minhash_near_dup_docs,
+    # restricted to the block (band keys are per-doc ⇒ identical keys)
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"h{j}")
+            for j in range(N_HASHES)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(F.concat_ws("|", f"h{2 * b}", f"h{2 * b + 1}"))
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.key") == F.col("bb.key"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("doc1"), F.col("bb.doc_id").alias("doc2")
+        )
+        .distinct()
+    )
+    hits = exact.join(cand, ["doc1", "doc2"])
+    counted = (
+        exact.agg(F.count("*").alias("n_exact"))
+        .join(cand.agg(F.count("*").alias("n_candidates")))
+        .join(hits.agg(F.count("*").alias("n_hits")))
+    )
+    return counted.select(
+        "n_exact",
+        "n_candidates",
+        "n_hits",
+        F.round(
+            F.col("n_hits") / F.nullif(F.col("n_exact"), F.lit(0)).cast("double"),
+            6,
+        ).alias("recall"),
+        F.round(
+            F.col("n_hits")
+            / F.nullif(F.col("n_candidates"), F.lit(0)).cast("double"),
+            6,
+        ).alias("efficiency"),
+    )
+
+
+_DUCK_RECALL_BAND_SELECTS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, md5(h{2 * b} || '|' || h{2 * b + 1}) AS key FROM sigs"
+    for b in range(N_BANDS)
+)
+
+_DUCK_BLOCK_SHINGLES = f"""
+  SELECT DISTINCT doc_id,
+         w[i.g] || ' ' || w[i.g + 1] || ' ' || w[i.g + 2] AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE doc_id < {RECALL_BLOCK}),
+       UNNEST(generate_series(1, len(w) - 2)) AS i(g)
+"""
+
+DEDUP_PAIR_RECALL_SQL = f"""
+WITH shingles AS ({_DUCK_BLOCK_SHINGLES}),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT s1.doc_id AS doc1, s2.doc_id AS doc2, count(*) AS n_inter
+  FROM shingles s1
+  JOIN shingles s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2),
+exact AS (
+  SELECT doc1, doc2
+  FROM inter JOIN sizes a ON doc1 = a.doc_id JOIN sizes b ON doc2 = b.doc_id
+  WHERE n_inter / CAST(a.n + b.n - n_inter AS DOUBLE) >= {JACCARD_MIN}),
+sigs AS (
+  SELECT doc_id, {_DUCK_SIG_COLS}
+  FROM shingles GROUP BY doc_id),
+bands AS ({_DUCK_RECALL_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+hits AS (SELECT * FROM exact JOIN cand USING (doc1, doc2)),
+counts AS (
+  SELECT (SELECT count(*) FROM exact) AS n_exact,
+         (SELECT count(*) FROM cand) AS n_candidates,
+         (SELECT count(*) FROM hits) AS n_hits)
+SELECT n_exact, n_candidates, n_hits,
+       round(n_hits / CAST(nullif(n_exact, 0) AS DOUBLE), 6) AS recall,
+       round(n_hits / CAST(nullif(n_candidates, 0) AS DOUBLE), 6) AS efficiency
+FROM counts
+"""
+
+
 # --- benchmark decontamination ------------------------------------------------
 
 CONTAM_MIN_SHARED = 3  # distinct shared shingles to flag a train doc

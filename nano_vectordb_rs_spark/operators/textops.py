@@ -500,6 +500,132 @@ ORDER BY lang
 """
 
 
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling mixture (the mT5/XLM-R recipe): sampling
+    probability q_i ∝ p_i^(1/T) over per-language token shares p_i — the
+    exponent flattens the mixture so low-resource languages are upsampled
+    without hand-written targets (`domain_mixture_weights` is the explicit-
+    target twin). T = 2, i.e. q ∝ sqrt(p).
+
+    Determinism across engines: sqrt is IEEE-correctly-rounded in BOTH
+    Spark and DuckDB (unlike pow with an arbitrary exponent, which is only
+    ~1-ulp-accurate and engine-specific — the reason T is fixed at 2), and
+    the normalizer sums the sqrt terms as DECIMAL(28,10) so the sum is
+    exact and addition-order-free; the final ratios divide DOUBLE by
+    DOUBLE on identical operands.
+
+    Scale shape: one scan-local token-count projection → one #lang
+    aggregate (map-side combining) → a broadcast 1-row total join. Nothing
+    after the first scan grows with the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    per_lang = (
+        docs.select("lang", n_tok.alias("t"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("t").alias("n_tokens"))
+    )
+    total = per_lang.agg(F.sum("n_tokens").alias("total_tokens"))
+    with_p = per_lang.join(F.broadcast(total)).withColumn(
+        "s_dec",
+        F.sqrt(F.col("n_tokens") / F.col("total_tokens").cast("double")).cast(
+            DEC
+        ),
+    )
+    z = with_p.agg(F.sum("s_dec").alias("z"))
+    p = F.col("n_tokens") / F.col("total_tokens").cast("double")
+    q = F.col("s_dec").cast("double") / F.col("z").cast("double")
+    return (
+        with_p.join(F.broadcast(z))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round(p, 6).alias("corpus_share"),
+            F.round(q, 6).alias("sample_share"),
+            F.round(q / p, 6).alias("boost"),
+            F.round(q * F.lit(1e6)).cast("bigint").alias("tokens_per_million"),
+        )
+        .orderBy("lang")
+    )
+
+
+MIXTURE_TEMPERATURE_SQL = """
+WITH per_lang AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang),
+total AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM per_lang),
+sq AS (
+  SELECT lang, n_docs, n_tokens, total_tokens,
+         CAST(sqrt(n_tokens / CAST(total_tokens AS DOUBLE)) AS DECIMAL(28,10)) AS s_dec
+  FROM per_lang CROSS JOIN total),
+z AS (SELECT sum(s_dec) AS z FROM sq)
+SELECT lang, n_docs, n_tokens,
+       round(n_tokens / CAST(total_tokens AS DOUBLE), 6) AS corpus_share,
+       round(CAST(s_dec AS DOUBLE) / CAST(z AS DOUBLE), 6) AS sample_share,
+       round((CAST(s_dec AS DOUBLE) / CAST(z AS DOUBLE))
+             / (n_tokens / CAST(total_tokens AS DOUBLE)), 6) AS boost,
+       CAST(round(CAST(s_dec AS DOUBLE) / CAST(z AS DOUBLE) * 1e6, 0) AS BIGINT)
+         AS tokens_per_million
+FROM sq CROSS JOIN z
+ORDER BY lang
+"""
+
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: characters per subword and
+    subwords per whitespace word — the signal that sizes a multilingual
+    tokenizer's vocabulary (a language with high fertility is being
+    over-fragmented and needs more vocab share). Uses the same BPE-ish
+    ≤4-char-chunk regex as `token_counts` so the two reports agree.
+
+    All-integer sums per lang (one scan-local projection, one #lang
+    aggregate); the two ratios are DOUBLE divisions of identical integers,
+    so engine-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " "))
+    subwords = F.size(F.expr("regexp_extract_all(text, '[a-z]{1,4}', 0)"))
+    return (
+        docs.select("lang", toks.alias("t"), subwords.alias("s"), "n_chars")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("t").alias("n_words"),
+            F.sum("s").alias("n_subwords"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_subwords",
+            F.round(F.col("n_chars") / F.col("n_subwords").cast("double"), 4).alias(
+                "chars_per_subword"
+            ),
+            F.round(F.col("n_subwords") / F.col("n_words").cast("double"), 4).alias(
+                "fertility"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+TOKENIZER_FERTILITY_SQL = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+       CAST(sum(len(regexp_extract_all(text, '[a-z]{1,4}'))) AS BIGINT) AS n_subwords,
+       round(CAST(sum(n_chars) AS BIGINT)
+             / CAST(CAST(sum(len(regexp_extract_all(text, '[a-z]{1,4}'))) AS BIGINT) AS DOUBLE), 4)
+         AS chars_per_subword,
+       round(CAST(sum(len(regexp_extract_all(text, '[a-z]{1,4}'))) AS BIGINT)
+             / CAST(CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS DOUBLE), 4)
+         AS fertility
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 CORPUS_BUDGET_SQL = f"""
 WITH scored AS (
   SELECT CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'

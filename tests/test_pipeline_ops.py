@@ -84,3 +84,51 @@ def test_bigram_ranks_are_contract_ordered(spark):
         for r in rs:
             assert 0 < r["n_docs"] <= r["n_occurrences"]
             assert " " in r["bigram"]
+
+
+def test_mixture_temperature_weights_invariants(spark):
+    """Temperature sampling at T=2: shares are a distribution, and the
+    boost is monotone-inverse in corpus share (sqrt flattens — rare
+    languages get boost > 1, dominant ones < 1 relative to each other)."""
+    from nano_vectordb_rs_spark.operators.textops import (
+        mixture_temperature_weights,
+    )
+
+    rows = mixture_temperature_weights(spark, SF_DIR).collect()
+    assert len(rows) >= 2
+    assert abs(sum(r.sample_share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.tokens_per_million for r in rows) - 1_000_000) <= len(rows)
+    by_share = sorted(rows, key=lambda r: r.corpus_share)
+    boosts = [r.boost for r in by_share]
+    assert boosts == sorted(boosts, reverse=True)  # rarer ⇒ bigger boost
+    for r in rows:
+        assert r.sample_share > 0
+
+
+def test_tokenizer_fertility_consistent_with_token_counts(spark):
+    """Fertility's corpus-wide subword total must equal token_counts' (same
+    regex, different grouping) and every ratio must be positive."""
+    from nano_vectordb_rs_spark.operators.textops import (
+        token_counts,
+        tokenizer_fertility,
+    )
+
+    fert = tokenizer_fertility(spark, SF_DIR).collect()
+    by_source = token_counts(spark, SF_DIR).collect()
+    assert sum(r.n_subwords for r in fert) == sum(r.n_subwords for r in by_source)
+    for r in fert:
+        assert r.chars_per_subword > 0
+        assert r.fertility >= 1.0  # a word is ≥ 1 subword chunk
+
+
+def test_dedup_pair_recall_bounds(spark):
+    """The sampled audit must be non-degenerate on the fixture (true pairs
+    exist in the block) and internally consistent: hits bounded by both
+    sides, ratios in [0, 1]."""
+    from nano_vectordb_rs_spark.operators.dedup import dedup_pair_recall
+
+    [r] = dedup_pair_recall(spark, SF_DIR).collect()
+    assert r.n_exact > 0, "fixture block lost its true near-dup pairs"
+    assert r.n_hits <= min(r.n_exact, r.n_candidates)
+    assert 0.0 <= r.recall <= 1.0
+    assert 0.0 <= r.efficiency <= 1.0
