@@ -68,18 +68,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         subword per language — vocab-sizing signal),
         dedup_pair_recall (sampled-audit recall of the MinHash-LSH
         candidate stage vs brute-force exact Jaccard on a constant-size
-        block).
+        block), and streaming_sessionize_custom (the 4th streaming gate
+        query — applyInPandasWithState per-user session state machine,
+        update-mode drain, batch-fold oracle).
       - CHANGED queries stay gated for re-verification:
         events_value_percentiles_approx (left join from the sketch side so
-        all-NULL-value types survive, ADVICE r06) and events_props_scrub
-        (NULL-props guard, ADVICE r06).
+        all-NULL-value types survive, ADVICE r06), events_props_scrub
+        (NULL-props guard, ADVICE r06), and ann_recall (grew from 2 to 4
+        method rows — PQ and IVF-PQ recall now measured too).
       - Rotated out (green in r06, family siblings remain): ann_pq_topk,
         ann_pq_codes_topk, exact_substring_contamination,
         ngram_novelty_scores, quality_weighted_sample,
         cross_source_overlap, doc_chunk_report, embedding_outlier_report,
-        events_value_drift. The front block is 48 entries, so the first
-        two tail entries (near_dup_embeddings, ann_ivf_topk; green
-        r04 AND r05) re-enter the 50-row gate as free cross-checks.
+        events_value_drift. The front block is 49 entries, so the first
+        tail entry (near_dup_embeddings; green r04 AND r05) re-enters the
+        50-row gate as a free cross-check.
     * Historical green rounds per family are tracked in PARITY.md §gate.
     * Entries 51+ keep full local coverage every round via
       tests/test_oracle_parity.py (stricter than the driver: dtype-class +
@@ -163,6 +166,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hourly_counts": events_stream.streaming_hourly_counts,
         "streaming_dedup_counts": events_stream.streaming_dedup_counts,
         "streaming_click_attribution": events_stream.streaming_click_attribution,
+        # NEW r07: the CUSTOM stateful operator API gated — per-user
+        # applyInPandasWithState session state machine, update-mode drain,
+        # batch-fold oracle (the 4th streaming query closes the built-in
+        # state vs hand-written state coverage split)
+        "streaming_sessionize_custom": events_stream.streaming_sessionize_custom,
         # --- LLM-pipeline extensions ---
         "stratified_sample_docs": pipeline.stratified_sample_docs,
         "bigram_stats": pipeline.bigram_stats,
@@ -398,6 +406,7 @@ def oracle_sql() -> dict[str, str]:
         "reference_json_roundtrip": lifecycle.REFERENCE_JSON_ROUNDTRIP_SQL,
         "streaming_dedup_counts": events_stream.STREAMING_DEDUP_SQL,
         "streaming_click_attribution": events_stream.STREAMING_CLICK_ATTR_SQL,
+        "streaming_sessionize_custom": events_stream.STREAMING_SESSIONIZE_SQL,
         "dedup_keep_best": dedup.DEDUP_KEEP_BEST_SQL,
         "phrase_collocations": textops.PHRASE_COLLOCATIONS_SQL,
         "tpch_q4_priority": relational3.TPCH_Q4_SQL,

@@ -637,15 +637,17 @@ ORDER BY c.label
 
 
 def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@10 of the IVF and LSH paths against exact brute force — the
-    honesty check every approximate index needs. One row per method with
-    hits-in-exact-top-10.
+    """Recall@10 of the WHOLE ANN portfolio — IVF cells, LSH buckets,
+    PQ/ADC codes, and the combined IVF-PQ partitioned index — against
+    exact brute force: the honesty check every approximate index needs.
+    One row per method with hits-in-exact-top-10 (r07: grew from 2 to 4
+    methods when the PQ paths joined the portfolio).
 
     Fully declarative (one plan, no driver-side set math): each approximate
     top-10 joins the 10-row exact top-10 (broadcast by size), the hit counts
-    cross-join the 1-row k count, and the two method rows union. The DuckDB
+    cross-join the 1-row k count, and the method rows union. The DuckDB
     oracle is the identical CTE composition of KNN_TOPK_SQL / ANN_IVF_SQL /
-    ANN_LSH_SQL."""
+    ANN_LSH_SQL / ANN_PQ_SQL / ANN_IVF_PQ_SQL."""
     from nano_vectordb_rs_spark.operators.knn import knn_topk
 
     exact = knn_topk(spark, sf_dir).select("vec_id")
@@ -661,22 +663,35 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         method_row("ivf", ann_ivf_topk(spark, sf_dir))
+        .unionAll(method_row("ivfpq", ann_ivf_pq_topk(spark, sf_dir)))
         .unionAll(method_row("lsh", ann_lsh_topk(spark, sf_dir)))
+        .unionAll(method_row("pq", ann_pq_topk(spark, sf_dir)))
         .orderBy("method")
     )
 
 
-ANN_RECALL_SQL = f"""
+def _ann_recall_sql() -> str:
+    return f"""
 WITH exact AS ({KNN_TOPK_SQL}),
 ivf AS ({ANN_IVF_SQL}),
-lsh AS ({ANN_LSH_SQL})
+ivfpq AS ({ANN_IVF_PQ_SQL}),
+lsh AS ({ANN_LSH_SQL}),
+pq AS ({ANN_PQ_SQL})
 SELECT method, hits, k FROM (
   SELECT 'ivf' AS method,
          (SELECT count(*) FROM ivf JOIN exact USING (vec_id)) AS hits,
          (SELECT count(*) FROM exact) AS k
   UNION ALL
+  SELECT 'ivfpq' AS method,
+         (SELECT count(*) FROM ivfpq JOIN exact USING (vec_id)) AS hits,
+         (SELECT count(*) FROM exact) AS k
+  UNION ALL
   SELECT 'lsh' AS method,
          (SELECT count(*) FROM lsh JOIN exact USING (vec_id)) AS hits,
+         (SELECT count(*) FROM exact) AS k
+  UNION ALL
+  SELECT 'pq' AS method,
+         (SELECT count(*) FROM pq JOIN exact USING (vec_id)) AS hits,
          (SELECT count(*) FROM exact) AS k)
 ORDER BY method
 """
@@ -1276,3 +1291,6 @@ LIMIT {PQ_TOPK}
 
 
 ANN_IVF_PQ_SQL = _duck_ivf_pq_sql()
+
+# assembled last: the recall CTE composes every ANN oracle above
+ANN_RECALL_SQL = _ann_recall_sql()

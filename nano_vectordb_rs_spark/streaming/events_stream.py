@@ -532,6 +532,72 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_USER_CAP = 300  # bound the gated result; filter pushes to the scan
+
+
+def streaming_sessionize_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared gate query for the CUSTOM stateful operator API
+    (``applyInPandasWithState``): per-user gap-sessionization carried in
+    explicit group state (`sessionize_stream` — last event time + running
+    session counters per user, new session on a >30-min gap), drained
+    availableNow in update mode.
+
+    The other three streaming gate queries cover Spark's BUILT-IN state
+    (windowed agg, dropDuplicatesWithinWatermark, stream-stream join);
+    this one gates the hand-written state machine — the escape hatch the
+    north star names for operators the built-ins can't express.
+
+    Update-mode drains emit a group's running aggregate once per
+    micro-batch it appears in; every counter is monotone non-decreasing,
+    so the batch-side ``max`` per user reconstructs the FINAL state
+    regardless of how many micro-batches the drain split into (no
+    single-batch assumption needed, unlike streaming_dedup_counts).
+
+    The oracle is the batch lag()+running-sum sessionization — the
+    stream's final state must equal the batch fold exactly (the same
+    equivalence tests/test_streaming.py pins, here value-hashed by the
+    driver). State is per-user and bounded; keyed state partitions with
+    the shuffle at cluster scale."""
+    ev = read_events_stream(spark, sf_dir).filter(
+        F.col("user_id") < SESSION_USER_CAP
+    )
+    sess = sessionize_stream(ev)
+    sunk = _drain_to_local(spark, sess, "update", "stream_sess")
+    return (
+        sunk.groupBy("user_id")
+        .agg(
+            F.max("n_sessions").alias("n_sessions"),
+            F.max("max_session_events").alias("max_session_events"),
+            F.max("n_events").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+STREAMING_SESSIONIZE_SQL = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us FROM events WHERE user_id < {SESSION_USER_CAP}),
+d AS (
+  SELECT user_id, ts_us,
+         CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+                   OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                      > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_s
+  FROM e),
+s AS (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM d),
+ps AS (SELECT user_id, sid, count(*) AS n FROM s GROUP BY 1, 2)
+SELECT user_id,
+       count(*) AS n_sessions,
+       max(n) AS max_session_events,
+       CAST(sum(n) AS BIGINT) AS n_events
+FROM ps GROUP BY user_id ORDER BY user_id
+"""
+
+
 STREAMING_CLICK_ATTR_SQL = """
 SELECT p.user_id AS user_id,
        count(*) AS n_pairs,

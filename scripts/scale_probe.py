@@ -67,6 +67,13 @@ PROBES = [
     # quadratic without the candidate-driven join)
     ("ann_pq_codes_topk", similarity.ann_pq_codes_topk, ("embeddings",)),
     ("exact_substring_contamination", dedup.exact_substring_contamination, ("documents",)),
+    # r07 additions: the combined IVF-PQ partitioned-index probe (directory
+    # pruning x packed codes — the warm pass builds the index, the timed
+    # slope is the probe) and the sampled LSH recall audit (constant
+    # RECALL_BLOCK ⇒ slope ~0 expected: the audit cost must NOT grow with
+    # the corpus, that is the whole point of auditing a fixed block)
+    ("ann_ivf_pq_topk", similarity.ann_ivf_pq_topk, ("embeddings",)),
+    ("dedup_pair_recall", dedup.dedup_pair_recall, ("documents",)),
 ]
 
 ALL_TABLES = [

@@ -46,6 +46,25 @@ def test_load_prior_times_filters_unknown_names(tmp_path, monkeypatch):
     assert bench.load_prior_times({"q_a"}) == {"q_a": 1.0}
 
 
+def test_load_prior_times_filters_by_scale_factor(tmp_path, monkeypatch):
+    # sf0.001 record must NOT contribute priors to an sf0.1 run (its times
+    # are 10-100x lower — mixing scales made the tripwire fire falsely)
+    (tmp_path / "BENCH_r01.json").write_text(
+        json.dumps({"queries": {"q_a": 0.05}, "sf": "0.001"})
+    )
+    (tmp_path / "BENCH_r02.json").write_text(
+        json.dumps({"queries": {"q_a": 1.2}, "sf": "0.1"})
+    )
+    # undeterminable sf: skipped too
+    (tmp_path / "BENCH_r03.json").write_text(json.dumps({"queries": {"q_a": 0.01}}))
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    assert bench.load_prior_times({"q_a"}, sf="0.1") == {"q_a": 1.2}
+    # no sf argument: legacy behavior, everything contributes
+    assert bench.load_prior_times({"q_a"}) == {"q_a": 0.01}
+
+
 def test_detect_regressions_trips_only_past_3x_prior():
     prior = {"q_a": 1.0, "q_b": 0.5}
     results = {"q_a": 3.5, "q_b": 1.4, "q_new": 9.0}  # q_new: no prior

