@@ -389,3 +389,47 @@ def test_vocab_coverage_broadcasts_topk_vocab(spark, queries):
     # shuffle join against the (lang, tok) counts would move the corpus
     assert a["n_broadcast_joins"] >= 1
     assert a["n_nested_loop_joins"] == 0
+
+
+def test_ann_ivf_pq_probe_prunes_partitions_bounded_topk(spark, queries):
+    a = audit_plan(queries["ann_ivf_pq_topk"](spark, SF_DIR))
+    # the cell IN (...) restriction must be DIRECTORY pruning on the
+    # partitioned index (PartitionFilters), the ADC top-k bounded, and the
+    # k-row exact-cosine join back a broadcast — never sort-merge
+    assert a["has_partition_filters"]
+    assert a["has_take_ordered"]
+    assert a["n_broadcast_joins"] >= 1
+    assert a["n_sort_merge_joins"] == 0
+
+
+def test_mixture_temperature_single_agg_broadcast_totals(spark, queries):
+    a = audit_plan(queries["mixture_temperature_weights"](spark, SF_DIR))
+    # one #lang aggregate; the 1-row total and normalizer join as
+    # broadcasts (no shuffle grows with the corpus, no SMJ anywhere)
+    assert a["n_sort_merge_joins"] == 0
+    assert a["n_broadcasts"] >= 1
+
+
+def test_tokenizer_fertility_is_scan_local_single_agg(spark, queries):
+    a = audit_plan(queries["tokenizer_fertility"](spark, SF_DIR))
+    # scan-local projection + one #lang-keyed aggregate (+1 for the tiny
+    # output sort): nothing else may shuffle
+    assert a["n_shuffles"] <= 2
+    assert a["n_sort_merge_joins"] == 0
+
+
+def test_streaming_sessionize_state_partitions_bounded(spark):
+    """The sessionize drain must run its stateful exchange under the
+    harness's small fixed partition count, not the session's 32 — state
+    files per micro-batch scale with this number."""
+    import os
+
+    from nano_vectordb_rs_spark.streaming import events_stream
+
+    want = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    out = events_stream.streaming_sessionize_custom(spark, SF_DIR)
+    # session setting restored after the drain; the result is batch-local
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    assert out.count() > 0
+    assert want <= 8  # the documented drain-scale ceiling
