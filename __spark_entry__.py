@@ -68,9 +68,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         subword per language — vocab-sizing signal),
         dedup_pair_recall (sampled-audit recall of the MinHash-LSH
         candidate stage vs brute-force exact Jaccard on a constant-size
-        block), and streaming_sessionize_custom (the 4th streaming gate
+        block), streaming_sessionize_custom (the 4th streaming gate
         query — applyInPandasWithState per-user session state machine,
-        update-mode drain, batch-fold oracle).
+        update-mode drain, batch-fold oracle), and the 2nd wave:
+        jsonl_export_roundtrip (the distributed JSONL sink+source
+        roundtrip — the export path that runs at 100 TB) and
+        dedup_funnel_report (sequential exact → normalized → near-dup
+        funnel with per-stage removal counts in pipeline order).
       - CHANGED queries stay gated for re-verification:
         events_value_percentiles_approx (left join from the sketch side so
         all-NULL-value types survive, ADVICE r06), events_props_scrub
@@ -80,9 +84,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann_pq_codes_topk, exact_substring_contamination,
         ngram_novelty_scores, quality_weighted_sample,
         cross_source_overlap, doc_chunk_report, embedding_outlier_report,
-        events_value_drift. The front block is 49 entries, so the first
-        tail entry (near_dup_embeddings; green r04 AND r05) re-enters the
-        50-row gate as a free cross-check.
+        events_value_drift, and (green r05 AND r06, trimmed to fit the
+        2nd-wave queries) events_union_slices. The front block is exactly
+        50 entries.
     * Historical green rounds per family are tracked in PARITY.md §gate.
     * Entries 51+ keep full local coverage every round via
       tests/test_oracle_parity.py (stricter than the driver: dtype-class +
@@ -95,6 +99,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # codec+validation) as checksum roundtrips (green r05)
         "save_roundtrip_stats": lifecycle.save_roundtrip_stats,
         "reference_json_roundtrip": lifecycle.reference_json_roundtrip,
+        # NEW r07 (2nd wave): the distributed JSONL sink+source roundtrip —
+        # the export format that actually runs at 100 TB (the reference
+        # single-document format above is driver-bound BY DESIGN)
+        "jsonl_export_roundtrip": lifecycle.jsonl_export_roundtrip,
         # --- similarity search / ANN (SURVEY.md §7.5 + north star) ---
         "ann_lsh_topk": similarity.ann_lsh_topk,
         # declarative top-10 ∩ exact composition; CTE oracle over the
@@ -115,6 +123,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pins what the banding MISSES, not just what it emits
         "dedup_pair_recall": dedup.dedup_pair_recall,
         "dedup_keep_best": dedup.dedup_keep_best,
+        # NEW r07 (2nd wave): the SEQUENTIAL exact → normalized → near-dup
+        # funnel (stage-by-stage removal counts in pipeline order)
+        "dedup_funnel_report": dedup.dedup_funnel_report,
         # iterative connected-components (driver-side convergence loop);
         # oracle = fixed-round unrolled min-label CTE chain, plus an
         # independent pure-Python union-find in tests/test_oracle_parity.py
@@ -139,7 +150,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- events surface ---
         "events_json_stats": events.events_json_stats,
         "events_top_users": events.events_top_users,
-        "events_union_slices": events.events_union_slices,
         # sketch queries: exact values + in-tolerance booleans (hash-checked)
         "events_distinct_sketch": events.events_distinct_sketch,
         "events_session_window": events.events_session_window,
@@ -202,7 +212,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # next two re-enter as free cross-checks; both green r04 AND r05) --
         "near_dup_embeddings": similarity.near_dup_embeddings,
         "ann_ivf_topk": similarity.ann_ivf_topk,
-        # rotated out in r07 (green r06, siblings gated)
+        # rotated out in r07 (green r06, siblings gated; events_union_slices
+        # green r05 AND r06 — trimmed to fit the 2nd-wave queries)
+        "events_union_slices": events.events_union_slices,
         "ann_pq_topk": similarity.ann_pq_topk,
         "ann_pq_codes_topk": similarity.ann_pq_codes_topk,
         "exact_substring_contamination": dedup.exact_substring_contamination,
@@ -429,4 +441,6 @@ def oracle_sql() -> dict[str, str]:
         "mixture_temperature_weights": textops.MIXTURE_TEMPERATURE_SQL,
         "tokenizer_fertility": textops.TOKENIZER_FERTILITY_SQL,
         "dedup_pair_recall": dedup.DEDUP_PAIR_RECALL_SQL,
+        "jsonl_export_roundtrip": lifecycle.JSONL_EXPORT_ROUNDTRIP_SQL,
+        "dedup_funnel_report": dedup.DEDUP_FUNNEL_SQL,
     }

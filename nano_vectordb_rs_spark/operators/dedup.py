@@ -952,6 +952,189 @@ ORDER BY lang
 """
 
 
+def dedup_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SEQUENTIAL dedup funnel every curation pipeline actually runs —
+    exact dedup, then normalization-aware dedup over the survivors, then
+    MinHash near-dup removal over THOSE survivors — reported as one
+    three-row funnel (stage, n_in, n_removed, n_out). The standalone
+    queries measure each method on the raw corpus; this one composes them
+    in pipeline order, so the numbers are the ones a data lead reads
+    ("how much did each stage actually buy us, after the cheaper stages
+    already ran?").
+
+    Removal rules are deterministic: stages 1-2 keep min(doc_id) per hash
+    group; stage 3 drops any survivor that appears as the GREATER id in a
+    verified (Jaccard ≥ {JACCARD_MIN}) candidate pair — the greedy
+    keep-smaller rule (dup_clusters is the cluster-exact refinement).
+
+    Plan shape at 100 TB: stages 1-2 are hash-groupBys carrying
+    (16-byte md5, doc_id), never text; stage 3 is the same banded-LSH
+    candidate join as minhash_near_dup_docs, restricted to survivors by a
+    doc_id semi-join. Stage counts collapse to 1-row aggregates composed
+    by crossJoin — one declarative plan, no driver-side set math."""
+    docs = load_table(spark, sf_dir, "documents")
+    n0 = docs.select(F.count("*").alias("n0"))
+    keep1 = (
+        docs.select("doc_id", F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    surv1 = docs.join(keep1, "doc_id", "left_semi")
+    keep2 = (
+        surv1.select("doc_id", F.md5(norm).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    surv2 = docs.join(keep2, "doc_id", "left_semi")
+    # stage 3: banded MinHash-LSH over survivors2, verified Jaccard
+    sh = (
+        surv2.select("doc_id", F.split("text", " ").alias("w"))
+        .select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle"))
+        .distinct()
+    )
+    sigs = sh.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"h{j}")
+            for j in range(N_HASHES)
+        ],
+    )
+    bands = sigs.select(
+        "doc_id",
+        "n_shingles",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(F.concat_ws("|", f"h{2 * b}", f"h{2 * b + 1}"))
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.col("a.n_shingles").alias("n1"),
+            F.col("b.n_shingles").alias("n2"),
+        )
+        .distinct()
+    )
+    s1, s2 = sh.alias("s1"), sh.alias("s2")
+    inter = (
+        cand.join(s1, F.col("doc1") == F.col("s1.doc_id"))
+        .join(
+            s2,
+            (F.col("doc2") == F.col("s2.doc_id"))
+            & (F.col("s1.shingle") == F.col("s2.shingle")),
+        )
+        .groupBy("doc1", "doc2", "n1", "n2")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    removed3 = (
+        inter.filter(
+            F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter"))
+            >= JACCARD_MIN
+        )
+        .select(F.col("doc2").alias("doc_id"))
+        .distinct()
+        .select(F.count("*").alias("r3"))
+    )
+    n1c = keep1.select(F.count("*").alias("n1"))
+    n2c = keep2.select(F.count("*").alias("n2"))
+    counts = n0.crossJoin(n1c).crossJoin(n2c).crossJoin(removed3)
+    stage = lambda name, nin, nrem, nout: counts.select(  # noqa: E731
+        F.lit(name).alias("stage"),
+        nin.cast("bigint").alias("n_in"),
+        nrem.cast("bigint").alias("n_removed"),
+        nout.cast("bigint").alias("n_out"),
+    )
+    return (
+        stage("1_exact", F.col("n0"), F.col("n0") - F.col("n1"), F.col("n1"))
+        .unionAll(
+            stage(
+                "2_normalized",
+                F.col("n1"),
+                F.col("n1") - F.col("n2"),
+                F.col("n2"),
+            )
+        )
+        .unionAll(
+            stage(
+                "3_neardup", F.col("n2"), F.col("r3"), F.col("n2") - F.col("r3")
+            )
+        )
+        .orderBy("stage")
+    )
+
+
+DEDUP_FUNNEL_SQL = f"""
+WITH keep1 AS (
+  SELECT min(doc_id) AS doc_id FROM (
+    SELECT doc_id, md5(text) AS h FROM documents) GROUP BY h),
+surv1 AS (SELECT d.* FROM documents d JOIN keep1 USING (doc_id)),
+keep2 AS (
+  SELECT min(doc_id) AS doc_id FROM (
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                   ' +', ' ', 'g'))) AS h
+    FROM surv1) GROUP BY h),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         w[i.g] || ' ' || w[i.g + 1] || ' ' || w[i.g + 2] AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE doc_id IN (SELECT doc_id FROM keep2)),
+       UNNEST(generate_series(1, len(w) - 2)) AS i(g)),
+sigs AS (
+  SELECT doc_id, count(*) AS n_shingles, {_DUCK_SIG_COLS}
+  FROM shingles GROUP BY doc_id),
+bands AS ({_DUCK_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+         a.n_shingles AS n1, b.n_shingles AS n2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+inter AS (
+  SELECT doc1, doc2, n1, n2, count(*) AS n_inter
+  FROM cand
+  JOIN shingles s1 ON doc1 = s1.doc_id
+  JOIN shingles s2 ON doc2 = s2.doc_id AND s1.shingle = s2.shingle
+  GROUP BY doc1, doc2, n1, n2),
+removed3 AS (
+  SELECT count(DISTINCT doc2) AS r3 FROM inter
+  WHERE n_inter / CAST(n1 + n2 - n_inter AS DOUBLE) >= {JACCARD_MIN}),
+counts AS (
+  SELECT (SELECT count(*) FROM documents) AS n0,
+         (SELECT count(*) FROM keep1) AS n1,
+         (SELECT count(*) FROM keep2) AS n2,
+         (SELECT r3 FROM removed3) AS r3)
+SELECT stage, CAST(n_in AS BIGINT) AS n_in,
+       CAST(n_removed AS BIGINT) AS n_removed,
+       CAST(n_out AS BIGINT) AS n_out
+FROM (
+  SELECT '1_exact' AS stage, n0 AS n_in, n0 - n1 AS n_removed, n1 AS n_out FROM counts
+  UNION ALL
+  SELECT '2_normalized', n1, n1 - n2, n2 FROM counts
+  UNION ALL
+  SELECT '3_neardup', n2, r3, n2 - r3 FROM counts)
+ORDER BY stage
+"""
+
+
 # --- duplicate-cluster resolution (iterative connected components) ------------
 
 CLUSTER_MAX_ITERS = 10

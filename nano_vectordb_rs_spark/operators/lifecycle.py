@@ -167,3 +167,47 @@ def reference_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 REFERENCE_JSON_ROUNDTRIP_SQL = _STATS_ORACLE
+
+
+def jsonl_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JSONL interchange sink+source through the gate: collection frame
+    → ``write_jsonl_collection`` (distributed line-JSON shards, one part
+    file per partition — the embedding-pipeline export format) →
+    ``read_jsonl_collection`` with the explicit-schema + dim-guard path →
+    stats over the re-imported frame.
+
+    Losslessness hinges on JSON float text round-tripping: Spark writes
+    FloatType via shortest-roundtrip decimal repr and the schema'd read
+    parses back the identical f32, so the fixed-point content checksum
+    must equal the oracle's parquet-side sum — a truncated digit anywhere
+    in the writer/parser pair hash-mismatches. Unlike the reference's
+    single-document format (reference_json_roundtrip, driver-bound BY
+    DESIGN), both directions here are fully distributed jobs — this is
+    the export path that actually runs at 100 TB."""
+    from pyspark.sql import types as T
+
+    from nano_vectordb_rs_spark.sources.jsonl import (
+        read_jsonl_collection,
+        write_jsonl_collection,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="nvdb_jsonl_rt_")
+    path = f"{tmp}/shards"
+    try:
+        write_jsonl_collection(_collection_frame(spark, sf_dir), path)
+        df = read_jsonl_collection(
+            spark,
+            path,
+            EMBEDDING_DIM,
+            T.StructType([T.StructField("label", T.StringType())]),
+        )
+        # dim guard is a filter in the reader: re-assert none were dropped
+        ok = df.filter(F.size(VECTOR_COL) != EMBEDDING_DIM).limit(1).count() == 0
+        out = _stats(df, ok)
+        rows, schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+JSONL_EXPORT_ROUNDTRIP_SQL = _STATS_ORACLE

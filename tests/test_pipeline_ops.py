@@ -132,3 +132,24 @@ def test_dedup_pair_recall_bounds(spark):
     assert r.n_hits <= min(r.n_exact, r.n_candidates)
     assert 0.0 <= r.recall <= 1.0
     assert 0.0 <= r.efficiency <= 1.0
+
+
+def test_dedup_funnel_stages_chain(spark):
+    """Funnel consistency: stage N's n_out is stage N+1's n_in, removals
+    are non-negative, and the sequential totals agree with the standalone
+    exact-dedup query's removable count."""
+    from nano_vectordb_rs_spark.operators.dedup import (
+        dedup_funnel_report,
+        exact_dedup_docs,
+    )
+
+    rows = {r.stage: r for r in dedup_funnel_report(spark, SF_DIR).collect()}
+    assert set(rows) == {"1_exact", "2_normalized", "3_neardup"}
+    assert rows["1_exact"].n_out == rows["2_normalized"].n_in
+    assert rows["2_normalized"].n_out == rows["3_neardup"].n_in
+    for r in rows.values():
+        assert r.n_removed >= 0 and r.n_in - r.n_removed == r.n_out
+    exact_removable = sum(
+        r.n_dropped for r in exact_dedup_docs(spark, SF_DIR).collect()
+    )
+    assert rows["1_exact"].n_removed == exact_removable
