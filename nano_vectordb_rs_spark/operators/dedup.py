@@ -967,37 +967,57 @@ def dedup_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified (Jaccard ≥ {JACCARD_MIN}) candidate pair — the greedy
     keep-smaller rule (dup_clusters is the cluster-exact refinement).
 
-    Plan shape at 100 TB: stages 1-2 are hash-groupBys carrying
-    (16-byte md5, doc_id), never text; stage 3 is the same banded-LSH
-    candidate join as minhash_near_dup_docs, restricted to survivors by a
-    doc_id semi-join. Stage counts collapse to 1-row aggregates composed
-    by crossJoin — one declarative plan, no driver-side set math."""
+    Plan shape at 100 TB: ONE scan computes both content hashes; stages
+    1-2 are two chained hash-partitioned windows over the narrow
+    (doc_id, md5, md5) frame — same shuffle keys a groupBy would use but
+    with no join-back, and stage 2's "among stage-1 survivors" restriction
+    is a conditional min inside the window, not a semi-join. The flagged
+    frame is localCheckpointed (~50 bytes/doc) because three branches read
+    it (the count aggregate, the survivor semi-join, nothing else
+    re-derives the windows); the survivor shingle set is checkpointed too
+    (dup_clusters' pairs-checkpoint rationale, dedup.py:1174) since the
+    signature groupBy and BOTH verification join sides read it. Stage 3 is
+    the same banded-LSH candidate join as minhash_near_dup_docs. The
+    three funnel rows come from exploding an array of structs over the
+    single joined counts row — one execution per subtree, where a
+    unionAll of three selects would re-run the whole MinHash count per
+    branch."""
     docs = load_table(spark, sf_dir, "documents")
-    n0 = docs.select(F.count("*").alias("n0"))
-    keep1 = (
-        docs.select("doc_id", F.md5("text").alias("h"))
-        .groupBy("h")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
     norm = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
         )
     )
-    surv1 = docs.join(keep1, "doc_id", "left_semi")
-    keep2 = (
-        surv1.select("doc_id", F.md5(norm).alias("h"))
-        .groupBy("h")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    w1, w2 = Window.partitionBy("h1"), Window.partitionBy("h2")
+    flags = (
+        docs.select(
+            "doc_id", F.md5("text").alias("h1"), F.md5(norm).alias("h2")
+        )
+        .withColumn("keep1", F.col("doc_id") == F.min("doc_id").over(w1))
+        .withColumn(
+            "keep2",
+            F.col("keep1")
+            & (
+                F.col("doc_id")
+                == F.min(F.when(F.col("keep1"), F.col("doc_id"))).over(w2)
+            ),
+        )
+        .localCheckpoint()
     )
-    surv2 = docs.join(keep2, "doc_id", "left_semi")
+    counts = flags.agg(
+        F.count("*").alias("n0"),
+        F.sum(F.col("keep1").cast("int")).alias("n1"),
+        F.sum(F.col("keep2").cast("int")).alias("n2"),
+    )
+    surv2 = docs.join(
+        flags.filter("keep2").select("doc_id"), "doc_id", "left_semi"
+    )
     # stage 3: banded MinHash-LSH over survivors2, verified Jaccard
     sh = (
         surv2.select("doc_id", F.split("text", " ").alias("w"))
         .select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle"))
         .distinct()
+        .localCheckpoint()
     )
     sigs = sh.groupBy("doc_id").agg(
         F.count("*").alias("n_shingles"),
@@ -1054,30 +1074,27 @@ def dedup_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select(F.count("*").alias("r3"))
     )
-    n1c = keep1.select(F.count("*").alias("n1"))
-    n2c = keep2.select(F.count("*").alias("n2"))
-    counts = n0.crossJoin(n1c).crossJoin(n2c).crossJoin(removed3)
-    stage = lambda name, nin, nrem, nout: counts.select(  # noqa: E731
-        F.lit(name).alias("stage"),
-        nin.cast("bigint").alias("n_in"),
-        nrem.cast("bigint").alias("n_removed"),
-        nout.cast("bigint").alias("n_out"),
-    )
+    def stage(name, nin, nrem, nout):
+        return F.struct(
+            F.lit(name).alias("stage"),
+            nin.cast("bigint").alias("n_in"),
+            nrem.cast("bigint").alias("n_removed"),
+            nout.cast("bigint").alias("n_out"),
+        )
+
+    n0, n1, n2, r3 = (F.col(c) for c in ("n0", "n1", "n2", "r3"))
     return (
-        stage("1_exact", F.col("n0"), F.col("n0") - F.col("n1"), F.col("n1"))
-        .unionAll(
-            stage(
-                "2_normalized",
-                F.col("n1"),
-                F.col("n1") - F.col("n2"),
-                F.col("n2"),
-            )
+        counts.crossJoin(removed3)
+        .select(
+            F.explode(
+                F.array(
+                    stage("1_exact", n0, n0 - n1, n1),
+                    stage("2_normalized", n1, n1 - n2, n2),
+                    stage("3_neardup", n2, r3, n2 - r3),
+                )
+            ).alias("s")
         )
-        .unionAll(
-            stage(
-                "3_neardup", F.col("n2"), F.col("r3"), F.col("n2") - F.col("r3")
-            )
-        )
+        .select("s.*")
         .orderBy("stage")
     )
 
