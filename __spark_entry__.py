@@ -41,7 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Declared query surface, 127 entries — every entry has a DuckDB value
+    """Declared query surface, 136 entries — every entry has a DuckDB value
     oracle in ``oracle_sql()`` (zero rows-only checks since round 5).
 
     GATE-ROTATION POLICY: the driver's correctness gate checks the FIRST 50
@@ -74,7 +74,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         jsonl_export_roundtrip (the distributed JSONL sink+source
         roundtrip — the export path that runs at 100 TB) and
         dedup_funnel_report (sequential exact → normalized → near-dup
-        funnel with per-stage removal counts in pipeline order).
+        funnel with per-stage removal counts in pipeline order); 3rd wave:
+        minhash_index_probe (incremental new-batch dedup against the
+        materialized corpus band index) and table_profile (one-scan
+        per-column ANALYZE profile) — the double-green lifecycle pair
+        save_roundtrip_stats / reference_json_roundtrip (green r05 AND
+        r06) moved to 51+ to make room, with jsonl_export_roundtrip
+        keeping the family gated.
       - CHANGED queries stay gated for re-verification:
         events_value_percentiles_approx (left join from the sketch side so
         all-NULL-value types survive, ADVICE r06), events_props_scrub
@@ -95,14 +101,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- reference-parity core (SURVEY.md §2.1) ---
         "knn_topk": knn.knn_topk,
-        # persistence components (O6/O7/O8 save+sidecar, O15/O16
-        # codec+validation) as checksum roundtrips (green r05)
-        "save_roundtrip_stats": lifecycle.save_roundtrip_stats,
-        "reference_json_roundtrip": lifecycle.reference_json_roundtrip,
         # NEW r07 (2nd wave): the distributed JSONL sink+source roundtrip —
         # the export format that actually runs at 100 TB (the reference
-        # single-document format above is driver-bound BY DESIGN)
+        # single-document format, reference_json_roundtrip below, is
+        # driver-bound BY DESIGN). Keeps the lifecycle family gated while
+        # its two double-green siblings (save_roundtrip_stats and
+        # reference_json_roundtrip, green r05 AND r06) rotate to 51+ to
+        # make room for the r07 3rd wave.
         "jsonl_export_roundtrip": lifecycle.jsonl_export_roundtrip,
+        # NEW r07 (3rd wave): incremental-ingestion dedup — the incoming
+        # ~10% batch probes the MATERIALIZED corpus band index (content-
+        # keyed parquet partitioned by band, built once like the PQ codes)
+        # and verifies candidates with exact shingle Jaccard: the daily
+        # 100-TB ingestion shape (corpus never re-shingled, verify scan
+        # candidate-driven behind a semi join)
+        "minhash_index_probe": dedup.minhash_index_probe,
+        # NEW r07 (3rd wave): ONE-scan-per-stat-class ANALYZE profile of
+        # lineitem (null counts, exact distincts via a single hash-
+        # aggregated Expand, DECIMAL-formatted min/max, explode-unpivot)
+        # vs the textbook one-scan-per-column UNION ALL oracle
+        "table_profile": pipeline.table_profile,
         # --- similarity search / ANN (SURVEY.md §7.5 + north star) ---
         "ann_lsh_topk": similarity.ann_lsh_topk,
         # declarative top-10 ∩ exact composition; CTE oracle over the
@@ -208,8 +226,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # redemption row: crashed the r01/r02 canonicalizer (list cells);
         # emits a |-joined string since r03, never re-gated until now
         "nation_supplier_lists": relational2.nation_supplier_lists,
-        # ---------------- entry 49+ (the driver gates the first 50, so the
-        # next two re-enter as free cross-checks; both green r04 AND r05) --
+        # ---------------- entry 51+ (full local coverage every round via
+        # test_oracle_parity) --------------------------------------------
+        # rotated out for the r07 3rd wave: persistence-component
+        # roundtrips, both green r05 AND r06 (family still gated via
+        # jsonl_export_roundtrip above)
+        "save_roundtrip_stats": lifecycle.save_roundtrip_stats,
+        "reference_json_roundtrip": lifecycle.reference_json_roundtrip,
         "near_dup_embeddings": similarity.near_dup_embeddings,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         # rotated out in r07 (green r06, siblings gated; events_union_slices
@@ -420,6 +443,8 @@ def oracle_sql() -> dict[str, str]:
         "streaming_click_attribution": events_stream.STREAMING_CLICK_ATTR_SQL,
         "streaming_sessionize_custom": events_stream.STREAMING_SESSIONIZE_SQL,
         "dedup_keep_best": dedup.DEDUP_KEEP_BEST_SQL,
+        "minhash_index_probe": dedup.MINHASH_INDEX_PROBE_SQL,
+        "table_profile": pipeline.TABLE_PROFILE_SQL,
         "phrase_collocations": textops.PHRASE_COLLOCATIONS_SQL,
         "tpch_q4_priority": relational3.TPCH_Q4_SQL,
         "tpch_q9_profit": relational3.TPCH_Q9_SQL,

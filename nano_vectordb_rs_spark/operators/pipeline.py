@@ -1264,3 +1264,107 @@ SELECT t.lang, t.n_total, t.n_distinct_toks,
 FROM totals t LEFT JOIN covered c ON t.lang = c.lang
 ORDER BY t.lang
 """
+
+
+# --- per-column data-quality profile ----------------------------------------
+
+# column -> formatting class for the min/max strings; DECIMAL(18,2) for
+# doubles so both engines print the identical fixed-point literal
+_PROFILE_COLS: list[tuple[str, str]] = [
+    ("l_orderkey", "int"),
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_discount", "num"),
+    ("l_tax", "num"),
+    ("l_returnflag", "str"),
+    ("l_shipdate", "date"),
+]
+
+
+def _profile_minmax(col: str, kind: str, agg) -> "F.Column":
+    c = agg(F.col(col))
+    if kind == "num":
+        return c.cast("decimal(18,2)").cast("string")
+    if kind == "date":
+        return agg(F.to_date(F.col(col))).cast("string")
+    return c.cast("string")
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile of lineitem — row count, null count,
+    exact distinct count, and formatted min/max per column — the ANALYZE /
+    data-contract check every ingestion pipeline runs before training.
+
+    TWO scans compute every column's stats (vs the textbook
+    one-SELECT-per-column oracle below which scans 7x); the per-column
+    report rows come from an explode over a literal struct array (a
+    driver-free unpivot — no union of scans).
+
+    The split is deliberate plan surgery, not style: putting ``min(string
+    col)`` in the same aggregate as the multi-column count(DISTINCT)
+    rewrite poisons it — string/variable-width aggregation BUFFERS are
+    immutable, so Spark demotes the whole Expand plan to SortAggregate
+    (three |cols|x-row sorts on an 8-column key; measured 11.6 s at sf0.1).
+    Separated, the distinct aggregate keeps HashAggregate (values are
+    GROUP KEYS in the Expand rewrite — strings are fine there) and the
+    min/max pass is a keyless single-pass fold (no sort requirement);
+    the two 1-row results recombine with a free cross join (0.9 s total).
+
+    Scale shape: the exact multi-distinct is one Expand (|cols| rows per
+    input row) + two-phase hash aggregate. At 100 TB swap
+    ``F.countDistinct`` for ``F.approx_count_distinct`` (mergeable HLL
+    sketch, collapses the Expand) and keep the rest of the plan unchanged;
+    exact is kept here because the oracle compares values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    nd_row = li.agg(
+        *[F.countDistinct(c).alias(f"nd_{c}") for c, _ in _PROFILE_COLS]
+    )
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, kind in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            _profile_minmax(c, kind, F.min).alias(f"mn_{c}"),
+            _profile_minmax(c, kind, F.max).alias(f"mx_{c}"),
+        ]
+    row = li.agg(*aggs).crossJoin(nd_row)
+    structs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("n_rows").alias("n_rows"),
+            (F.col("n_rows") - F.col(f"nn_{c}")).alias("n_nulls"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+            F.col(f"mn_{c}").alias("min_str"),
+            F.col(f"mx_{c}").alias("max_str"),
+        )
+        for c, _ in _PROFILE_COLS
+    ]
+    return (
+        row.select(F.explode(F.array(*structs)).alias("p"))
+        .select("p.*")
+        .orderBy("col_name")
+    )
+
+
+def _profile_select_sql(col: str, kind: str) -> str:
+    if kind == "num":
+        mn = f"CAST(CAST(min({col}) AS DECIMAL(18,2)) AS VARCHAR)"
+        mx = f"CAST(CAST(max({col}) AS DECIMAL(18,2)) AS VARCHAR)"
+    elif kind == "date":
+        mn = f"CAST(min(CAST({col} AS DATE)) AS VARCHAR)"
+        mx = f"CAST(max(CAST({col} AS DATE)) AS VARCHAR)"
+    else:
+        mn = f"CAST(min({col}) AS VARCHAR)"
+        mx = f"CAST(max({col}) AS VARCHAR)"
+    return (
+        f"SELECT '{col}' AS col_name, count(*) AS n_rows,"
+        f" count(*) - count({col}) AS n_nulls,"
+        f" count(DISTINCT {col}) AS n_distinct,"
+        f" {mn} AS min_str, {mx} AS max_str FROM lineitem"
+    )
+
+
+TABLE_PROFILE_SQL = (
+    "SELECT * FROM ("
+    + " UNION ALL ".join(_profile_select_sql(c, k) for c, k in _PROFILE_COLS)
+    + ") ORDER BY col_name"
+)
