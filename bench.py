@@ -366,6 +366,21 @@ def main() -> None:
     }
     shutil.rmtree(pq_tmp, ignore_errors=True)
 
+    # same split for the incremental-dedup band index: the corpus
+    # shingle -> signature -> band table is a once-per-corpus build that
+    # every minhash_index_probe amortizes; each run writes to a fresh path
+    # so the content-keyed cache can't hide the work.
+    from nano_vectordb_rs_spark.operators.dedup import _band_index_df
+
+    mh_tmp = "/tmp/nvdb_bench_mh_index"
+    builds["minhash_index_build"] = timed(
+        lambda: _band_index_df(spark, SF_DIR, corpus=True)
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(mh_tmp)
+    )
+    shutil.rmtree(mh_tmp, ignore_errors=True)
+
     # --- reference-shaped microbench (100k x 1024, like benchmark.rs) -------
     # Protocol mirrors the reference: vector generation is OUTSIDE the timed
     # window (benchmark.rs fills rng buffers before starting the clock).
