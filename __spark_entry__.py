@@ -109,6 +109,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reference_json_roundtrip, green r05 AND r06) rotate to 51+ to
         # make room for the r07 3rd wave.
         "jsonl_export_roundtrip": lifecycle.jsonl_export_roundtrip,
+        # NEW r07 (4th wave): the ORC interchange roundtrip — the second
+        # binary columnar format (sources/orc.py was previously the only
+        # source module with no gate query); f32 stays f32 on disk so the
+        # fixed-point checksum is bit-exact
+        "orc_export_roundtrip": lifecycle.orc_export_roundtrip,
         # NEW r07 (3rd wave): incremental-ingestion dedup — the incoming
         # ~10% batch probes the MATERIALIZED corpus band index (content-
         # keyed parquet partitioned by band, built once like the PQ codes)
@@ -122,7 +127,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # vs the textbook one-scan-per-column UNION ALL oracle
         "table_profile": pipeline.table_profile,
         # --- similarity search / ANN (SURVEY.md §7.5 + north star) ---
-        "ann_lsh_topk": similarity.ann_lsh_topk,
+        # NEW r07 (4th wave): IVF index-maintenance health report — per-cell
+        # population/share + split_parts recommendation, empty cells
+        # surfaced via the literal-cell left join (ann_lsh_topk, green
+        # r04+r05+r06, rotates to 51+ to make room)
+        "ivf_cell_health": similarity.ivf_cell_health,
         # declarative top-10 ∩ exact composition; CTE oracle over the
         # KNN/IVF/LSH SQL
         "ann_recall": similarity.ann_recall,
@@ -140,7 +149,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # candidate stage vs brute-force exact Jaccard on a bounded block —
         # pins what the banding MISSES, not just what it emits
         "dedup_pair_recall": dedup.dedup_pair_recall,
-        "dedup_keep_best": dedup.dedup_keep_best,
         # NEW r07 (2nd wave): the SEQUENTIAL exact → normalized → near-dup
         # funnel (stage-by-stage removal counts in pipeline order)
         "dedup_funnel_report": dedup.dedup_funnel_report,
@@ -159,14 +167,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # recomputable in VARCHAR-md5 SQL) ---
         "media_frame_sample": multimodal.media_frame_sample,
         "media_feature_stats": multimodal.media_feature_stats,
-        "media_resize_summary": multimodal.media_resize_summary,
         # --- iterative ML: Lloyd k-means + power-iteration PCA, both with
         # full unrolled-CTE oracles; the clustering→inspection composition
         # joins seed-centroid assignments back to doc text ---
         "embedding_top_component": pipeline.embedding_top_component,
         "cluster_topic_report": pipeline.cluster_topic_report,
         # --- events surface ---
-        "events_json_stats": events.events_json_stats,
+        # NEW r07 (4th wave): SCD Type-2 validity-interval build from the
+        # event change log (one window on the shared user_id key), reported
+        # per event type — the auditable generalization of O2's
+        # keep-latest upsert (events_json_stats, green r05+r06, to 51+)
+        "events_scd2_state": events.events_scd2_state,
         "events_top_users": events.events_top_users,
         # sketch queries: exact values + in-tolerance booleans (hash-checked)
         "events_distinct_sketch": events.events_distinct_sketch,
@@ -201,7 +212,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessionize_custom": events_stream.streaming_sessionize_custom,
         # --- LLM-pipeline extensions ---
         "stratified_sample_docs": pipeline.stratified_sample_docs,
-        "bigram_stats": pipeline.bigram_stats,
+        # NEW r07 (4th wave): day-partition bin-packing compaction plan —
+        # the Delta-OPTIMIZE/Iceberg-rewrite shape as data: one per-day
+        # aggregate, then the running sum over the calendar-bounded frame
+        # (bigram_stats, green r05+r06, rotates to 51+)
+        "compaction_plan": pipeline.compaction_plan,
         "reservoir_per_key": pipeline.reservoir_per_key,
         "length_filter_report": pipeline.length_filter_report,
         # r06 gate debut: deterministic shard-export manifest + tokenizer
@@ -211,6 +226,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage_report": pipeline.vocab_coverage_report,
         # --- representative relational ---
         "skew_salted_join": advanced.skew_salted_join,
+        # NEW r07 (4th wave): the pre-join shuffle-plan advisor that decides
+        # when skew_salted_join's salting is warranted — per-key counts,
+        # corpus totals broadcast back (deliberately NOT a global window
+        # over the key frame), salt fan-out recommendation
+        "join_skew_advisor": advanced.join_skew_advisor,
         # scale twin of customer_balance_quartiles: approx_percentile
         # boundaries + comparison bucketing, tolerance oracle
         "customer_balance_quartiles_approx": relational2.customer_balance_quartiles_approx,
@@ -233,6 +253,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # jsonl_export_roundtrip above)
         "save_roundtrip_stats": lifecycle.save_roundtrip_stats,
         "reference_json_roundtrip": lifecycle.reference_json_roundtrip,
+        # rotated out for the r07 4th wave (each multiply green, family
+        # siblings stay gated): ann_lsh_topk r04+r05+r06; dedup_keep_best,
+        # media_resize_summary, events_json_stats, bigram_stats all r05+r06
+        "ann_lsh_topk": similarity.ann_lsh_topk,
+        "dedup_keep_best": dedup.dedup_keep_best,
+        "media_resize_summary": multimodal.media_resize_summary,
+        "events_json_stats": events.events_json_stats,
+        "bigram_stats": pipeline.bigram_stats,
         "near_dup_embeddings": similarity.near_dup_embeddings,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         # rotated out in r07 (green r06, siblings gated; events_union_slices
@@ -467,5 +495,11 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_fertility": textops.TOKENIZER_FERTILITY_SQL,
         "dedup_pair_recall": dedup.DEDUP_PAIR_RECALL_SQL,
         "jsonl_export_roundtrip": lifecycle.JSONL_EXPORT_ROUNDTRIP_SQL,
+        # --- r07 4th wave ---
+        "orc_export_roundtrip": lifecycle.ORC_EXPORT_ROUNDTRIP_SQL,
+        "ivf_cell_health": similarity.IVF_CELL_HEALTH_SQL,
+        "events_scd2_state": events.EVENTS_SCD2_STATE_SQL,
+        "compaction_plan": pipeline.COMPACTION_PLAN_SQL,
+        "join_skew_advisor": advanced.JOIN_SKEW_ADVISOR_SQL,
         "dedup_funnel_report": dedup.DEDUP_FUNNEL_SQL,
     }

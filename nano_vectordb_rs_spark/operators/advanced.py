@@ -689,3 +689,59 @@ JOIN (VALUES {_BANDS_VALUES}) AS bands(band, lo, hi)
 GROUP BY band
 ORDER BY band
 """
+
+
+TOP_SKEW_KEYS = 10
+
+
+def join_skew_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-plan advisor for the lineitem⋈supplier join key: per-key row
+    counts, the share of the fact table each hot key owns, its factor over
+    the average key, and the salt fan-out that would level it — the report
+    that decides BEFORE a 100-TB join whether to rely on AQE skew
+    splitting, pre-salt (skew_salted_join above), or broadcast.
+
+    Plan shape: one partial+final count aggregate on the join key (the
+    map-side combine means each executor ships one row per key it saw,
+    never the fact rows), then the corpus totals come from a SECOND
+    aggregate over the per-key counts and are broadcast back as a single
+    row — deliberately NOT a global window over the key-count frame, which
+    would funnel every distinct key through one task at 100 TB. Top-N by
+    count is a TakeOrderedAndProject over the key counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_suppkey").agg(F.count("*").alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("total_rows"), F.count("*").alias("n_keys")
+    )
+    over_avg = F.col("n_rows") * F.col("n_keys") / F.col("total_rows")
+    return (
+        counts.join(F.broadcast(totals))
+        .select(
+            "l_suppkey",
+            "n_rows",
+            F.round(F.col("n_rows") * 100.0 / F.col("total_rows"), 4).alias(
+                "share_pct"
+            ),
+            F.round(over_avg, 4).alias("over_avg"),
+            F.greatest(F.lit(1), F.ceil(over_avg)).cast("int").alias("salt_parts"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col("l_suppkey").asc())
+        .limit(TOP_SKEW_KEYS)
+    )
+
+
+JOIN_SKEW_ADVISOR_SQL = f"""
+WITH counts AS (
+  SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY 1),
+totals AS (
+  SELECT CAST(sum(n_rows) AS BIGINT) AS total_rows, count(*) AS n_keys
+  FROM counts)
+SELECT l_suppkey, n_rows,
+       round(n_rows * 100.0 / total_rows, 4) AS share_pct,
+       round(n_rows * n_keys / total_rows, 4) AS over_avg,
+       CAST(greatest(1, ceil(n_rows * n_keys / total_rows)) AS INTEGER)
+         AS salt_parts
+FROM counts, totals
+ORDER BY n_rows DESC, l_suppkey ASC
+LIMIT {TOP_SKEW_KEYS}
+"""

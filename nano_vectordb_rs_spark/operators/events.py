@@ -948,3 +948,66 @@ FROM (
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def events_scd2_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build over the event change log, reported per
+    event type: each event is a new version of its user's state, valid
+    from its own timestamp until the user's NEXT event (NULL = current
+    version) — the slowly-changing-dimension shape every warehouse ingest
+    pipeline maintains for entity state (the reference's upsert, O2
+    src/lib.rs:150-185, is the degenerate keep-latest-only case; SCD2 is
+    the auditable generalization that keeps the full validity history).
+
+    Plan shape: ONE window over (user_id, time) computes every validity
+    interval — a single shuffle on user_id, the same key the sessionizers
+    use, so at 100 TB this co-partitions with the rest of the per-user
+    family and AQE handles user skew. The report aggregate is a second
+    bounded shuffle on event_type (#types groups). Durations are exact
+    integer micros; the average is computed as one double division of two
+    exact values so both engines round identically."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    vers = ev.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        F.lead("ts_us").over(w).alias("valid_to_us"),
+    )
+    dur = F.col("valid_to_us") - F.col("ts_us")
+    return (
+        vers.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_versions"),
+            F.sum(F.when(F.col("valid_to_us").isNull(), 1).otherwise(0)).alias(
+                "n_current"
+            ),
+            F.count("valid_to_us").alias("n_closed"),
+            F.sum(dur).alias("sum_valid_us"),
+            F.max(dur).alias("max_valid_us"),
+            F.round(
+                F.sum(dur).cast("double") / F.count("valid_to_us"), 4
+            ).alias("avg_valid_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_SCD2_STATE_SQL = """
+SELECT event_type,
+       count(*) AS n_versions,
+       CAST(sum(CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_current,
+       count(valid_to_us) AS n_closed,
+       CAST(sum(valid_to_us - ts_us) AS BIGINT) AS sum_valid_us,
+       CAST(max(valid_to_us - ts_us) AS BIGINT) AS max_valid_us,
+       round(CAST(sum(valid_to_us - ts_us) AS DOUBLE) / count(valid_to_us), 4)
+         AS avg_valid_us
+FROM (
+  SELECT event_type, epoch_us(ts) AS ts_us,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS valid_to_us
+  FROM events)
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -211,3 +211,39 @@ def jsonl_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 JSONL_EXPORT_ROUNDTRIP_SQL = _STATS_ORACLE
+
+
+def orc_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ORC interchange sink+source through the gate: collection frame →
+    ``write_orc_collection`` (distributed columnar shards) →
+    ``read_orc_collection`` through the dim-guard path → stats over the
+    re-imported frame.
+
+    ORC is the second binary columnar format next to Parquet
+    (sources/orc.py — Hive-era lakes standardized on it), and unlike the
+    text formats nothing is parsed on the way back: f32 stays f32 on disk,
+    so the fixed-point content checksum must match the oracle (which never
+    leaves the parquet) bit-for-bit. Both directions are plain distributed
+    jobs — one file per partition out, splittable stripes back in — so the
+    roundtrip runs at 100 TB exactly like the Parquet save path (O6,
+    src/lib.rs:289-293)."""
+    from nano_vectordb_rs_spark.sources.orc import (
+        read_orc_collection,
+        write_orc_collection,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="nvdb_orc_rt_")
+    path = f"{tmp}/shards"
+    try:
+        write_orc_collection(_collection_frame(spark, sf_dir), path)
+        df = read_orc_collection(spark, path, EMBEDDING_DIM)
+        # dim guard is a filter in the reader: re-assert none were dropped
+        ok = df.filter(F.size(VECTOR_COL) != EMBEDDING_DIM).limit(1).count() == 0
+        out = _stats(df, ok)
+        rows, schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+ORC_EXPORT_ROUNDTRIP_SQL = _STATS_ORACLE

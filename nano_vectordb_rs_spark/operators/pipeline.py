@@ -1368,3 +1368,93 @@ TABLE_PROFILE_SQL = (
     + " UNION ALL ".join(_profile_select_sql(c, k) for c, k in _PROFILE_COLS)
     + ") ORDER BY col_name"
 )
+
+
+# --- small-file compaction planning ------------------------------------------
+
+COMPACT_TARGET_BYTES = 65536  # target output-file size for the plan
+DAY_US = 86_400_000_000
+# estimated serialized row width: fixed-width cols + struct overhead; the
+# variable part is the two strings. An ESTIMATE is the right contract — real
+# compaction planners (Delta OPTIMIZE, Iceberg rewrite) bin-pack on file
+# statistics, not exact encoded bytes, and the plan only needs proportionality
+_ROW_OVERHEAD = 48
+
+
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan for the day-partitioned events log:
+    bin-pack consecutive day partitions into target-size output files and
+    report each planned file's day range, row count, and estimated bytes.
+
+    The 100-TB problem this solves: streaming ingest writes one (or more)
+    small file per day per executor; a year of that is thousands of
+    sub-target files whose open/footer overhead dominates scan time. The
+    standard fix (Delta OPTIMIZE / Iceberg bin-packing) assigns partitions
+    to output files by cumulative size — exactly what this plan computes,
+    as data: ``file_id = cumulative_bytes_before DIV target``.
+
+    Plan shape: the per-day sizes come from ONE partial+final aggregate
+    over the fact table (map-side combine ships one row per day per
+    executor). The running sum then runs over the per-DAY frame — ~365
+    rows/year, bounded by the calendar, not the data — so the
+    single-partition window the plan audit bans elsewhere is safe here by
+    construction (comment the same contract as ivf_cell_health). Exclusive
+    cumsum keeps the first day of every file aligned to the bin boundary;
+    all arithmetic is integer-exact in both engines."""
+    from nano_vectordb_rs_spark.operators.events import _events
+
+    ev = _events(spark, sf_dir)
+    per_day = (
+        ev.select(
+            F.expr(f"ts_us div {DAY_US}").alias("day"),
+            (
+                F.lit(_ROW_OVERHEAD)
+                + F.length("event_type")
+                + F.length(F.coalesce(F.col("props"), F.lit("")))
+            ).cast("bigint").alias("row_bytes"),
+        )
+        .groupBy("day")
+        .agg(F.count("*").alias("n_rows"), F.sum("row_bytes").alias("day_bytes"))
+    )
+    # exclusive running sum over the bounded per-day frame (see docstring)
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    cum_before = F.coalesce(F.sum("day_bytes").over(w), F.lit(0).cast("bigint"))
+    planned = per_day.withColumn("cum_before", cum_before).withColumn(
+        "file_id", F.expr(f"cum_before div {COMPACT_TARGET_BYTES}")
+    )
+    return (
+        planned.groupBy("file_id")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.min("day").alias("day_min"),
+            F.max("day").alias("day_max"),
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("day_bytes").alias("est_bytes"),
+        )
+        .orderBy("file_id")
+    )
+
+
+COMPACTION_PLAN_SQL = f"""
+WITH per_day AS (
+  SELECT epoch_us(ts) // {DAY_US} AS day,
+         count(*) AS n_rows,
+         sum({_ROW_OVERHEAD} + len(event_type) + len(coalesce(props, '')))
+           AS day_bytes
+  FROM events GROUP BY 1),
+planned AS (
+  SELECT day, n_rows, day_bytes,
+         coalesce(sum(day_bytes) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           // {COMPACT_TARGET_BYTES} AS file_id
+  FROM per_day)
+SELECT CAST(file_id AS BIGINT) AS file_id,
+       count(*) AS n_days,
+       min(day) AS day_min,
+       max(day) AS day_max,
+       CAST(sum(n_rows) AS BIGINT) AS n_rows,
+       CAST(sum(day_bytes) AS BIGINT) AS est_bytes
+FROM planned
+GROUP BY file_id
+ORDER BY file_id
+"""

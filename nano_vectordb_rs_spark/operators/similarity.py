@@ -476,6 +476,77 @@ LIMIT 10
 """
 
 
+def ivf_cell_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-maintenance report: per-cell population, share, and a
+    split recommendation — the health check that decides when the coarse
+    quantizer needs re-training or a hot cell needs sub-splitting.
+
+    Why it matters at 100 TB: the IVF layout writes ``partitionBy(cell)``
+    (see ann_ivf_topk / ivf_pq), so a cell at 5× the average is a hot
+    partition — probe latency on that cell is 5× the budget and its files
+    defeat size-targeted compaction. The fix is mechanical (split the cell
+    into ``split_parts`` sub-cells by a secondary hash, or re-train the
+    codebook), but only a population report can trigger it.
+
+    Plan shape: one partial+final aggregate on the 8-way cell id (the
+    assignment is the same scan-local literal-centroid argmax as the probe
+    path — no shuffle before the groupBy), then a left join from the
+    literal cell list so EMPTY cells surface as zero rows (an empty cell is
+    a health signal the groupBy alone would silently drop), then a global
+    window over exactly N_CENTROIDS rows for the shares — driver-trivial
+    at any corpus size because the aggregate's output is bounded by the
+    codebook, not the data."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = emb.select(
+        "vec_id",
+        *[
+            F.expr(cosine_expr("embedding", CENTROIDS[c])).alias(f"s{c}")
+            for c in range(N_CENTROIDS)
+        ],
+    ).withColumn("cell", F.expr(_cell_case_spark()))
+    counts = assigned.groupBy("cell").agg(F.count("*").alias("n_vecs"))
+    cells = spark.range(N_CENTROIDS).select(F.col("id").cast("int").alias("cell"))
+    full = cells.join(counts, "cell", "left").select(
+        "cell", F.coalesce(F.col("n_vecs"), F.lit(0)).alias("n_vecs")
+    )
+    # global window over exactly N_CENTROIDS rows (bounded by the codebook,
+    # not the corpus) — the single-partition warning does not apply
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    total = F.sum("n_vecs").over(w)
+    over_avg = F.col("n_vecs") * N_CENTROIDS / total
+    return (
+        full.select(
+            "cell",
+            "n_vecs",
+            F.round(F.col("n_vecs") * 100.0 / total, 4).alias("share_pct"),
+            F.round(over_avg, 4).alias("over_avg"),
+            F.greatest(F.lit(1), F.ceil(over_avg)).cast("int").alias("split_parts"),
+        )
+        .orderBy("cell")
+    )
+
+
+IVF_CELL_HEALTH_SQL = f"""
+WITH assign AS (
+  SELECT {_cell_case_spark()} AS cell
+  FROM ({_duck_cell_sql()})
+),
+counts AS (SELECT cell, count(*) AS n FROM assign GROUP BY 1),
+cells AS (SELECT CAST(t.i AS INTEGER) AS cell
+          FROM UNNEST(generate_series(0, {N_CENTROIDS - 1})) AS t(i)),
+full_counts AS (
+  SELECT cells.cell, CAST(coalesce(counts.n, 0) AS BIGINT) AS n_vecs
+  FROM cells LEFT JOIN counts ON cells.cell = counts.cell)
+SELECT cell, n_vecs,
+       round(n_vecs * 100.0 / sum(n_vecs) OVER (), 4) AS share_pct,
+       round(n_vecs * {N_CENTROIDS} / sum(n_vecs) OVER (), 4) AS over_avg,
+       CAST(greatest(1, ceil(n_vecs * {N_CENTROIDS} / sum(n_vecs) OVER ())) AS INTEGER)
+         AS split_parts
+FROM full_counts
+ORDER BY cell
+"""
+
+
 # --- LSH (sign-of-projection buckets) ---------------------------------------
 
 
