@@ -41,7 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Declared query surface, 136 entries — every entry has a DuckDB value
+    """Declared query surface, 141 entries — every entry has a DuckDB value
     oracle in ``oracle_sql()`` (zero rows-only checks since round 5).
 
     GATE-ROTATION POLICY: the driver's correctness gate checks the FIRST 50
@@ -80,7 +80,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         per-column ANALYZE profile) — the double-green lifecycle pair
         save_roundtrip_stats / reference_json_roundtrip (green r05 AND
         r06) moved to 51+ to make room, with jsonl_export_roundtrip
-        keeping the family gated.
+        keeping the family gated; 4th wave (the ops/maintenance surface):
+        orc_export_roundtrip (ORC sink+source roundtrip — the second
+        binary columnar format), ivf_cell_health (IVF per-cell population
+        + split recommendation, empty cells surfaced), events_scd2_state
+        (SCD Type-2 validity intervals from the event change log),
+        compaction_plan (day-partition bin-packing into target-size
+        files), join_skew_advisor (pre-join per-key skew report with
+        salt fan-out) — displacing five multiply-green siblings
+        (ann_lsh_topk r04-r06; dedup_keep_best, media_resize_summary,
+        events_json_stats, bigram_stats each r05+r06) to 51+.
       - CHANGED queries stay gated for re-verification:
         events_value_percentiles_approx (left join from the sketch side so
         all-NULL-value types survive, ADVICE r06), events_props_scrub
