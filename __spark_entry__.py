@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from nano_vectordb_rs_spark.streaming import events_stream
+from nano_vectordb_rs_spark.streaming import collection_stream, events_stream
 from nano_vectordb_rs_spark.operators import (
     advanced,
     crud,
@@ -41,7 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Declared query surface, 141 entries — every entry has a DuckDB value
+    """Declared query surface, 143 entries — every entry has a DuckDB value
     oracle in ``oracle_sql()`` (zero rows-only checks since round 5).
 
     GATE-ROTATION POLICY: the driver's correctness gate checks the FIRST 50
@@ -89,7 +89,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         files), join_skew_advisor (pre-join per-key skew report with
         salt fan-out) — displacing five multiply-green siblings
         (ann_lsh_topk r04-r06; dedup_keep_best, media_resize_summary,
-        events_json_stats, bigram_stats each r05+r06) to 51+.
+        events_json_stats, bigram_stats each r05+r06) to 51+; 5th wave
+        (engine-lifecycle extensions): snapshot_time_travel (versioned
+        immutable snapshots + open_snapshot — the lakehouse extension of
+        O6's destructive save) and streaming_collection_upsert (the
+        foreachBatch ingest path end-to-end: checkpointed drain →
+        per-batch merge+normalize → save → reopen; disjoint waves make
+        the state batch-boundary-independent) — displacing
+        streaming_hourly_counts (green r04-r06) and events_session_window
+        (green r05+r06) to 51+.
       - CHANGED queries stay gated for re-verification:
         events_value_percentiles_approx (left join from the sketch side so
         all-NULL-value types survive, ADVICE r06), events_props_scrub
@@ -123,6 +131,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # source module with no gate query); f32 stays f32 on disk so the
         # fixed-point checksum is bit-exact
         "orc_export_roundtrip": lifecycle.orc_export_roundtrip,
+        # NEW r07 (5th wave): versioned snapshots (time travel) — the
+        # lakehouse extension of O6's destructive save: v1 must stay
+        # immutable under later delete/upsert, v2 must reflect exactly the
+        # applied delta; both reopened from disk via open_snapshot
+        "snapshot_time_travel": lifecycle.snapshot_time_travel,
         # NEW r07 (3rd wave): incremental-ingestion dedup — the incoming
         # ~10% batch probes the MATERIALIZED corpus band index (content-
         # keyed parquet partitioned by band, built once like the PQ codes)
@@ -190,7 +203,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_users": events.events_top_users,
         # sketch queries: exact values + in-tolerance booleans (hash-checked)
         "events_distinct_sketch": events.events_distinct_sketch,
-        "events_session_window": events.events_session_window,
         # r06: exact brackets now from the bounded groupBy(type,value) +
         # cumulative-rank window — the exact-percentile UDAF is gone (and
         # plan-audit-banned)
@@ -211,7 +223,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — watermarked tumbling agg, state-store replay dedup of a
         # deliberately doubled source, and a watermark+range-bounded
         # stream-stream interval join drained append-mode
-        "streaming_hourly_counts": events_stream.streaming_hourly_counts,
         "streaming_dedup_counts": events_stream.streaming_dedup_counts,
         "streaming_click_attribution": events_stream.streaming_click_attribution,
         # NEW r07: the CUSTOM stateful operator API gated — per-user
@@ -219,6 +230,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch-fold oracle (the 4th streaming query closes the built-in
         # state vs hand-written state coverage split)
         "streaming_sessionize_custom": events_stream.streaming_sessionize_custom,
+        # NEW r07 (5th wave): the streaming INGEST path gated end-to-end —
+        # foreachBatch → VectorCollection.upsert → save → reopen; three
+        # disjoint upsert waves so the final state is identical under any
+        # micro-batch split (availableNow promises no boundaries)
+        "streaming_collection_upsert": collection_stream.streaming_collection_upsert,
         # --- LLM-pipeline extensions ---
         "stratified_sample_docs": pipeline.stratified_sample_docs,
         # NEW r07 (4th wave): day-partition bin-packing compaction plan —
@@ -270,6 +286,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize_summary": multimodal.media_resize_summary,
         "events_json_stats": events.events_json_stats,
         "bigram_stats": pipeline.bigram_stats,
+        # rotated out for the r07 5th wave (streaming_hourly_counts green
+        # r04+r05+r06; events_session_window green r05+r06 — the streaming
+        # family keeps four gated queries, events keeps nine)
+        "streaming_hourly_counts": events_stream.streaming_hourly_counts,
+        "events_session_window": events.events_session_window,
         "near_dup_embeddings": similarity.near_dup_embeddings,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         # rotated out in r07 (green r06, siblings gated; events_union_slices
@@ -510,5 +531,10 @@ def oracle_sql() -> dict[str, str]:
         "events_scd2_state": events.EVENTS_SCD2_STATE_SQL,
         "compaction_plan": pipeline.COMPACTION_PLAN_SQL,
         "join_skew_advisor": advanced.JOIN_SKEW_ADVISOR_SQL,
+        # --- r07 5th wave ---
+        "snapshot_time_travel": lifecycle.SNAPSHOT_TIME_TRAVEL_SQL,
+        "streaming_collection_upsert": (
+            collection_stream.STREAMING_COLLECTION_UPSERT_SQL
+        ),
         "dedup_funnel_report": dedup.DEDUP_FUNNEL_SQL,
     }

@@ -70,6 +70,10 @@ class VectorCollection:
         self._df = df
         self.path = path
         self._additional: dict[str, Any] = {}
+        # True only when this handle PROVABLY holds zero rows (fresh empty
+        # create); cleared by the first upsert. Purely an optimization flag:
+        # False never changes behavior, it just runs the existing-ids probe.
+        self._known_empty = False
         if path and os.path.exists(os.path.join(path, _SIDECAR)):
             with open(os.path.join(path, _SIDECAR)) as f:
                 self._additional = json.load(f)
@@ -108,7 +112,11 @@ class VectorCollection:
             if VECTOR_COL not in df.columns or ID_COL not in df.columns:
                 raise ValueError(f"not a collection: {path} lacks {ID_COL}/{VECTOR_COL}")
             return cls(spark, embedding_dim, df, path)
-        return cls(spark, embedding_dim, cls._empty_df(spark, metadata_schema), path)
+        col = cls(spark, embedding_dim, cls._empty_df(spark, metadata_schema), path)
+        # freshly created ⇒ provably no rows: lets the first upsert skip the
+        # existing-ids probe (one whole Spark job on the bulk-load path)
+        col._known_empty = True
+        return col
 
     # -- ingest guards ------------------------------------------------------
 
@@ -169,16 +177,27 @@ class VectorCollection:
             .collect()
         ]
         batch = batch.drop("__rn__", "__batch_pos__")
-        existing = {
-            r[ID_COL]
-            for r in self._df.join(F.broadcast(batch), ID_COL, "left_semi")
-            .select(ID_COL)
-            .collect()
-        }
-        merged = self._df.join(F.broadcast(batch), ID_COL, "left_anti").unionByName(
-            batch, allowMissingColumns=True
-        )
+        if self._known_empty:
+            # provably-empty collection (fresh create, nothing upserted yet):
+            # every id is an insert — skip the probe job entirely
+            existing: set[str] = set()
+        else:
+            # broadcast ONLY the id column: the probe needs no vectors, and
+            # a full-row broadcast ships the whole normalized matrix to
+            # every executor for nothing
+            existing = {
+                r[ID_COL]
+                for r in self._df.join(
+                    F.broadcast(batch.select(ID_COL)), ID_COL, "left_semi"
+                )
+                .select(ID_COL)
+                .collect()
+            }
+        merged = self._df.join(
+            F.broadcast(batch.select(ID_COL)), ID_COL, "left_anti"
+        ).unionByName(batch, allowMissingColumns=True)
         self._df = merged
+        self._known_empty = False
         return {
             "updated": [i for i in batch_ids if i in existing],
             "inserted": [i for i in batch_ids if i not in existing],
@@ -328,6 +347,98 @@ class VectorCollection:
         self._df = self._df.repartition(n_files)
         self.save()
         return n_files
+
+    # -- snapshots (time travel) ---------------------------------------------
+    # No analogue in the reference (save() is a destructive overwrite,
+    # src/lib.rs:289-293); this is the lakehouse extension of O6: each
+    # snapshot is an immutable versioned copy of the store plus its sidecar,
+    # published atomically (staged write → rename), with a manifest listing
+    # live versions. Snapshots live BESIDE the data dir (<path>.snapshots/)
+    # because save()'s staged swap rmtree-replaces <path> itself.
+    #
+    # Scale note: this materializes a full copy per version because save()'s
+    # contract is a full rewrite; a production variant over immutable data
+    # files records file REFERENCES in the manifest instead (the
+    # Iceberg/Delta model) so a snapshot is O(manifest), not O(data). The
+    # read path here is already that shape — open_snapshot just opens a
+    # directory — so swapping the write path later changes no consumer.
+
+    def _snapshot_root(self) -> str:
+        if not self.path:
+            raise ValueError("no storage path configured")
+        return self.path + ".snapshots"
+
+    def snapshots(self) -> list[int]:
+        """Live snapshot versions, ascending (empty if none ever taken)."""
+        manifest = os.path.join(self._snapshot_root(), "manifest.json")
+        if not os.path.exists(manifest):
+            return []
+        with open(manifest) as f:
+            return sorted(json.load(f)["versions"])
+
+    def save_snapshot(self) -> int:
+        """Persist the current state as the next immutable version and
+        return its number. The data dir and any prior snapshot are
+        untouched; a crash mid-write leaves only an unpublished .staging
+        dir (the manifest is renamed into place last)."""
+        root = self._snapshot_root()
+        os.makedirs(root, exist_ok=True)
+        versions = self.snapshots()
+        v = (versions[-1] + 1) if versions else 1
+        target = os.path.join(root, f"v{v}")
+        staged = target + ".staging"
+        self._df.write.mode("overwrite").parquet(staged)
+        with open(os.path.join(staged, _SIDECAR), "w") as f:
+            json.dump(self._additional, f)
+        os.rename(staged, target)
+        # same lineage collapse save() does: later mutations read the just-
+        # written immutable files instead of recomputing the whole merge
+        # plan. Safe because snapshots are never deleted or overwritten —
+        # a future retention API must re-point readers before reclaiming.
+        self._df = self.spark.read.parquet(target)
+        manifest = os.path.join(root, "manifest.json")
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"versions": versions + [v]}, f)
+        os.rename(tmp, manifest)
+        return v
+
+    def delete_snapshot(self, version: int) -> None:
+        """Retention: drop snapshot ``version`` — manifest first (so a
+        concurrent open_snapshot race sees a missing version, never a
+        half-deleted directory advertised as live), then the files. The
+        live store is untouched; deleting a version this handle's ``_df``
+        currently reads from is refused (save_snapshot re-points readers
+        at the newest version's files)."""
+        versions = self.snapshots()
+        if version not in versions:
+            raise ValueError(f"no snapshot v{version} at {self.path}")
+        target = os.path.join(self._snapshot_root(), f"v{version}")
+        if any(target in f for f in self._df.inputFiles()):
+            raise ValueError(
+                f"snapshot v{version} backs this handle's current state; "
+                "save() or save_snapshot() first"
+            )
+        manifest = os.path.join(self._snapshot_root(), "manifest.json")
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"versions": [v for v in versions if v != version]}, f)
+        os.rename(tmp, manifest)
+        import shutil
+
+        shutil.rmtree(target, ignore_errors=True)
+
+    @classmethod
+    def open_snapshot(
+        cls, spark: SparkSession, embedding_dim: int, path: str, version: int
+    ) -> "VectorCollection":
+        """Open snapshot ``version`` of the collection at ``path`` read-only
+        in spirit: the returned collection's own path is the snapshot dir,
+        so a save() through it cannot clobber the live store."""
+        target = os.path.join(path + ".snapshots", f"v{version}")
+        if not os.path.isdir(target):
+            raise ValueError(f"no snapshot v{version} at {path}")
+        return cls.open(spark, embedding_dim, target)
 
     # -- O7/O8: collection metadata ----------------------------------------
 

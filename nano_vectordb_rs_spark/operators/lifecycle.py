@@ -247,3 +247,98 @@ def orc_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORC_EXPORT_ROUNDTRIP_SQL = _STATS_ORACLE
+
+
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned persistence through the gate: ingest the fixture →
+    snapshot v1 → mutate (delete every id ≡ 0 mod 7, upsert a relabeled
+    slice and a shifted insert slice) → snapshot v2 → reopen BOTH versions
+    from disk and report per-version stats side by side.
+
+    This is the lakehouse extension of O6 (the reference's save is a
+    destructive overwrite, src/lib.rs:289-293): reproducing yesterday's
+    training run needs yesterday's corpus, so the store must answer "as of
+    version N" — the Iceberg/Delta time-travel contract. The check pins
+    that v1 is IMMUTABLE under later mutations (the delete/upsert must not
+    leak into it) and that v2 reflects exactly the applied delta; both
+    stats frames come from fresh ``open_snapshot`` reads, so a snapshot
+    that aliased the live store would hash-mismatch on the v1 row."""
+    from nano_vectordb_rs_spark.collection import VectorCollection
+
+    idn = F.col(ID_COL).cast("bigint")
+    base = _collection_frame(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="nvdb_snap_tt_")
+    store = f"{tmp}/col"
+    try:
+        col = VectorCollection.open(spark, EMBEDDING_DIM, store)
+        col.upsert(base)
+        v1 = col.save_snapshot()
+        doomed = [r[0] for r in base.select(ID_COL).filter(idn % 7 == 0).collect()]
+        col.delete(doomed)
+        # one upsert batch carrying BOTH arms (disjoint ids): updates that
+        # relabel the %7==3 slice and inserts shifted +1M — exercising O2's
+        # update and insert classification in a single merge
+        delta = base.filter(idn % 7 == 3).withColumn(
+            "label", F.lit("edited")
+        ).unionByName(
+            base.filter(idn % 10 == 1).select(
+                (idn + 1_000_000).cast("string").alias(ID_COL),
+                F.col(VECTOR_COL),
+                F.lit("new").alias("label"),
+            )
+        )
+        col.upsert(delta)
+        v2 = col.save_snapshot()
+        frames = []
+        for v in (v1, v2):
+            snap = VectorCollection.open_snapshot(spark, EMBEDDING_DIM, store, v)
+            frames.append(
+                snap.df.select(
+                    F.lit(v).alias("version"),
+                    F.col(ID_COL).cast("bigint").alias("idn"),
+                    "label",
+                )
+            )
+        out = (
+            frames[0].unionByName(frames[1])
+            .groupBy("version")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.countDistinct("idn").alias("n_ids"),
+                F.sum(F.col("idn").cast("decimal(38,0)")).cast("bigint").alias("id_sum"),
+                F.countDistinct("label").alias("n_labels"),
+                F.sum(F.when(F.col("label") == "edited", 1).otherwise(0)).alias(
+                    "n_edited"
+                ),
+            )
+            .orderBy("version")
+        )
+        rows, schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+SNAPSHOT_TIME_TRAVEL_SQL = """
+WITH v1 AS (
+  SELECT vec_id AS idn, CAST(label AS VARCHAR) AS label FROM embeddings),
+v2 AS (
+  SELECT idn,
+         CASE WHEN idn % 7 = 3 THEN 'edited' ELSE label END AS label
+  FROM v1 WHERE idn % 7 <> 0
+  UNION ALL
+  SELECT vec_id + 1000000 AS idn, 'new' AS label
+  FROM embeddings WHERE vec_id % 10 = 1),
+both_v AS (
+  SELECT 1 AS version, * FROM v1
+  UNION ALL
+  SELECT 2 AS version, * FROM v2)
+SELECT version, count(*) AS n_rows, count(DISTINCT idn) AS n_ids,
+       CAST(sum(idn) AS BIGINT) AS id_sum,
+       count(DISTINCT label) AS n_labels,
+       CAST(sum(CASE WHEN label = 'edited' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_edited
+FROM both_v
+GROUP BY version
+ORDER BY version
+"""

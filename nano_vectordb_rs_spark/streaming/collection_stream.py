@@ -58,3 +58,111 @@ def stream_upsert(
     )
     q.awaitTermination()
     return q
+
+
+def streaming_collection_upsert(
+    spark: "SparkSession", sf_dir: str
+) -> DataFrame:
+    """Declared gate query for the streaming ingest path: seed a collection
+    from the embeddings fixture, then drain a file-source stream of three
+    DISJOINT upsert waves through ``stream_upsert`` (foreachBatch →
+    ``VectorCollection.upsert`` → one ``save()``), reopen the store from
+    disk, and report the final per-label state.
+
+    Waves (disjoint by id, so the final state is identical under ANY
+    micro-batch split or ordering — availableNow does not promise batch
+    boundaries, and this query must not depend on them):
+      * ids ≡ 0 (mod 3): full-row replace, label → 'w1'  (O2 update arm)
+      * ids ≡ 1 (mod 3): full-row replace, label → 'w2'  (O2 update arm)
+      * ids ≡ 0 (mod 10), shifted +1_000_000: label 'new' (O2 insert arm)
+    LWW across overlapping writers is pinned separately by the batch tests
+    (test_collection) — here the value check pins the ingest PLUMBING:
+    checkpointed delivery, per-batch merge+normalize, the staged-swap save,
+    and the reopen-from-disk path. A dropped batch, a double-applied merge,
+    or a save that lost rows all shift the per-label counts/id-sums.
+
+    ``all_unit_norm`` asserts normalize-at-ingest ran on every surviving
+    row (the oracle emits literal TRUE — in-tolerance boolean, the sketch
+    queries' contract).
+
+    Scale: each micro-batch broadcast-joins the collection scan (the batch
+    is the small side); state lives in Parquet, not the state store, so
+    collection size is unbounded by streaming memory — the same shape a
+    1000-executor continuous ingest runs."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import SparkSession, functions as F  # noqa: F811
+
+    from nano_vectordb_rs_spark.collection import ID_COL, VECTOR_COL
+    from nano_vectordb_rs_spark.functions.vector import (
+        EMBEDDING_DIM,
+        as_double_array,
+        norm_expr,
+    )
+    from nano_vectordb_rs_spark.sources.tables import load_table
+
+    base = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("string").alias(ID_COL),
+        F.col("embedding").alias(VECTOR_COL),
+        F.col("label").cast("string").alias("label"),
+    )
+    idn = F.col(ID_COL).cast("bigint")
+    tmp = tempfile.mkdtemp(prefix="nvdb_stream_upsert_")
+    src, ckpt, store = f"{tmp}/incoming", f"{tmp}/ckpt", f"{tmp}/col"
+    try:
+        col = VectorCollection.open(spark, EMBEDDING_DIM, store)
+        col.upsert(base)
+        # three disjoint waves appended as separate files: the file source
+        # may deliver them as 1-3 micro-batches — correctness must not care
+        waves = [
+            base.filter(idn % 3 == 0).withColumn("label", F.lit("w1")),
+            base.filter(idn % 3 == 1).withColumn("label", F.lit("w2")),
+            base.filter(idn % 10 == 0).select(
+                (idn + 1_000_000).cast("string").alias(ID_COL),
+                F.col(VECTOR_COL),
+                F.lit("new").alias("label"),
+            ),
+        ]
+        for w in waves:
+            w.write.mode("append").parquet(src)
+        stream_df = spark.readStream.schema(waves[0].schema).parquet(src)
+        stream_upsert(col, stream_df, ckpt, save_every_batch=False)
+        col.save()
+        reopened = VectorCollection.open(spark, EMBEDDING_DIM, store)
+        norm = F.expr(norm_expr(as_double_array(VECTOR_COL)))
+        out = (
+            reopened.df.select(
+                "label", F.col(ID_COL).cast("bigint").alias("idn"), norm.alias("nrm")
+            )
+            .groupBy("label")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.countDistinct("idn").alias("n_ids"),
+                F.sum(F.col("idn").cast("decimal(38,0)")).cast("bigint").alias("id_sum"),
+                (F.max(F.abs(F.col("nrm") - 1.0)) < 1e-3).alias("all_unit_norm"),
+            )
+            .orderBy("label")
+        )
+        rows, schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+STREAMING_COLLECTION_UPSERT_SQL = """
+WITH final AS (
+  SELECT CASE WHEN vec_id % 3 = 0 THEN 'w1'
+              WHEN vec_id % 3 = 1 THEN 'w2'
+              ELSE CAST(label AS VARCHAR) END AS label,
+         vec_id AS idn
+  FROM embeddings
+  UNION ALL
+  SELECT 'new' AS label, vec_id + 1000000 AS idn
+  FROM embeddings WHERE vec_id % 10 = 0)
+SELECT label, count(*) AS n_rows, count(DISTINCT idn) AS n_ids,
+       CAST(sum(idn) AS BIGINT) AS id_sum, TRUE AS all_unit_norm
+FROM final
+GROUP BY label
+ORDER BY label
+"""

@@ -284,3 +284,74 @@ def test_query_batch_matches_single_queries(spark, tmp_path):
     # where-predicate restriction applies per query
     filtered = c.query_batch(queries, top_k=3, where="tag = 't1'")
     assert all(r["tag"] == "t1" for r in filtered.collect())
+
+
+# -- snapshots (time travel) ---------------------------------------------
+
+
+def test_snapshot_versions_are_immutable(spark, coll):
+    coll.upsert(
+        make_batch(spark, [("a", [1, 0, 0, 0], "x"), ("b", [0, 1, 0, 0], "y")])
+    )
+    coll.store_additional_data({"stage": "v1"})
+    v1 = coll.save_snapshot()
+    assert v1 == 1 and coll.snapshots() == [1]
+    # mutate AFTER the snapshot: delete one row, edit the other, add one
+    coll.delete(["a"])
+    coll.upsert(
+        make_batch(spark, [("b", [0, 0, 1, 0], "edited"), ("c", [0, 0, 0, 1], "z")])
+    )
+    coll.store_additional_data({"stage": "v2"})
+    v2 = coll.save_snapshot()
+    assert v2 == 2 and coll.snapshots() == [1, 2]
+    s1 = VectorCollection.open_snapshot(spark, DIM, coll.path, 1)
+    s2 = VectorCollection.open_snapshot(spark, DIM, coll.path, 2)
+    # v1 unaffected by the later delete/edit/insert — full rows AND sidecar
+    assert sorted(r["__id__"] for r in s1.df.collect()) == ["a", "b"]
+    assert s1.get(["b"]).collect()[0]["tag"] == "y"
+    assert s1.additional_data() == {"stage": "v1"}
+    assert sorted(r["__id__"] for r in s2.df.collect()) == ["b", "c"]
+    assert s2.get(["b"]).collect()[0]["tag"] == "edited"
+    assert s2.additional_data() == {"stage": "v2"}
+
+
+def test_snapshot_survives_live_save_and_is_queryable(spark, coll):
+    coll.upsert(make_batch(spark, [("a", [1, 2, 3, 4], "x")]))
+    v1 = coll.save_snapshot()
+    # the live store's destructive staged-swap save must not touch v{n}
+    coll.upsert(make_batch(spark, [("b", [4, 3, 2, 1], "y")]))
+    coll.save()
+    snap = VectorCollection.open_snapshot(spark, DIM, coll.path, v1)
+    assert snap.count() == 1
+    top = snap.query([1.0, 2.0, 3.0, 4.0], top_k=1).collect()
+    assert top[0]["__id__"] == "a"
+    # a save() through the snapshot handle writes to the SNAPSHOT dir,
+    # never the live store
+    assert snap.path != coll.path
+
+
+def test_open_snapshot_missing_version_raises(spark, coll):
+    coll.upsert(make_batch(spark, [("a", [1, 0, 0, 0], "x")]))
+    coll.save_snapshot()
+    with pytest.raises(ValueError, match="no snapshot v9"):
+        VectorCollection.open_snapshot(spark, DIM, coll.path, 9)
+
+
+def test_delete_snapshot_retention(spark, coll):
+    coll.upsert(make_batch(spark, [("a", [1, 0, 0, 0], "x")]))
+    v1 = coll.save_snapshot()
+    coll.upsert(make_batch(spark, [("b", [0, 1, 0, 0], "y")]))
+    v2 = coll.save_snapshot()
+    # the handle now reads from v2's files — deleting v2 must be refused
+    with pytest.raises(ValueError, match="backs this handle"):
+        coll.delete_snapshot(v2)
+    # v1 is reclaimable; manifest shrinks and reopening v1 fails cleanly
+    coll.delete_snapshot(v1)
+    assert coll.snapshots() == [v2]
+    with pytest.raises(ValueError, match=f"no snapshot v{v1}"):
+        VectorCollection.open_snapshot(spark, DIM, coll.path, v1)
+    # v2 still opens and still holds both rows
+    s2 = VectorCollection.open_snapshot(spark, DIM, coll.path, v2)
+    assert s2.count() == 2
+    with pytest.raises(ValueError, match="no snapshot v99"):
+        coll.delete_snapshot(99)
