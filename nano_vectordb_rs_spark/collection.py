@@ -403,6 +403,70 @@ class VectorCollection:
         os.rename(tmp, manifest)
         return v
 
+    def diff_snapshots(self, version_a: int, version_b: int) -> DataFrame:
+        """Row-level change feed between two snapshot versions: one row per
+        id whose state differs, ``change ∈ {'added','removed','changed'}``
+        (ids identical in both versions are excluded — the diff of a 100-TB
+        store is read for its delta, not its unchanged bulk).
+
+        'changed' compares the full row: exact f32 vector equality plus
+        every metadata column (null-safe). Plan shape: a full outer join of
+        two parquet scans on the id — the one unavoidable shuffle of a diff;
+        at scale both snapshot writes would bucket by id so the join is
+        co-partitioned (save_snapshot writes whatever partitioning the
+        plan carries, so a bucketed writer slots in without touching this
+        read path)."""
+        a = VectorCollection.open_snapshot(
+            self.spark, self.embedding_dim, self.path, version_a
+        ).df
+        b = VectorCollection.open_snapshot(
+            self.spark, self.embedding_dim, self.path, version_b
+        ).df
+        meta_cols = sorted(
+            (set(a.columns) | set(b.columns)) - {ID_COL, VECTOR_COL}
+        )
+        an = a.select(
+            F.col(ID_COL),
+            F.struct(
+                F.col(VECTOR_COL),
+                *[
+                    (F.col(c) if c in a.columns else F.lit(None)).alias(c)
+                    for c in meta_cols
+                ],
+            ).alias("__a__"),
+        )
+        bn = b.select(
+            F.col(ID_COL),
+            F.struct(
+                F.col(VECTOR_COL),
+                *[
+                    (F.col(c) if c in b.columns else F.lit(None)).alias(c)
+                    for c in meta_cols
+                ],
+            ).alias("__b__"),
+        )
+        joined = an.join(bn, ID_COL, "full_outer")
+        # struct <=> struct is null-safe equality over every field, vector
+        # arrays included — one codegen'd comparison, no per-column chain
+        change = (
+            F.when(F.col("__a__").isNull(), F.lit("added"))
+            .when(F.col("__b__").isNull(), F.lit("removed"))
+            .when(~F.col("__a__").eqNullSafe(F.col("__b__")), F.lit("changed"))
+        )
+        return (
+            joined.withColumn("change", change)
+            .filter(F.col("change").isNotNull())
+            .select(ID_COL, "change")
+        )
+
+    def delete_where(self, predicate) -> None:
+        """Predicate delete — the set-based generalization of O5's id-list
+        delete (src/lib.rs:273-286): remove every row matching an arbitrary
+        Column expression without materializing an id list on the driver
+        (a GDPR purge or retention sweep at 100 TB cannot collect its ids).
+        Same lazy contract as delete(): nothing persists until save()."""
+        self._df = self._df.filter(~F.coalesce(predicate, F.lit(False)))
+
     def delete_snapshot(self, version: int) -> None:
         """Retention: drop snapshot ``version`` — manifest first (so a
         concurrent open_snapshot race sees a missing version, never a

@@ -355,3 +355,54 @@ def test_delete_snapshot_retention(spark, coll):
     assert s2.count() == 2
     with pytest.raises(ValueError, match="no snapshot v99"):
         coll.delete_snapshot(99)
+
+
+def test_diff_snapshots_change_feed(spark, coll):
+    coll.upsert(
+        make_batch(
+            spark,
+            [("a", [1, 0, 0, 0], "x"), ("b", [0, 1, 0, 0], "y"), ("c", [0, 0, 1, 0], "z")],
+        )
+    )
+    v1 = coll.save_snapshot()
+    coll.delete(["a"])  # removed
+    coll.upsert(
+        make_batch(
+            spark,
+            [("b", [0, 1, 0, 0], "edited"), ("d", [0, 0, 0, 1], "w")],  # changed, added
+        )
+    )
+    v2 = coll.save_snapshot()
+    diff = {r["__id__"]: r["change"] for r in coll.diff_snapshots(v1, v2).collect()}
+    # c is identical in both versions — excluded from the feed
+    assert diff == {"a": "removed", "b": "changed", "d": "added"}
+    # direction matters: swapping versions flips added/removed
+    rev = {r["__id__"]: r["change"] for r in coll.diff_snapshots(v2, v1).collect()}
+    assert rev == {"a": "added", "b": "changed", "d": "removed"}
+
+
+def test_diff_snapshots_vector_only_change_detected(spark, coll):
+    coll.upsert(make_batch(spark, [("a", [1, 0, 0, 0], "x")]))
+    v1 = coll.save_snapshot()
+    coll.upsert(make_batch(spark, [("a", [0, 1, 0, 0], "x")]))  # same metadata
+    v2 = coll.save_snapshot()
+    diff = coll.diff_snapshots(v1, v2).collect()
+    assert [(r["__id__"], r["change"]) for r in diff] == [("a", "changed")]
+
+
+def test_delete_where_predicate(spark, coll):
+    from pyspark.sql import functions as F
+
+    coll.upsert(
+        make_batch(
+            spark,
+            [("a", [1, 0, 0, 0], "keep"), ("b", [0, 1, 0, 0], "purge"),
+             ("c", [0, 0, 1, 0], None)],
+        )
+    )
+    # null predicate rows must be KEPT (coalesce to False), like SQL DELETE
+    coll.delete_where(F.col("tag") == "purge")
+    assert sorted(r["__id__"] for r in coll.df.collect()) == ["a", "c"]
+    coll.save()
+    reopened = VectorCollection.open(spark, DIM, coll.path)
+    assert sorted(r["__id__"] for r in reopened.df.collect()) == ["a", "c"]
