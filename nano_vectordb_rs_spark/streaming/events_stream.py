@@ -295,14 +295,20 @@ def run_available_now(
     stores × partitions × per-batch state+commit files on the HDFS-backed
     provider), not the join itself — halving the partitions removes the
     variance and ~1.5 s of constant cost while leaving state still keyed
-    and distributed."""
+    and distributed.
+
+    Lowered 4 → 2 later in round 7: a warm-JVM sweep put the interval-join
+    drain at 2.88 s (4 parts) vs 2.50 s (2) vs 2.52 s (1), and the other
+    drains agree (hourly 2.36 → 1.99, dedup 3.19 → 3.01, sessionize
+    within noise) — 2 keeps state keyed across >1 store while shedding
+    another ~0.4 s of per-partition file churn at drain scale."""
     import os
 
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions",
-        os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4"),
+        os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "2"),
     )
     try:
         q = (

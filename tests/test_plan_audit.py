@@ -426,7 +426,7 @@ def test_streaming_sessionize_state_partitions_bounded(spark):
 
     from nano_vectordb_rs_spark.streaming import events_stream
 
-    want = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "4"))
+    want = int(os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "2"))
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     out = events_stream.streaming_sessionize_custom(spark, SF_DIR)
     # session setting restored after the drain; the result is batch-local
