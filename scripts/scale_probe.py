@@ -74,6 +74,13 @@ PROBES = [
     # the corpus, that is the whole point of auditing a fixed block)
     ("ann_ivf_pq_topk", similarity.ann_ivf_pq_topk, ("embeddings",)),
     ("dedup_pair_recall", dedup.dedup_pair_recall, ("documents",)),
+    # r07 late additions: the incremental band-index probe (the warm pass
+    # materializes the corpus index; the timed slope is the new-batch probe
+    # + candidate-driven verify — the daily-ingest path whose cost must
+    # track the BATCH, not the corpus) and the sequential dedup funnel
+    # (three chained dedup stages over checkpointed shingles)
+    ("minhash_index_probe", dedup.minhash_index_probe, ("documents",)),
+    ("dedup_funnel_report", dedup.dedup_funnel_report, ("documents",)),
 ]
 
 ALL_TABLES = [

@@ -112,3 +112,72 @@ def test_prefix_filter_never_drops_a_qualifying_pair(sets):
                     f"pair {i},{j} has J={inter/union:.3f} >= {t} but shares "
                     f"no prefix token: {sets[i]} / {sets[j]}"
                 )
+
+
+# --- snapshot lifecycle model check ------------------------------------------
+
+_ID_POOL = [f"k{i}" for i in range(6)]
+
+_up_op = st.tuples(
+    st.just("upsert"),
+    st.dictionaries(
+        st.sampled_from(_ID_POOL),
+        st.tuples(vec, st.sampled_from(["a", "b", "c"])),
+        min_size=1,
+        max_size=4,
+    ),
+)
+_del_op = st.tuples(
+    st.just("delete"), st.lists(st.sampled_from(_ID_POOL), min_size=1, max_size=3)
+)
+_snap_op = st.tuples(st.just("snapshot"), st.none())
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(ops=st.lists(st.one_of(_up_op, _del_op, _snap_op), min_size=1, max_size=6))
+def test_snapshots_replay_model_state(spark_session, ops):
+    """Time-travel consistency under ARBITRARY op sequences: every snapshot
+    version, reopened at the end (after all later mutations), must hold
+    exactly the id→(vector, tag) state a plain Python dict model recorded
+    at the moment the snapshot was taken — immutability and completeness
+    in one property."""
+    import tempfile
+    import shutil
+
+    spark = spark_session
+    tmp = tempfile.mkdtemp(prefix="nvdb_prop_snap_")
+    try:
+        c = VectorCollection.open(spark, DIM, f"{tmp}/col")
+        model: dict[str, tuple] = {}
+        snaps: dict[int, dict] = {}
+        for kind, arg in ops + [("snapshot", None)]:
+            if kind == "upsert":
+                rows = [(i, list(v), t) for i, (v, t) in arg.items()]
+                c.upsert(
+                    spark.createDataFrame(
+                        rows, "`__id__` string, vector array<float>, tag string"
+                    )
+                )
+                for i, (v, t) in arg.items():
+                    model[i] = (np.asarray(v, dtype=np.float32), t)
+            elif kind == "delete":
+                c.delete(arg)
+                for i in arg:
+                    model.pop(i, None)
+            else:
+                snaps[c.save_snapshot()] = dict(model)
+        for v, want in snaps.items():
+            got = {
+                r["__id__"]: (np.asarray(r["vector"], dtype=np.float32), r["tag"])
+                for r in VectorCollection.open_snapshot(
+                    spark, DIM, f"{tmp}/col", v
+                ).df.collect()
+            }
+            assert set(got) == set(want), f"v{v}: id sets differ"
+            for i in want:
+                wv = want[i][0].astype(np.float64)
+                wv = (wv / np.linalg.norm(wv)).astype(np.float32)
+                assert got[i][1] == want[i][1], f"v{v}/{i}: tag"
+                assert np.allclose(got[i][0], wv, atol=1e-6), f"v{v}/{i}: vector"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
