@@ -282,7 +282,7 @@ def run_available_now(
     that per-partition file overhead dominates the actual state work (the
     stream-stream join alone keeps four state stores). So the drain
     harness starts the query under a small fixed count
-    (SPARK_GRAFT_STREAM_PARTITIONS, default 4) and restores the session
+    (SPARK_GRAFT_STREAM_PARTITIONS, default 2) and restores the session
     setting afterwards. A production deployment sizes this to its
     executor count ONCE at query birth — it is a deployment parameter, not
     plan logic, which is why it lives here in the harness.
