@@ -45,3 +45,10 @@ def test_pipeline_demo_example(spark, tmp_path):
         r["n_train_clean"],
         r["n_contexts"],
     )
+
+
+def test_lifecycle_demo_example(spark, tmp_path):
+    from examples import lifecycle_demo
+
+    changes = lifecycle_demo.main(spark, str(tmp_path / "col"))
+    assert changes == {"doc2": "removed", "doc3": "changed", "doc4": "added"}
