@@ -362,6 +362,14 @@ class VectorCollection:
     # Iceberg/Delta model) so a snapshot is O(manifest), not O(data). The
     # read path here is already that shape — open_snapshot just opens a
     # directory — so swapping the write path later changes no consumer.
+    #
+    # Durability caveats, stated rather than hidden: the atomic-publish
+    # guarantee rides on os.rename, which is atomic on a POSIX filesystem
+    # but NOT on object stores (S3 "rename" is copy+delete) — there, the
+    # manifest-pointer variant above is the correct design, with the
+    # manifest swap as a single small PUT. Writers are single-process by
+    # contract (like the reference's &mut self API): two handles snapshotting
+    # the same store concurrently can interleave manifest versions.
 
     def _snapshot_root(self) -> str:
         if not self.path:

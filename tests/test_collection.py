@@ -406,3 +406,22 @@ def test_delete_where_predicate(spark, coll):
     coll.save()
     reopened = VectorCollection.open(spark, DIM, coll.path)
     assert sorted(r["__id__"] for r in reopened.df.collect()) == ["a", "c"]
+
+
+def test_upsert_metadata_schema_evolution(spark, coll):
+    coll.upsert(make_batch(spark, [("a", [1, 0, 0, 0], "x")]))
+    # a later batch carries a NEW metadata column: existing rows keep their
+    # schema with nulls in the new column (unionByName allowMissingColumns)
+    wide = spark.createDataFrame(
+        [("b", [0.0, 1.0, 0.0, 0.0], "y", "extra-1")],
+        "`__id__` string, vector array<float>, tag string, note string",
+    )
+    coll.upsert(wide)
+    rows = {r["__id__"]: r for r in coll.df.collect()}
+    assert rows["b"]["note"] == "extra-1"
+    assert rows["a"]["note"] is None
+    # and it survives the save/reopen roundtrip
+    coll.save()
+    re = VectorCollection.open(spark, DIM, coll.path)
+    got = {r["__id__"]: r["note"] for r in re.df.collect()}
+    assert got == {"a": None, "b": "extra-1"}
