@@ -1457,7 +1457,12 @@ def minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference has no incremental surface (its upsert re-scores everything,
     src/lib.rs:133-186); this is the Spark-native replacement."""
-    idx = spark.read.parquet(minhash_index_build(spark, sf_dir))
+    # explicit schema from the builder plan (free — no execution): a
+    # zero-row partitionBy write leaves only _SUCCESS, so an EMPTY corpus
+    # must not crash the probe on schema inference
+    idx = spark.read.schema(
+        _band_index_df(spark, sf_dir, corpus=True).schema
+    ).parquet(minhash_index_build(spark, sf_dir))
     new_bands = _band_index_df(spark, sf_dir, corpus=False)
     cand = (
         new_bands.alias("n")

@@ -1042,7 +1042,13 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(PCA_ITERS):
         rows = _pca_apply(emb, v).collect()
         # decimal -> float via str() matches the oracle's CAST(dec AS DOUBLE)
-        v = _pca_normalize({r["pos"]: float(r["w"]) for r in rows})
+        w = {r["pos"]: float(r["w"]) for r in rows}
+        if not w or all(x == 0.0 for x in w.values()):
+            # empty or fully-degenerate cloud: power iteration has no
+            # signal — keep the current direction (the output frame is
+            # empty/zero anyway) instead of dividing by a zero norm
+            break
+        v = _pca_normalize(w)
     vec = F.array(*[F.lit(float(x)) for x in v])
     proj = (
         F.aggregate(

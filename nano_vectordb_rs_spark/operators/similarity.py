@@ -512,7 +512,10 @@ def ivf_cell_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     # global window over exactly N_CENTROIDS rows (bounded by the codebook,
     # not the corpus) — the single-partition warning does not apply
     w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    total = F.sum("n_vecs").over(w)
+    # greatest(total, 1): an EMPTY corpus (total 0) reports every cell at
+    # share 0 / over_avg 0 / split_parts 1 instead of dividing by zero —
+    # mirrored in the oracle so both engines agree on the degenerate case
+    total = F.greatest(F.sum("n_vecs").over(w), F.lit(1).cast("bigint"))
     over_avg = F.col("n_vecs") * N_CENTROIDS / total
     return (
         full.select(
@@ -538,10 +541,10 @@ full_counts AS (
   SELECT cells.cell, CAST(coalesce(counts.n, 0) AS BIGINT) AS n_vecs
   FROM cells LEFT JOIN counts ON cells.cell = counts.cell)
 SELECT cell, n_vecs,
-       round(n_vecs * 100.0 / sum(n_vecs) OVER (), 4) AS share_pct,
-       round(n_vecs * {N_CENTROIDS} / sum(n_vecs) OVER (), 4) AS over_avg,
-       CAST(greatest(1, ceil(n_vecs * {N_CENTROIDS} / sum(n_vecs) OVER ())) AS INTEGER)
-         AS split_parts
+       round(n_vecs * 100.0 / greatest(sum(n_vecs) OVER (), 1), 4) AS share_pct,
+       round(n_vecs * {N_CENTROIDS} / greatest(sum(n_vecs) OVER (), 1), 4) AS over_avg,
+       CAST(greatest(1, ceil(n_vecs * {N_CENTROIDS} / greatest(sum(n_vecs) OVER (), 1)))
+            AS INTEGER) AS split_parts
 FROM full_counts
 ORDER BY cell
 """
@@ -1265,9 +1268,11 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANN_PQ_SQL); the ADC ranking compares exact fixed-point integers."""
     path = ivf_pq_build_index(spark, sf_dir)
     lut = _pq_lut_fp(QUERY_VECTOR)
-    codes = spark.read.parquet(path).filter(
-        F.col("cell").isin(_probe_cells())
-    )
+    # explicit schema: a zero-row partitionBy write leaves only _SUCCESS (no
+    # data files to infer from), so an EMPTY corpus must not crash the probe
+    codes = spark.read.schema(
+        "vec_id bigint, label int, pq_code int, cell int"
+    ).parquet(path).filter(F.col("cell").isin(_probe_cells()))
     score_fp = None
     for m in range(PQ_M):
         code_m = F.expr(f"CAST(shiftright(pq_code, {4 * m}) & 15 AS INT)")
