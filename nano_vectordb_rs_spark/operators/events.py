@@ -939,7 +939,7 @@ SELECT event_type,
        CAST(sum(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT) AS n_num_matches,
        CAST(sum(length(red) - length(props)) AS BIGINT) AS len_delta,
        count(DISTINCT red) AS n_distinct_forms,
-       CAST(sum(CAST(concat('0x', substr(md5(red), 1, 8)) AS BIGINT)) AS BIGINT)
+       CAST(sum(CAST('0x' || substr(md5(red), 1, 8) AS BIGINT)) AS BIGINT)
          AS redacted_checksum
 FROM (
   SELECT event_type, props,

@@ -639,9 +639,12 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     def centroid(pdf: "pd.DataFrame") -> "pd.DataFrame":
         mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         c = mat.mean(axis=0)
+        lab = pdf["label"].iloc[0]
         return pd.DataFrame(
             {
-                "label": [int(pdf["label"].iloc[0])],
+                # a NULL label is a real group (unlabeled vectors) in both
+                # engines' GROUP BY — emit it as null, don't crash on NaN
+                "label": [None if pd.isna(lab) else int(lab)],
                 "n_vecs": [len(pdf)],
                 "centroid_norm": [round(float(np.sqrt(c @ c)), 6)],
                 "mean_abs": [round(float(np.abs(c).mean()), 6)],
@@ -701,7 +704,7 @@ ns AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label)
 SELECT c.label, ns.n_vecs,
        round(sqrt(sum(a * a)), 6) AS centroid_norm,
        round(avg(abs(a)), 6) AS mean_abs
-FROM cent c JOIN ns ON c.label = ns.label
+FROM cent c JOIN ns ON c.label IS NOT DISTINCT FROM ns.label
 GROUP BY c.label, ns.n_vecs
 ORDER BY c.label
 """

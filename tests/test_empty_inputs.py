@@ -55,3 +55,69 @@ def test_query_survives_empty_tables(spark, empty_sf, name):
     # empty input ⇒ a well-formed (possibly empty) result, never a crash;
     # ivf_cell_health still reports its N_CENTROIDS empty cells
     assert isinstance(rows, list)
+
+
+# --- NULL-heavy twin: latent null-handling divergences -----------------------
+#
+# Round 7's second sweep replayed the full 143-query parity comparison over a
+# twin fixture with nulls injected into every nullable column (events.value
+# 1-in-3, events.props 1-in-4, documents.lang 1-in-7, documents.source
+# 1-in-11, embeddings.label 1-in-5). 140/143 already agreed; three latent
+# divergences were found and fixed:
+#   * events_props_scrub — DuckDB concat('0x', NULL) = '0x' crashed the
+#     oracle's checksum cast (|| propagates NULL; Spark side already did);
+#   * label_centroids — the pandas UDAF crashed int(NaN) on the NULL-label
+#     group (a real group in both engines' GROUP BY);
+#   * label_centroids_mergeable — the oracle's cent⋈ns equi-join dropped
+#     the NULL-label group (NULL = NULL is never true; IS NOT DISTINCT FROM).
+# This test re-runs exactly those three through the full oracle comparison
+# on the null twin.
+
+NULL_SENSITIVE = ["events_props_scrub", "label_centroids", "label_centroids_mergeable"]
+
+
+@pytest.fixture(scope="module")
+def nulls_sf(tmp_path_factory):
+    dst = str(tmp_path_factory.mktemp("sf_nulls"))
+    plain = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]
+    for t in plain:
+        duckdb.sql(
+            f"COPY (SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')) "
+            f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    duckdb.sql(f"""COPY (
+      SELECT event_id, ts, user_id, event_type,
+             CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS value,
+             CASE WHEN event_id % 4 = 1 THEN NULL ELSE props END AS props
+      FROM read_parquet('{SF_DIR}/events.parquet'))
+      TO '{dst}/events.parquet' (FORMAT PARQUET)""")
+    duckdb.sql(f"""COPY (
+      SELECT doc_id, text,
+             CASE WHEN doc_id % 7 = 2 THEN NULL ELSE lang END AS lang,
+             CASE WHEN doc_id % 11 = 3 THEN NULL ELSE source END AS source,
+             n_chars
+      FROM read_parquet('{SF_DIR}/documents.parquet'))
+      TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
+    duckdb.sql(f"""COPY (
+      SELECT vec_id, embedding,
+             CASE WHEN vec_id % 5 = 4 THEN NULL ELSE label END AS label
+      FROM read_parquet('{SF_DIR}/embeddings.parquet'))
+      TO '{dst}/embeddings.parquet' (FORMAT PARQUET)""")
+    yield dst
+    shutil.rmtree(dst, ignore_errors=True)
+
+
+@pytest.mark.parametrize("name", NULL_SENSITIVE)
+def test_query_matches_oracle_under_nulls(spark, nulls_sf, name):
+    from tests.test_oracle_parity import _hash_frame
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{nulls_sf}/{t}.parquet')"
+        )
+    spdf = entry_mod.queries()[name](spark, nulls_sf).toPandas()
+    ddf = con.execute(entry_mod.oracle_sql()[name]).df()
+    assert sorted(spdf.columns) == sorted(ddf.columns)
+    assert len(spdf) == len(ddf), f"{name}: row count {len(spdf)} vs {len(ddf)}"
+    assert _hash_frame(spdf) == _hash_frame(ddf), f"{name}: value hash mismatch"
