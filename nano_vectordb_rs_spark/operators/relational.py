@@ -290,6 +290,9 @@ FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP (r_name, n_name)
+HAVING count(*) > 0  -- Spark grouping sets emit NOTHING on empty input
+                     -- (ANSI/DuckDB emit the 0-count grand total); a no-op
+                     -- on any non-empty input, aligns the degenerate case
 ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST
 """
 

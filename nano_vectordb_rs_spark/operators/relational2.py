@@ -439,6 +439,7 @@ SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
          AS revenue
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
+HAVING count(*) > 0  -- mirror Spark's empty-input grouping-set behavior
 ORDER BY g_flag, g_status, returnflag, linestatus
 """
 
@@ -561,6 +562,16 @@ def customer_balance_quartiles_approx(spark: SparkSession, sf_dir: str) -> DataF
             F.max("c_acctbal").alias("_max"),
         )
     )
+    # all four quartiles are structural (the oracle generates 1..4): a
+    # degenerate corpus (fewer rows than buckets) must still emit every
+    # quartile, with an empty bucket's count 0 judged by the same tolerance
+    quarters = spark.range(1, 5).select(F.col("id").cast("int").alias("quartile"))
+    per_q = quarters.join(per_q, "quartile", "left").select(
+        "quartile",
+        F.coalesce(F.col("_n"), F.lit(0)).alias("_n"),
+        "_min",
+        "_max",
+    )
     totals = customer.agg(
         F.count("*").alias("n_total"),
         F.round(_as_dbl(_dsum("c_acctbal")), 4).alias("sum_total"),
@@ -634,6 +645,7 @@ SELECT coalesce(p_type, 'ALL') AS ptype,
        round(CAST(sum(CAST(p_retailprice AS DECIMAL(28,10))) AS DOUBLE), 4) AS sum_price
 FROM part
 GROUP BY CUBE (p_type, p_brand)
+HAVING count(*) > 0  -- mirror Spark's empty-input grouping-set behavior
 ORDER BY g_type, g_brand, ptype, brand
 """
 

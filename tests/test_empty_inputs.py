@@ -121,3 +121,49 @@ def test_query_matches_oracle_under_nulls(spark, nulls_sf, name):
     assert sorted(spdf.columns) == sorted(ddf.columns)
     assert len(spdf) == len(ddf), f"{name}: row count {len(spdf)} vs {len(ddf)}"
     assert _hash_frame(spdf) == _hash_frame(ddf), f"{name}: value hash mismatch"
+
+
+# --- one-row twin: fewer rows than buckets/grouping sets ----------------------
+#
+# The third sweep ran full parity over single-row tables. Two divergences,
+# both fixed: customer_balance_quartiles_approx emitted only the occupied
+# quartile while the oracle generates all four structurally (the Spark side
+# now left-joins the literal 1..4 frame, empty buckets count 0); and Spark
+# grouping sets emit NOTHING on empty input where ANSI/DuckDB emit the
+# 0-count grand total (region_rollup's join was empty at one row per table)
+# — the rollup/cube oracles now carry `HAVING count(*) > 0`, a no-op on any
+# non-empty input.
+
+ONE_ROW_SENSITIVE = [
+    "customer_balance_quartiles_approx",
+    "region_rollup",
+    "sales_rollup",
+    "parts_cube",
+]
+
+
+@pytest.fixture(scope="module")
+def one_row_sf(tmp_path_factory):
+    dst = str(tmp_path_factory.mktemp("sf_one"))
+    for t in TABLES:
+        duckdb.sql(
+            f"COPY (SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet') LIMIT 1) "
+            f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    yield dst
+    shutil.rmtree(dst, ignore_errors=True)
+
+
+@pytest.mark.parametrize("name", ONE_ROW_SENSITIVE)
+def test_query_matches_oracle_on_one_row_tables(spark, one_row_sf, name):
+    from tests.test_oracle_parity import _hash_frame
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{one_row_sf}/{t}.parquet')"
+        )
+    spdf = entry_mod.queries()[name](spark, one_row_sf).toPandas()
+    ddf = con.execute(entry_mod.oracle_sql()[name]).df()
+    assert len(spdf) == len(ddf), f"{name}: row count {len(spdf)} vs {len(ddf)}"
+    assert _hash_frame(spdf) == _hash_frame(ddf), f"{name}: value hash mismatch"
