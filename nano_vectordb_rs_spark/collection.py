@@ -392,7 +392,18 @@ class VectorCollection:
         root = self._snapshot_root()
         os.makedirs(root, exist_ok=True)
         versions = self.snapshots()
-        v = (versions[-1] + 1) if versions else 1
+        # next version = max(manifest, v* dirs on disk) + 1: a crash between
+        # the data-dir rename and the manifest rename leaves an orphan vN dir
+        # the manifest never learned about; recomputing N from the manifest
+        # alone would collide with it (os.rename onto an existing dir fails)
+        # and wedge snapshotting until manual cleanup. Scanning the disk too
+        # makes the orphan inert — it is simply skipped over.
+        on_disk = [
+            int(d[1:])
+            for d in os.listdir(root)
+            if d.startswith("v") and d[1:].isdigit()
+        ]
+        v = max(versions + on_disk, default=0) + 1
         target = os.path.join(root, f"v{v}")
         staged = target + ".staging"
         self._df.write.mode("overwrite").parquet(staged)
@@ -467,12 +478,16 @@ class VectorCollection:
             .select(ID_COL, "change")
         )
 
-    def delete_where(self, predicate) -> None:
+    def delete_where(self, predicate: Column | str) -> None:
         """Predicate delete — the set-based generalization of O5's id-list
         delete (src/lib.rs:273-286): remove every row matching an arbitrary
-        Column expression without materializing an id list on the driver
-        (a GDPR purge or retention sweep at 100 TB cannot collect its ids).
-        Same lazy contract as delete(): nothing persists until save()."""
+        Column expression or SQL-string predicate (the same union type
+        ``query(where=...)`` accepts) without materializing an id list on
+        the driver (a GDPR purge or retention sweep at 100 TB cannot
+        collect its ids). Same lazy contract as delete(): nothing persists
+        until save()."""
+        if isinstance(predicate, str):
+            predicate = F.expr(predicate)
         self._df = self._df.filter(~F.coalesce(predicate, F.lit(False)))
 
     def delete_snapshot(self, version: int) -> None:
@@ -486,7 +501,19 @@ class VectorCollection:
         if version not in versions:
             raise ValueError(f"no snapshot v{version} at {self.path}")
         target = os.path.join(self._snapshot_root(), f"v{version}")
-        if any(target in f for f in self._df.inputFiles()):
+        # path-BOUNDARY match, not substring: "v1" is a string prefix of
+        # "v10"/"v11"/..., so a substring test spuriously refuses deleting
+        # v1 (the normal oldest-first retention pattern) once the handle
+        # reads v10+. inputFiles() returns URIs (file:/...), so compare on
+        # the path component.
+        sep = target.rstrip(os.sep) + os.sep
+        from urllib.parse import urlparse
+
+        def _backs(f: str) -> bool:
+            p = urlparse(f).path or f
+            return p == target or p.startswith(sep)
+
+        if any(_backs(f) for f in self._df.inputFiles()):
             raise ValueError(
                 f"snapshot v{version} backs this handle's current state; "
                 "save() or save_snapshot() first"

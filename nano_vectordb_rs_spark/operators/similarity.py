@@ -1221,35 +1221,41 @@ def ivf_pq_build_index(spark: SparkSession, sf_dir: str) -> str:
     path = os.path.join(tempfile.gettempdir(), "nano_vdb_ivfpq_index", key)
 
     def _write(tmp: str) -> None:
-        emb = load_table(spark, sf_dir, "embeddings")
-        # cell assignment needs the s0..s7 score columns in scope
-        scored = emb.select(
-            "vec_id",
-            "label",
-            "embedding",
-            *[
-                F.expr(cosine_expr("embedding", CENTROIDS[c])).alias(f"s{c}")
-                for c in range(N_CENTROIDS)
-            ],
-        ).withColumn("cell", F.expr(_cell_case_spark()))
-        packed = None
-        for m in range(PQ_M):
-            term = F.shiftleft(F.col(f"code{m}"), 4 * m)
-            packed = term if packed is None else packed + term
         (
-            _pq_encode(
-                scored.select("vec_id", "label", "cell", "embedding"),
-                ["label", "cell"],
-            )
-            .select(
-                "vec_id", "label", "cell", packed.cast("int").alias("pq_code")
-            )
+            _ivf_pq_index_df(spark, sf_dir)
             .write.mode("overwrite")
             .partitionBy("cell")
             .parquet(tmp)
         )
 
     return _materialize_cached(path, _write)
+
+
+def _ivf_pq_index_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (unexecuted) IVF-PQ index plan: ``ivf_pq_build_index`` writes it;
+    ``ann_ivf_pq_topk`` derives its read schema from it — one definition, so
+    a builder select / fixture type change can't silently drift the probe's
+    explicit read schema out of sync (same pattern as
+    ``dedup.minhash_index_probe`` deriving from ``_band_index_df``)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # cell assignment needs the s0..s7 score columns in scope
+    scored = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        *[
+            F.expr(cosine_expr("embedding", CENTROIDS[c])).alias(f"s{c}")
+            for c in range(N_CENTROIDS)
+        ],
+    ).withColumn("cell", F.expr(_cell_case_spark()))
+    packed = None
+    for m in range(PQ_M):
+        term = F.shiftleft(F.col(f"code{m}"), 4 * m)
+        packed = term if packed is None else packed + term
+    return _pq_encode(
+        scored.select("vec_id", "label", "cell", "embedding"),
+        ["label", "cell"],
+    ).select("vec_id", "label", "cell", packed.cast("int").alias("pq_code"))
 
 
 def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1272,10 +1278,20 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = ivf_pq_build_index(spark, sf_dir)
     lut = _pq_lut_fp(QUERY_VECTOR)
     # explicit schema: a zero-row partitionBy write leaves only _SUCCESS (no
-    # data files to infer from), so an EMPTY corpus must not crash the probe
-    codes = spark.read.schema(
-        "vec_id bigint, label int, pq_code int, cell int"
-    ).parquet(path).filter(F.col("cell").isin(_probe_cells()))
+    # data files to infer from), so an EMPTY corpus must not crash the probe.
+    # Derived from the builder plan (free — no execution); partitionBy moves
+    # the partition column to the END of the read-back schema.
+    plan = _ivf_pq_index_df(spark, sf_dir).schema
+    from pyspark.sql.types import StructType
+
+    read_schema = StructType(
+        [f for f in plan.fields if f.name != "cell"] + [plan["cell"]]
+    )
+    codes = (
+        spark.read.schema(read_schema)
+        .parquet(path)
+        .filter(F.col("cell").isin(_probe_cells()))
+    )
     score_fp = None
     for m in range(PQ_M):
         code_m = F.expr(f"CAST(shiftright(pq_code, {4 * m}) & 15 AS INT)")

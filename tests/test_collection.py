@@ -425,3 +425,55 @@ def test_upsert_metadata_schema_evolution(spark, coll):
     re = VectorCollection.open(spark, DIM, coll.path)
     got = {r["__id__"]: r["note"] for r in re.df.collect()}
     assert got == {"a": None, "b": "extra-1"}
+
+
+def test_delete_snapshot_v1_not_shadowed_by_v10_prefix(spark, coll):
+    # regression (r08): the backing-files guard used a SUBSTRING match, and
+    # ".snapshots/v1" is a string prefix of ".snapshots/v10", so once the
+    # handle read v10's files, deleting v1 (oldest-first retention) was
+    # spuriously refused. The guard must match on a path BOUNDARY.
+    import os
+
+    coll.upsert(make_batch(spark, [("a", [1, 0, 0, 0], "x")]))
+    for _ in range(10):
+        coll.save_snapshot()
+    assert coll.snapshots() == list(range(1, 11))
+    # handle now reads v10; v1 must be reclaimable, v10 refused
+    coll.delete_snapshot(1)
+    assert coll.snapshots() == list(range(2, 11))
+    with pytest.raises(ValueError, match="backs this handle"):
+        coll.delete_snapshot(10)
+    assert not os.path.isdir(os.path.join(coll.path + ".snapshots", "v1"))
+    assert os.path.isdir(os.path.join(coll.path + ".snapshots", "v10"))
+
+
+def test_save_snapshot_skips_orphan_version_dir(spark, coll):
+    # regression (r08): a crash between the data-dir rename and the manifest
+    # rename leaves an orphan vN dir the manifest never learned about; the
+    # next save_snapshot must not recompute the same N and fail the rename.
+    import os
+
+    coll.upsert(make_batch(spark, [("a", [1, 0, 0, 0], "x")]))
+    v1 = coll.save_snapshot()
+    assert v1 == 1
+    os.makedirs(os.path.join(coll.path + ".snapshots", "v2"))  # crash remnant
+    v = coll.save_snapshot()
+    assert v == 3  # skips the orphan instead of colliding with it
+    assert coll.snapshots() == [1, 3]
+    s3 = VectorCollection.open_snapshot(spark, DIM, coll.path, 3)
+    assert s3.count() == 1
+
+
+def test_delete_where_accepts_sql_string(spark, coll):
+    # regression (r08): delete_where only took a Column; a string predicate
+    # was passed to coalesce as a column NAME and failed to resolve. It now
+    # accepts the same Column | str union as query(where=...).
+    coll.upsert(
+        make_batch(
+            spark,
+            [("a", [1, 0, 0, 0], "keep"), ("b", [0, 1, 0, 0], "purge"),
+             ("c", [0, 0, 1, 0], None)],
+        )
+    )
+    coll.delete_where("tag = 'purge'")
+    assert sorted(r["__id__"] for r in coll.df.collect()) == ["a", "c"]
