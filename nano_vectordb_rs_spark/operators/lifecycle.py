@@ -273,6 +273,11 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         col = VectorCollection.open(spark, EMBEDDING_DIM, store)
         col.upsert(base)
         v1 = col.save_snapshot()
+        # driver-side id list ON PURPOSE: this gate exercises the reference-
+        # parity delete(ids) API (src/lib.rs:273-286), whose contract IS an
+        # explicit id list. The at-scale variant is delete_where(predicate)
+        # (collection.py), which snapshot_diff_report drives with the same
+        # %7==0 slice without ever collecting ids.
         doomed = [r[0] for r in base.select(ID_COL).filter(idn % 7 == 0).collect()]
         col.delete(doomed)
         # one upsert batch carrying BOTH arms (disjoint ids): updates that
@@ -341,4 +346,174 @@ SELECT version, count(*) AS n_rows, count(DISTINCT idn) AS n_ids,
 FROM both_v
 GROUP BY version
 ORDER BY version
+"""
+
+
+def compact_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compaction EXECUTION path through the gate (``compaction_plan``
+    only PLANS the bin-packing; this runs it): fragment a store into 16
+    deliberately tiny files (the accretion pattern the foreachBatch ingest
+    path produces, one file set per micro-batch) → ``compact()`` → reopen →
+    report file counts before/after PLUS the full content stats over the
+    reopened store.
+
+    The file counts pin that compaction actually rewrote the layout
+    (16 → 1 at gate scale); the fixed-point content checksum pins that the
+    rewrite lost or altered NOTHING — the silent failure mode of any
+    rewrite-in-place maintenance job. ``additional_ok`` asserts the JSON
+    sidecar survives the compaction save. At 100 TB ``compact`` is the
+    Delta-OPTIMIZE-shaped job whose round-robin ``repartition(ceil(n /
+    target))`` spreads rows evenly with no skewed shuffle key; here it is
+    the same code path at gate scale."""
+    import os
+
+    tmp = tempfile.mkdtemp(prefix="nvdb_compact_rt_")
+    store = f"{tmp}/col"
+    try:
+        # fragment: save the fixture as 16 round-robin shards (all non-empty
+        # at every gate scale — the fixture holds 500 rows)
+        col = VectorCollection(
+            spark,
+            EMBEDDING_DIM,
+            _collection_frame(spark, sf_dir).repartition(16),
+            store,
+        )
+        col.store_additional_data(_ADDITIONAL)
+        col.save()
+
+        def _n_files() -> int:
+            return sum(
+                1 for n in os.listdir(store) if n.endswith(".parquet")
+            )
+
+        files_before = _n_files()
+        n_rows = col.count()
+        col.compact(target_rows_per_file=max(1, n_rows))
+        files_after = _n_files()
+        reopened = VectorCollection.open(spark, EMBEDDING_DIM, store)
+        ok = reopened.additional_data() == _ADDITIONAL
+        out = _stats(reopened.df, ok).select(
+            F.lit(files_before).alias("files_before"),
+            F.lit(files_after).alias("files_after"),
+            "*",
+        )
+        rows, schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+COMPACT_ROUNDTRIP_SQL = f"""
+SELECT 16 AS files_before, 1 AS files_after,
+       count(*) AS n_rows,
+       count(DISTINCT vec_id) AS n_ids,
+       CAST(sum(len(embedding)) AS BIGINT) AS vector_elems,
+       CAST(sum(CAST(row_sum AS DECIMAL(38,0))) AS BIGINT) AS content_sum,
+       CAST(sum(CAST(vec_id AS DECIMAL(38,0))) AS BIGINT) AS id_sum,
+       TRUE AS additional_ok
+FROM (
+  SELECT vec_id, embedding,
+         list_sum(list_transform(embedding,
+           x -> CAST(trunc(CAST(x AS DOUBLE) * {_CONTENT_SCALE:.0f}) AS BIGINT)
+         )) AS row_sum
+  FROM embeddings
+)
+"""
+
+
+def snapshot_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``diff_snapshots`` + snapshot RETENTION through the gate: rebuild the
+    ``snapshot_time_travel`` scenario (v1 = fixture; v2 = delete ids ≡ 0
+    mod 7, relabel the ≡ 3 mod 7 slice, insert a +1M-shifted copy of the
+    ≡ 1 mod 10 slice), then report ``diff_snapshots(v1, v2)`` grouped by
+    change type — per-type row count and exact id sum.
+
+    The oracle recomputes the same delta in SQL: added = the shifted
+    inserts, removed = the deleted slice, changed = the relabeled slice
+    (vector bytes identical — both versions' vectors went through the same
+    ingest normalization, so only the label differs). A diff that compared
+    anything loosely (dropped the vector from the struct, non-null-safe
+    metadata equality) would mis-bucket rows and hash-mismatch.
+
+    ``retention_ok`` additionally exercises the delete_snapshot path
+    end-to-end: v1 (whose files the handle no longer reads — the r08
+    path-boundary fix) deletes cleanly, after which reopening it must fail
+    while v2 stays intact. The diff itself is one full-outer join of two
+    parquet scans on the id — the unavoidable shuffle of a change feed; at
+    scale both snapshot writes bucket by id so the join co-partitions."""
+    idn = F.col(ID_COL).cast("bigint")
+    base = _collection_frame(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="nvdb_snap_diff_")
+    store = f"{tmp}/col"
+    try:
+        col = VectorCollection.open(spark, EMBEDDING_DIM, store)
+        col.upsert(base)
+        v1 = col.save_snapshot()
+        # scale-safe predicate delete (delete_where, the set-based O5
+        # sibling) — unlike snapshot_time_travel, which intentionally
+        # drives the reference-parity id-LIST delete API
+        col.delete_where(idn % 7 == 0)
+        delta = base.filter(idn % 7 == 3).withColumn(
+            "label", F.lit("edited")
+        ).unionByName(
+            base.filter(idn % 10 == 1).select(
+                (idn + 1_000_000).cast("string").alias(ID_COL),
+                F.col(VECTOR_COL),
+                F.lit("new").alias("label"),
+            )
+        )
+        col.upsert(delta)
+        v2 = col.save_snapshot()
+        diff = (
+            col.diff_snapshots(v1, v2)
+            .select(F.col(ID_COL).cast("bigint").alias("idn"), "change")
+            .groupBy("change")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("idn").cast("decimal(38,0)"))
+                .cast("bigint")
+                .alias("id_sum"),
+            )
+        )
+        diff_rows = diff.collect()
+        # retention: the handle reads v2's files, so v1 must delete cleanly
+        # (path-boundary match) and stay gone, while v2 survives
+        col.delete_snapshot(v1)
+        try:
+            VectorCollection.open_snapshot(spark, EMBEDDING_DIM, store, v1)
+            retention_ok = False
+        except ValueError:
+            retention_ok = (
+                col.snapshots() == [v2]
+                and VectorCollection.open_snapshot(
+                    spark, EMBEDDING_DIM, store, v2
+                ).count()
+                > 0
+            )
+        out = (
+            spark.createDataFrame(diff_rows, diff.schema)
+            .withColumn("retention_ok", F.lit(retention_ok))
+            .orderBy("change")
+        )
+        rows, schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH delta AS (
+  SELECT 'removed' AS change, vec_id AS idn FROM embeddings
+  WHERE vec_id % 7 = 0
+  UNION ALL
+  SELECT 'changed' AS change, vec_id AS idn FROM embeddings
+  WHERE vec_id % 7 = 3
+  UNION ALL
+  SELECT 'added' AS change, vec_id + 1000000 AS idn FROM embeddings
+  WHERE vec_id % 10 = 1)
+SELECT change, count(*) AS n, CAST(sum(idn) AS BIGINT) AS id_sum,
+       TRUE AS retention_ok
+FROM delta
+GROUP BY change
+ORDER BY change
 """

@@ -81,6 +81,10 @@ PROBES = [
     # (three chained dedup stages over checkpointed shingles)
     ("minhash_index_probe", dedup.minhash_index_probe, ("documents",)),
     ("dedup_funnel_report", dedup.dedup_funnel_report, ("documents",)),
+    # r08 addition: the two-scan ANALYZE profile (exact multi-distinct via
+    # one hash-aggregated Expand) — the probe measures that the Expand's
+    # cost stays linear in rows, the premise of the documented HLL swap
+    ("table_profile", pipeline.table_profile, ("lineitem",)),
 ]
 
 ALL_TABLES = [
@@ -155,6 +159,23 @@ def materialize(spark: SparkSession, mult: int) -> str:
                         ),
                     )
                 parts.append(part)
+            union = parts[0]
+            for p in parts[1:]:
+                union = union.unionByName(p)
+            union.write.mode("overwrite").parquet(os.path.join(out, f"{table}.parquet"))
+        elif mult > 1 and table == "lineitem":
+            # r08: table_profile probes lineitem — scale it by plain key-offset
+            # union (no content perturbation needed: the profile has no
+            # similarity semantics, the cost driver is row count alone)
+            parts = [
+                df.withColumn(
+                    "l_orderkey",
+                    (F.col("l_orderkey") + F.lit(k) * F.lit(100_000_000)).cast(
+                        df.schema["l_orderkey"].dataType.simpleString()
+                    ),
+                )
+                for k in range(mult)
+            ]
             union = parts[0]
             for p in parts[1:]:
                 union = union.unionByName(p)

@@ -309,3 +309,82 @@ def test_streaming_sessionize_custom_multibatch_final_state(spark, tmp_path):
     assert {u: v[2] for u, v in got.items()} == {
         u: v[2] for u, v in one_shot.items()
     }
+
+
+def test_stream_upsert_crash_recovery_equals_single_drain(spark, tmp_path):
+    """Crash-recovery evidence for the idempotent-replay claim
+    (collection_stream.py module docstring): a drain interrupted between
+    waves and RESUMED on the same checkpoint by a fresh handle (what a
+    restarted driver does) must converge to exactly the state of one
+    uninterrupted drain — and a full re-delivery after checkpoint LOSS
+    (worst-case at-least-once) must leave the state unchanged, because
+    upsert is idempotent per id."""
+    from nano_vectordb_rs_spark.collection import VectorCollection
+    from nano_vectordb_rs_spark.streaming.collection_stream import stream_upsert
+
+    schema = "`__id__` string, vector array<float>, tag string"
+    waves = [
+        [("a", [1.0, 0.0, 0.0, 0.0], "w1"), ("b", [0.0, 1.0, 0.0, 0.0], "w1")],
+        [("c", [0.0, 0.0, 1.0, 0.0], "w2")],
+        [("d", [0.0, 0.0, 0.0, 1.0], "w3"), ("e", [1.0, 1.0, 0.0, 0.0], "w3")],
+    ]
+
+    def mk_reader(src):
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .format("parquet")
+            .load(str(src))
+        )
+
+    def state(path):
+        final = VectorCollection.open(spark, 4, str(path))
+        return sorted(
+            (r["__id__"], tuple(r["vector"]), r["tag"]) for r in final.df.collect()
+        )
+
+    # --- restarted path: wave 1, "crash", fresh handle resumes waves 2-3 ---
+    src_a = tmp_path / "src_a"
+    src_a.mkdir()
+    ckpt_a = str(tmp_path / "ckpt_a")
+    col_a = str(tmp_path / "col_a")
+    spark.createDataFrame(waves[0], schema).coalesce(1).write.parquet(
+        str(src_a / "w1")
+    )
+    stream_upsert(VectorCollection.open(spark, 4, col_a), mk_reader(src_a), ckpt_a)
+    # the first run terminated (availableNow) — simulate the crash by
+    # abandoning the handle; waves 2-3 land while the process is "down"
+    for i in (1, 2):
+        spark.createDataFrame(waves[i], schema).coalesce(1).write.parquet(
+            str(src_a / f"w{i + 1}")
+        )
+    # restart: a FRESH handle opened from disk resumes on the SAME checkpoint
+    stream_upsert(VectorCollection.open(spark, 4, col_a), mk_reader(src_a), ckpt_a)
+
+    # --- reference path: all three waves drained in one uninterrupted run ---
+    src_b = tmp_path / "src_b"
+    src_b.mkdir()
+    for i in range(3):
+        spark.createDataFrame(waves[i], schema).coalesce(1).write.parquet(
+            str(src_b / f"w{i + 1}")
+        )
+    col_b = str(tmp_path / "col_b")
+    stream_upsert(
+        VectorCollection.open(spark, 4, col_b),
+        mk_reader(src_b),
+        str(tmp_path / "ckpt_b"),
+    )
+
+    resumed = state(col_a)
+    assert resumed == state(col_b)
+    assert [r[0] for r in resumed] == ["a", "b", "c", "d", "e"]
+
+    # --- checkpoint LOSS: every file re-delivered to the already-complete
+    # store; idempotent per-id upsert must leave the state bit-identical ---
+    stream_upsert(
+        VectorCollection.open(spark, 4, col_a),
+        mk_reader(src_a),
+        str(tmp_path / "ckpt_a2"),
+    )
+    assert state(col_a) == resumed
