@@ -1231,6 +1231,32 @@ def ivf_pq_build_index(spark: SparkSession, sf_dir: str) -> str:
     return _materialize_cached(path, _write)
 
 
+_IVF_PQ_SCHEMA_CACHE: dict = {}
+
+
+def _ivf_pq_read_schema(spark: SparkSession, sf_dir: str):
+    """Probe read schema, derived from the builder plan so the two can't
+    drift (a zero-row partitionBy write leaves only _SUCCESS — no data
+    files to infer from — so the probe needs it explicit). ``partitionBy``
+    moves the partition column to the END of the read-back schema.
+
+    Memoized per corpus: analyzing the builder plan means resolving the
+    8×16 HOF encode folds, ~4 s of driver-side Catalyst work — fine once,
+    not per probe call (the r08 derived-schema change initially paid it
+    every call and the scale probe caught the 0.4 → 4.7 s regression)."""
+    import os as _os
+
+    key = _os.path.abspath(_os.path.join(sf_dir, "embeddings.parquet"))
+    if key not in _IVF_PQ_SCHEMA_CACHE:
+        from pyspark.sql.types import StructType
+
+        plan = _ivf_pq_index_df(spark, sf_dir).schema
+        _IVF_PQ_SCHEMA_CACHE[key] = StructType(
+            [f for f in plan.fields if f.name != "cell"] + [plan["cell"]]
+        )
+    return _IVF_PQ_SCHEMA_CACHE[key]
+
+
 def _ivf_pq_index_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The (unexecuted) IVF-PQ index plan: ``ivf_pq_build_index`` writes it;
     ``ann_ivf_pq_topk`` derives its read schema from it — one definition, so
@@ -1277,18 +1303,8 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANN_PQ_SQL); the ADC ranking compares exact fixed-point integers."""
     path = ivf_pq_build_index(spark, sf_dir)
     lut = _pq_lut_fp(QUERY_VECTOR)
-    # explicit schema: a zero-row partitionBy write leaves only _SUCCESS (no
-    # data files to infer from), so an EMPTY corpus must not crash the probe.
-    # Derived from the builder plan (free — no execution); partitionBy moves
-    # the partition column to the END of the read-back schema.
-    plan = _ivf_pq_index_df(spark, sf_dir).schema
-    from pyspark.sql.types import StructType
-
-    read_schema = StructType(
-        [f for f in plan.fields if f.name != "cell"] + [plan["cell"]]
-    )
     codes = (
-        spark.read.schema(read_schema)
+        spark.read.schema(_ivf_pq_read_schema(spark, sf_dir))
         .parquet(path)
         .filter(F.col("cell").isin(_probe_cells()))
     )
