@@ -527,6 +527,31 @@ class VectorCollection:
 
         shutil.rmtree(target, ignore_errors=True)
 
+    def expire_snapshots(self, keep_last: int) -> list[int]:
+        """Retention sweep — drop every snapshot except the newest
+        ``keep_last`` (the Iceberg ``expireSnapshots`` / Delta ``VACUUM``
+        shape): oldest-first so a crash mid-sweep leaves a contiguous
+        recent tail, never a gap. A version the handle currently reads
+        (possible when keep_last is 0 and the handle sits on the newest
+        snapshot's files) is skipped rather than refused — a sweep is
+        best-effort by contract. Returns the versions actually dropped.
+
+        At 100 TB this is the storage-cost control for the full-copy
+        snapshot write path: retention × corpus size is the bill, and the
+        manifest-pointer variant (module comment above) drops only
+        unreferenced files instead."""
+        if keep_last < 0:
+            raise ValueError("keep_last must be >= 0")
+        doomed = self.snapshots()[: -keep_last or None]
+        dropped: list[int] = []
+        for v in doomed:
+            try:
+                self.delete_snapshot(v)
+            except ValueError:
+                continue  # backs this handle's current state — skip
+            dropped.append(v)
+        return dropped
+
     @classmethod
     def open_snapshot(
         cls, spark: SparkSession, embedding_dim: int, path: str, version: int

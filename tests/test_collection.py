@@ -477,3 +477,21 @@ def test_delete_where_accepts_sql_string(spark, coll):
     )
     coll.delete_where("tag = 'purge'")
     assert sorted(r["__id__"] for r in coll.df.collect()) == ["a", "c"]
+
+
+def test_expire_snapshots_keeps_newest_tail(spark, coll):
+    coll.upsert(make_batch(spark, [("a", [1, 0, 0, 0], "x")]))
+    for _ in range(5):
+        coll.save_snapshot()
+    assert coll.snapshots() == [1, 2, 3, 4, 5]
+    dropped = coll.expire_snapshots(keep_last=2)
+    assert dropped == [1, 2, 3]
+    assert coll.snapshots() == [4, 5]
+    # keep_last=0 sweeps everything EXCEPT the version backing the handle
+    # (the handle reads v5's files after the last save_snapshot) — a sweep
+    # is best-effort, never an error
+    dropped = coll.expire_snapshots(keep_last=0)
+    assert dropped == [4]
+    assert coll.snapshots() == [5]
+    with pytest.raises(ValueError, match="keep_last"):
+        coll.expire_snapshots(keep_last=-1)
