@@ -41,7 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Declared query surface, 145 entries — every entry has a DuckDB value
+    """Declared query surface, 146 entries — every entry has a DuckDB value
     oracle in ``oracle_sql()`` (zero rows-only checks since round 5).
 
     GATE-ROTATION POLICY: the driver's correctness gate checks the FIRST 50
@@ -147,6 +147,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_value_quantiles": advanced.order_value_quantiles,
         # ---------------- entry 51+ (full local coverage every round
         # via test_oracle_parity) — all green r07 or multiply green ----
+        # NEW r08 at 51+: expire_snapshots driven through an oracle-checked
+        # query (retention sweep keep_last=2 over five recomputable-subset
+        # versions; dropped_ok + live_ok pin the two retention failure modes)
+        "snapshot_retention_report": lifecycle.snapshot_retention_report,
         "ann_recall": similarity.ann_recall,
         "crossmodal_dup_check": similarity.crossmodal_dup_check,
         "label_centroids_mergeable": similarity.label_centroids_mergeable,
@@ -403,4 +407,5 @@ def oracle_sql() -> dict[str, str]:
         # --- r08 additions ---
         "compact_roundtrip_stats": lifecycle.COMPACT_ROUNDTRIP_SQL,
         "snapshot_diff_report": lifecycle.SNAPSHOT_DIFF_SQL,
+        "snapshot_retention_report": lifecycle.SNAPSHOT_RETENTION_SQL,
     }

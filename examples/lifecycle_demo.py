@@ -13,7 +13,9 @@ long-lived 100 TB store needs on top of it, end to end on one collection:
      driver-side id list),
   5. retention (``delete_snapshot`` — refuses the version backing the
      live handle),
-  6. small-file compaction (``compact``).
+  6. small-file compaction (``compact``),
+  7. the retention sweep (``expire_snapshots(keep_last=N)`` — the
+     Iceberg-expire/VACUUM shape, oldest-first).
 
 Run:  python examples/lifecycle_demo.py
 """
@@ -83,6 +85,14 @@ def main(spark=None, path: str | None = None) -> dict:
     # 6. compaction: rewrite the accreted micro-batch files into one
     n_files = db.compact(target_rows_per_file=1_000_000)
     print(f"compacted to {n_files} file(s); rows = {len(db)}")
+
+    # 7. retention SWEEP: take a few more snapshots, keep only the newest
+    # two (the Iceberg expireSnapshots / VACUUM shape — oldest-first, so a
+    # crash mid-sweep leaves a contiguous recent tail)
+    for _ in range(3):
+        db.save_snapshot()
+    dropped = db.expire_snapshots(keep_last=2)
+    print(f"expired {dropped}; versions = {db.snapshots()}")
     return changes
 
 

@@ -526,3 +526,80 @@ FROM delta
 GROUP BY change
 ORDER BY change
 """
+
+
+def snapshot_retention_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``expire_snapshots`` through an oracle-checked query: take five
+    snapshots of a growing store (v_k holds the ids ≡ 0 mod k for
+    k = 1..5 — each version a different, recomputable subset), run the
+    oldest-first retention sweep with ``keep_last=2``, and report one row
+    per version that SHOULD remain (v4, v5) with its reopened row count
+    and id sum, plus the sweep's outcome as pinned booleans.
+
+    The oracle recomputes v4/v5's membership arithmetic straight from the
+    fixture; ``dropped_ok`` pins that exactly v1-v3 were reclaimed (their
+    dirs gone, manifest shrunk) and ``live_ok`` that the live store still
+    answers with v5's content after the sweep — the two silent failure
+    modes of a retention job (eating too much, or corrupting what stays).
+
+    Scale note: the sweep is O(versions) driver-side manifest work plus
+    one rmtree per dropped version; nothing scans data. With the
+    manifest-pointer snapshot variant (module comment above) the rmtree
+    becomes an unreferenced-file GC — same control flow."""
+    idn = F.col(ID_COL).cast("bigint")
+    base = _collection_frame(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="nvdb_snap_ret_")
+    store = f"{tmp}/col"
+    try:
+        col = VectorCollection.open(spark, EMBEDDING_DIM, store)
+        for k in range(1, 6):
+            col.upsert(base)          # reset to the full fixture...
+            col.delete_where(idn % k != 0)  # ...then keep ids ≡ 0 mod k
+            col.save_snapshot()
+        dropped = col.expire_snapshots(keep_last=2)
+        import os
+
+        dirs_gone = all(
+            not os.path.isdir(os.path.join(store + ".snapshots", f"v{v}"))
+            for v in (1, 2, 3)
+        )
+        dropped_ok = dropped == [1, 2, 3] and col.snapshots() == [4, 5] and dirs_gone
+        live_ok = col.count() == VectorCollection.open_snapshot(
+            spark, EMBEDDING_DIM, store, 5
+        ).count()
+        frames = []
+        for v in (4, 5):
+            snap = VectorCollection.open_snapshot(spark, EMBEDDING_DIM, store, v)
+            frames.append(
+                snap.df.select(
+                    F.lit(v).alias("version"),
+                    F.col(ID_COL).cast("bigint").alias("idn"),
+                )
+            )
+        out = (
+            frames[0].unionByName(frames[1])
+            .groupBy("version")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(F.col("idn").cast("decimal(38,0)")).cast("bigint").alias("id_sum"),
+            )
+            .withColumn("dropped_ok", F.lit(dropped_ok))
+            .withColumn("live_ok", F.lit(live_ok))
+            .orderBy("version")
+        )
+        rows, schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+SNAPSHOT_RETENTION_SQL = """
+SELECT version, count(*) AS n_rows, CAST(sum(vec_id) AS BIGINT) AS id_sum,
+       TRUE AS dropped_ok, TRUE AS live_ok
+FROM (
+  SELECT 4 AS version, vec_id FROM embeddings WHERE vec_id % 4 = 0
+  UNION ALL
+  SELECT 5 AS version, vec_id FROM embeddings WHERE vec_id % 5 = 0)
+GROUP BY version
+ORDER BY version
+"""
