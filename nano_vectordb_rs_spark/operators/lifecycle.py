@@ -530,11 +530,11 @@ ORDER BY change
 
 def snapshot_retention_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``expire_snapshots`` through an oracle-checked query: take five
-    snapshots of a growing store (v_k holds the ids ≡ 0 mod k for
-    k = 1..5 — each version a different, recomputable subset), run the
-    oldest-first retention sweep with ``keep_last=2``, and report one row
-    per version that SHOULD remain (v4, v5) with its reopened row count
-    and id sum, plus the sweep's outcome as pinned booleans.
+    snapshots (v_k holds the ids ≡ 0 mod k for k = 1..5 — each version a
+    different, recomputable subset), run the oldest-first retention sweep
+    with ``keep_last=2``, and report one row per version that SHOULD
+    remain (v4, v5) with its reopened row count and id sum, plus the
+    sweep's outcome as pinned booleans.
 
     The oracle recomputes v4/v5's membership arithmetic straight from the
     fixture; ``dropped_ok`` pins that exactly v1-v3 were reclaimed (their
@@ -551,10 +551,16 @@ def snapshot_retention_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="nvdb_snap_ret_")
     store = f"{tmp}/col"
     try:
-        col = VectorCollection.open(spark, EMBEDDING_DIM, store)
+        # build each version's state via the public constructor (the
+        # save_roundtrip_stats pattern) rather than 5 upsert-merge cycles:
+        # the merge path is gated many times over elsewhere, and THIS
+        # query's subject is the sweep — a fresh handle per version also
+        # proves version numbering continues from the on-disk manifest,
+        # not handle state
         for k in range(1, 6):
-            col.upsert(base)          # reset to the full fixture...
-            col.delete_where(idn % k != 0)  # ...then keep ids ≡ 0 mod k
+            col = VectorCollection(
+                spark, EMBEDDING_DIM, base.filter(idn % k == 0), store
+            )
             col.save_snapshot()
         dropped = col.expire_snapshots(keep_last=2)
         import os
