@@ -181,3 +181,79 @@ def test_snapshots_replay_model_state(spark_session, ops):
                 assert np.allclose(got[i][0], wv, atol=1e-6), f"v{v}/{i}: vector"
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.just(("save",)),
+            st.tuples(st.just("delete"), st.integers(min_value=0, max_value=9)),
+            st.tuples(st.just("expire"), st.integers(min_value=0, max_value=4)),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_snapshot_lifecycle_matches_model(spark_session, tmp_path_factory, ops):
+    """Model-based snapshot lifecycle: ARBITRARY interleavings of
+    save_snapshot / delete_snapshot / expire_snapshots must keep the
+    manifest, the on-disk v* dirs, and open_snapshot reachability in
+    lockstep with a trivial Python model. Pins the r08 retention fixes
+    (path-boundary backing guard, orphan-aware version numbering) under
+    sequences no hand-written test enumerates."""
+    import json as _json
+    import os as _os
+
+    spark = spark_session
+    path = str(tmp_path_factory.mktemp("prop_snap") / "col")
+    c = VectorCollection.open(spark, DIM, path)
+    c.upsert(
+        spark.createDataFrame(
+            [("a", [1.0, 0.0, 0.0, 0.0])], "`__id__` string, vector array<float>"
+        )
+    )
+    model: list[int] = []  # live versions; backing handle = max (last saved)
+
+    for op in ops:
+        if op[0] == "save":
+            v = c.save_snapshot()
+            assert v == (max(model) + 1 if model else 1)
+            model.append(v)
+        elif op[0] == "delete":
+            v = op[1]
+            if v in model and v != max(model):
+                c.delete_snapshot(v)
+                model.remove(v)
+            else:
+                with pytest.raises(ValueError):
+                    c.delete_snapshot(v)
+        else:  # expire
+            keep = op[1]
+            dropped = c.expire_snapshots(keep_last=keep)
+            doomed = model[: len(model) - keep] if keep else list(model)
+            # the version backing the handle (the newest) is skipped,
+            # never an error
+            expect = [v for v in doomed if not model or v != max(model)]
+            assert dropped == expect
+            model = [v for v in model if v not in expect]
+
+        # invariants after EVERY op: manifest == model == on-disk dirs,
+        # and exactly the live versions reopen
+        assert c.snapshots() == sorted(model)
+        root = path + ".snapshots"
+        on_disk = sorted(
+            int(d[1:])
+            for d in (_os.listdir(root) if _os.path.isdir(root) else [])
+            if d.startswith("v") and d[1:].isdigit()
+        )
+        assert on_disk == sorted(model)
+        if _os.path.isdir(root):
+            with open(_os.path.join(root, "manifest.json")) as f:
+                assert sorted(_json.load(f)["versions"]) == sorted(model)
+        for v in model:
+            assert VectorCollection.open_snapshot(spark, DIM, path, v).count() == 1
+        gone = set(range(1, 10)) - set(model)
+        for v in list(gone)[:2]:
+            with pytest.raises(ValueError):
+                VectorCollection.open_snapshot(spark, DIM, path, v)
