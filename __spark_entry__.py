@@ -41,7 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Declared query surface, 146 entries — every entry has a DuckDB value
+    """Declared query surface, 147 entries — every entry has a DuckDB value
     oracle in ``oracle_sql()`` (zero rows-only checks since round 5).
 
     GATE-ROTATION POLICY: the driver's correctness gate checks the FIRST 50
@@ -151,6 +151,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # query (retention sweep keep_last=2 over five recomputable-subset
         # versions; dropped_ok + live_ok pin the two retention failure modes)
         "snapshot_retention_report": lifecycle.snapshot_retention_report,
+        # NEW r08 at 51+: the WRITE-BACK half of incremental dedup — merge
+        # the batch band rows into the materialized corpus index, publish,
+        # reopen; merge_equals_rebuild pins union-of-parts == full rebuild
+        "minhash_index_merge_stats": dedup.minhash_index_merge_stats,
         "ann_recall": similarity.ann_recall,
         "crossmodal_dup_check": similarity.crossmodal_dup_check,
         "label_centroids_mergeable": similarity.label_centroids_mergeable,
@@ -408,4 +412,5 @@ def oracle_sql() -> dict[str, str]:
         "compact_roundtrip_stats": lifecycle.COMPACT_ROUNDTRIP_SQL,
         "snapshot_diff_report": lifecycle.SNAPSHOT_DIFF_SQL,
         "snapshot_retention_report": lifecycle.SNAPSHOT_RETENTION_SQL,
+        "minhash_index_merge_stats": dedup.MINHASH_INDEX_MERGE_SQL,
     }

@@ -1570,3 +1570,89 @@ WHERE rn = 1
 ORDER BY new_id
 LIMIT {PROBE_TOP}
 """
+
+
+def minhash_index_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE-BACK half of the incremental-dedup story
+    (``minhash_index_probe`` is the read half): merge the incoming batch's
+    freshly-computed band rows INTO the materialized corpus index — read
+    the index parquet, union the batch rows, publish the next index
+    version (partitioned by band, like the build) — then reopen the merged
+    index from disk and report its stats.
+
+    The invariant that makes this oracle-checkable: merging the batch into
+    the 90%-corpus index must yield EXACTLY the index a full rebuild over
+    100% of the docs would produce (the signature pipeline is per-doc, so
+    union-of-parts ≡ whole). The DuckDB oracle IS that rebuild — it
+    recomputes the full-corpus band table independently from the documents
+    fixture — so the hash match itself pins merge ≡ rebuild. A merge that
+    dropped rows, double-counted a side, or corrupted keys on the
+    read-modify-write cycle diverges on the md5-fold checksum. (No
+    in-query rebuild twin: it would re-shingle the corpus — the exact
+    work this op exists to avoid — and the oracle already provides the
+    independent rebuild.)
+
+    At 100 TB this is the nightly index maintenance job: the corpus is
+    NEVER re-shingled (its contribution is a parquet scan of 4 band
+    rows/doc); only the new batch pays signature cost, and the published
+    result is the next day's probe target. With a partitioned-table
+    catalog the union+rewrite becomes an append of the batch's band
+    partitions — same plan, cheaper publish."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    idx_schema = _band_index_df(spark, sf_dir, corpus=True).schema
+    idx_path = minhash_index_build(spark, sf_dir)
+    corpus_idx = spark.read.schema(idx_schema).parquet(idx_path).select(
+        "doc_id", "n_shingles", "band", "key"
+    )
+    batch = _band_index_df(spark, sf_dir, corpus=False)
+
+    def _stats_of(df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.countDistinct(
+                F.concat_ws("|", F.col("band").cast("string"), "key")
+            ).alias("n_buckets"),
+            F.sum(F.col("n_shingles").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("shingle_sum"),
+            F.sum(
+                F.conv(F.substring("key", 1, 8), 16, 10)
+                .cast("decimal(38,0)")
+            )
+            .cast("bigint")
+            .alias("key_checksum"),
+            F.sum(F.col("band").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("band_sum"),
+        )
+
+    tmp = _tempfile.mkdtemp(prefix="nvdb_mh_merge_")
+    try:
+        merged_path = f"{tmp}/index_v2"
+        corpus_idx.unionByName(batch).write.mode("overwrite").partitionBy(
+            "band"
+        ).parquet(merged_path)
+        reopened = spark.read.schema(idx_schema).parquet(merged_path).select(
+            "doc_id", "n_shingles", "band", "key"
+        )
+        out = _stats_of(reopened)
+        rows, schema = out.collect(), out.schema
+    finally:
+        _shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+MINHASH_INDEX_MERGE_SQL = f"""
+WITH {_probe_side_ctes("all", "TRUE").lstrip()}
+SELECT count(*) AS n_rows,
+       count(DISTINCT doc_id) AS n_docs,
+       count(DISTINCT CAST(band AS VARCHAR) || '|' || key) AS n_buckets,
+       CAST(sum(n_shingles) AS BIGINT) AS shingle_sum,
+       CAST(sum(CAST('0x' || substr(key, 1, 8) AS BIGINT)) AS BIGINT)
+         AS key_checksum,
+       CAST(sum(band) AS BIGINT) AS band_sum
+FROM bands_all
+"""
