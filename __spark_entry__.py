@@ -83,6 +83,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     * Entries 51+ keep full local coverage every round via
       tests/test_oracle_parity.py (stricter than the driver: dtype-class +
       unhashable-cell checks).
+    * R09 ROTATION QUEUE (write-ahead note): the two r08-born 51+ entries
+      (snapshot_retention_report, minhash_index_merge_stats) have never
+      had a driver row — gate them from birth next round, displacing two
+      of the freshness-block relational queries that will then be green
+      r08.
     """
     return {
         # ---- r08 gate block (first 50) ------------------------------
