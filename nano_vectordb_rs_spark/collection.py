@@ -68,7 +68,13 @@ class VectorCollection:
         self.embedding_dim = embedding_dim
         self.metric = "cosine"  # the only metric, like the reference (src/lib.rs:143)
         self._df = df
-        self.path = path
+        # normalize to absolute ONCE: Spark's JVM resolves relative write
+        # paths against ITS working directory, which diverges from the
+        # Python process's after any chdir — a relative store path would
+        # then stage parquet in one place and look for the sidecar in
+        # another (and the snapshot backing-files guard would compare a
+        # relative target against absolute inputFiles() URIs)
+        self.path = os.path.abspath(path) if path else path
         self._additional: dict[str, Any] = {}
         # True only when this handle PROVABLY holds zero rows (fresh empty
         # create); cleared by the first upsert. Purely an optimization flag:
@@ -105,6 +111,7 @@ class VectorCollection:
         src/lib.rs:116-147). The load-time matrix-size validation
         (src/lib.rs:122-129) becomes a per-row dimension assertion at ingest,
         which is strictly stronger."""
+        path = os.path.abspath(path)  # see __init__: JVM vs Python cwd
         if os.path.exists(path) and any(
             n.endswith(".parquet") for n in os.listdir(path) if not n.startswith("_")
         ):
@@ -307,7 +314,7 @@ class VectorCollection:
     # -- O6: save -----------------------------------------------------------
 
     def save(self, path: str | None = None) -> None:
-        path = path or self.path
+        path = os.path.abspath(path) if path else self.path
         if not path:
             raise ValueError("no storage path configured")
         # Parquet requires reading before overwriting the same location;
@@ -504,14 +511,19 @@ class VectorCollection:
         # path-BOUNDARY match, not substring: "v1" is a string prefix of
         # "v10"/"v11"/..., so a substring test spuriously refuses deleting
         # v1 (the normal oldest-first retention pattern) once the handle
-        # reads v10+. inputFiles() returns URIs (file:/...), so compare on
-        # the path component.
-        sep = target.rstrip(os.sep) + os.sep
-        from urllib.parse import urlparse
+        # reads v10+. inputFiles() returns URIs (file:/..., possibly
+        # percent-encoded), so compare ABSOLUTE, decoded path components —
+        # a relative collection path must still match the absolute URI
+        # paths Spark reports, or the guard silently passes and the sweep
+        # deletes the files backing the live handle.
+        from urllib.parse import unquote, urlparse
+
+        target_abs = os.path.abspath(target)
+        sep = target_abs.rstrip(os.sep) + os.sep
 
         def _backs(f: str) -> bool:
-            p = urlparse(f).path or f
-            return p == target or p.startswith(sep)
+            p = os.path.abspath(unquote(urlparse(f).path or f))
+            return p == target_abs or p.startswith(sep)
 
         if any(_backs(f) for f in self._df.inputFiles()):
             raise ValueError(
@@ -559,7 +571,7 @@ class VectorCollection:
         """Open snapshot ``version`` of the collection at ``path`` read-only
         in spirit: the returned collection's own path is the snapshot dir,
         so a save() through it cannot clobber the live store."""
-        target = os.path.join(path + ".snapshots", f"v{version}")
+        target = os.path.join(os.path.abspath(path) + ".snapshots", f"v{version}")
         if not os.path.isdir(target):
             raise ValueError(f"no snapshot v{version} at {path}")
         return cls.open(spark, embedding_dim, target)

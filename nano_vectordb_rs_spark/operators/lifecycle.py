@@ -97,6 +97,7 @@ FROM (
          )) AS row_sum
   FROM embeddings
 )
+HAVING count(*) > 0
 """
 
 
@@ -365,8 +366,6 @@ def compact_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Delta-OPTIMIZE-shaped job whose round-robin ``repartition(ceil(n /
     target))`` spreads rows evenly with no skewed shuffle key; here it is
     the same code path at gate scale."""
-    import os
-
     tmp = tempfile.mkdtemp(prefix="nvdb_compact_rt_")
     store = f"{tmp}/col"
     try:
@@ -428,6 +427,7 @@ FROM (
          )) AS row_sum
   FROM embeddings
 )
+HAVING count(*) > 0
 """
 
 

@@ -115,11 +115,19 @@ def materialize(spark: SparkSession, mult: int) -> str:
     if os.path.isdir(out):
         return out
     os.makedirs(out, exist_ok=True)
+    # tables the probes scale, with their offset key; lineitem (r08,
+    # table_profile) gets the key offset but no content perturbation — the
+    # profile has no similarity semantics, the cost driver is row count
+    scaled_keys = {
+        "documents": "doc_id",
+        "embeddings": "vec_id",
+        "lineitem": "l_orderkey",
+    }
     for table in ALL_TABLES:
         src = os.path.join(BASE_SF, f"{table}.parquet")
         df = spark.read.parquet(src)
-        if mult > 1 and table in ("documents", "embeddings"):
-            key = "doc_id" if table == "documents" else "vec_id"
+        key = scaled_keys.get(table)
+        if mult > 1 and key:
             dim = (
                 len(df.select("embedding").first()[0])
                 if table == "embeddings"
@@ -159,23 +167,6 @@ def materialize(spark: SparkSession, mult: int) -> str:
                         ),
                     )
                 parts.append(part)
-            union = parts[0]
-            for p in parts[1:]:
-                union = union.unionByName(p)
-            union.write.mode("overwrite").parquet(os.path.join(out, f"{table}.parquet"))
-        elif mult > 1 and table == "lineitem":
-            # r08: table_profile probes lineitem — scale it by plain key-offset
-            # union (no content perturbation needed: the profile has no
-            # similarity semantics, the cost driver is row count alone)
-            parts = [
-                df.withColumn(
-                    "l_orderkey",
-                    (F.col("l_orderkey") + F.lit(k) * F.lit(100_000_000)).cast(
-                        df.schema["l_orderkey"].dataType.simpleString()
-                    ),
-                )
-                for k in range(mult)
-            ]
             union = parts[0]
             for p in parts[1:]:
                 union = union.unionByName(p)

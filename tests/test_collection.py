@@ -495,3 +495,23 @@ def test_expire_snapshots_keeps_newest_tail(spark, coll):
     assert coll.snapshots() == [5]
     with pytest.raises(ValueError, match="keep_last"):
         coll.expire_snapshots(keep_last=-1)
+
+
+def test_delete_snapshot_guard_holds_for_relative_path(spark, tmp_path, monkeypatch):
+    # regression (r08 review): the path-boundary guard compared the store's
+    # RELATIVE target path against the absolute URI paths inputFiles()
+    # reports, never matched, and let the sweep delete the snapshot backing
+    # the live handle — breaking the handle (data loss). Both sides must be
+    # compared as absolute, decoded paths.
+    monkeypatch.chdir(tmp_path)
+    coll = VectorCollection.open(spark, DIM, "relstore", SCHEMA)
+    coll.upsert(make_batch(spark, [("a", [1, 0, 0, 0], "x")]))
+    v1 = coll.save_snapshot()
+    with pytest.raises(ValueError, match="backs this handle"):
+        coll.delete_snapshot(v1)
+    # the handle must still answer after the refused delete
+    assert coll.count() == 1
+    # and a non-backing version still deletes cleanly under a relative path
+    v2 = coll.save_snapshot()
+    coll.delete_snapshot(v1)
+    assert coll.snapshots() == [v2]
