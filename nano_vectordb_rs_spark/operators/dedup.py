@@ -1597,7 +1597,12 @@ def minhash_index_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows/doc); only the new batch pays signature cost, and the published
     result is the next day's probe target. With a partitioned-table
     catalog the union+rewrite becomes an append of the batch's band
-    partitions — same plan, cheaper publish."""
+    partitions — same plan, cheaper publish.
+
+    Reference parity note: the reference has no index at all — its upsert
+    rewrites the in-memory matrix wholesale and every query re-scores
+    everything (src/lib.rs:150-186, 188-260); probe + merge together are
+    the incremental surface that design cannot offer."""
     import shutil as _shutil
     import tempfile as _tempfile
 

@@ -545,7 +545,10 @@ def snapshot_retention_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale note: the sweep is O(versions) driver-side manifest work plus
     one rmtree per dropped version; nothing scans data. With the
     manifest-pointer snapshot variant (module comment above) the rmtree
-    becomes an unreferenced-file GC — same control flow."""
+    becomes an unreferenced-file GC — same control flow. Reference parity
+    note: the reference keeps exactly ONE persisted state (save is a
+    destructive overwrite, src/lib.rs:289-293), so retention is the
+    extension's own ops surface, not a ported behavior."""
     idn = F.col(ID_COL).cast("bigint")
     base = _collection_frame(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="nvdb_snap_ret_")
