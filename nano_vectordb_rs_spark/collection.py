@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -53,6 +54,13 @@ class DimensionError(ValueError):
 
 class ZeroVectorError(ValueError):
     pass
+
+
+class SnapshotInUseError(ValueError):
+    """delete_snapshot refused because the version's files back this
+    handle's current in-memory state.  A distinct type (not a bare
+    ValueError) so retention sweeps can skip exactly this benign case
+    while still surfacing real errors like a vanished version."""
 
 
 class VectorCollection:
@@ -112,6 +120,7 @@ class VectorCollection:
         (src/lib.rs:122-129) becomes a per-row dimension assertion at ingest,
         which is strictly stronger."""
         path = os.path.abspath(path)  # see __init__: JVM vs Python cwd
+        cls._recover_interrupted_save(path)
         if os.path.exists(path) and any(
             n.endswith(".parquet") for n in os.listdir(path) if not n.startswith("_")
         ):
@@ -313,30 +322,62 @@ class VectorCollection:
 
     # -- O6: save -----------------------------------------------------------
 
+    @staticmethod
+    def _recover_interrupted_save(path: str) -> None:
+        """Replay the tail of a save() swap that crashed mid-flight (called
+        from open() before the existence check).  save() only starts its
+        rename-aside swap AFTER the staged dir is complete (parquet
+        ``_SUCCESS`` committed, sidecar written), so if the live dir is
+        missing:
+
+        * a complete ``.staging`` dir means the crash hit between the two
+          renames — finish the swap by promoting it (and drop the aside
+          copy, whose content it supersedes);
+        * otherwise a ``.old`` aside copy means the staged data never
+          finished — roll the aside copy back into place.
+
+        Without this, a crash in that window would leave open() silently
+        creating an EMPTY collection while the real data sat in dirs it
+        never looks at (the pre-r09 data-loss hole)."""
+        if os.path.exists(path):
+            return
+        staged, old = path + ".staging", path + ".old"
+        if os.path.isdir(staged) and os.path.exists(
+            os.path.join(staged, "_SUCCESS")
+        ):
+            os.rename(staged, path)
+            if os.path.isdir(old):
+                shutil.rmtree(old)
+        elif os.path.isdir(old):
+            os.rename(old, path)
+            shutil.rmtree(staged, ignore_errors=True)
+
     def save(self, path: str | None = None) -> None:
+        """Persist via a crash-safe rename-aside swap: stage the full
+        rewrite (parquet + sidecar) beside the target, move the live dir
+        aside, promote the staged dir, drop the aside copy.  Parquet cannot
+        overwrite a location it is still reading from, hence the staging;
+        the rename-aside (rather than rmtree-then-rename) means NO crash
+        window loses data — every intermediate state is replayed by
+        ``_recover_interrupted_save`` on the next open()."""
         path = os.path.abspath(path) if path else self.path
         if not path:
             raise ValueError("no storage path configured")
-        # Parquet requires reading before overwriting the same location;
-        # stage through a temp subdir then swap.
         staged = path + ".staging"
+        old = path + ".old"
+        if os.path.isdir(old):
+            # remnant of a crash after a completed promote: the live dir
+            # exists, so the aside copy is superseded (and would block the
+            # rename-aside below)
+            shutil.rmtree(old)
         self._df.write.mode("overwrite").parquet(staged)
-        import shutil
-
-        if os.path.exists(path):
-            keep = os.path.join(path, _SIDECAR)
-            sidecar = None
-            if os.path.exists(keep):
-                with open(keep) as f:
-                    sidecar = f.read()
-            shutil.rmtree(path)
-            os.rename(staged, path)
-            if sidecar is not None and self._additional == json.loads(sidecar):
-                pass  # rewritten below anyway
-        else:
-            os.rename(staged, path)
-        with open(os.path.join(path, _SIDECAR), "w") as f:
+        with open(os.path.join(staged, _SIDECAR), "w") as f:
             json.dump(self._additional, f)
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(staged, path)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
         self.path = path
         self._df = self.spark.read.parquet(path)
 
@@ -377,6 +418,15 @@ class VectorCollection:
     # manifest swap as a single small PUT. Writers are single-process by
     # contract (like the reference's &mut self API): two handles snapshotting
     # the same store concurrently can interleave manifest versions.
+    #
+    # Crash-safety across the WHOLE lifecycle (r09): save() uses a
+    # rename-aside swap whose every window is replayed by
+    # _recover_interrupted_save on the next open(); save_snapshot()
+    # publishes with a single rename and versions past crash-orphaned vN
+    # dirs; delete_snapshot() drops the manifest entry before the files, so
+    # a crash mid-retention leaves an unreferenced dir (garbage, never a
+    # dangling live version); expire_snapshots() sweeps oldest-first so an
+    # interrupted sweep leaves a contiguous recent tail.
 
     def _snapshot_root(self) -> str:
         if not self.path:
@@ -526,7 +576,7 @@ class VectorCollection:
             return p == target_abs or p.startswith(sep)
 
         if any(_backs(f) for f in self._df.inputFiles()):
-            raise ValueError(
+            raise SnapshotInUseError(
                 f"snapshot v{version} backs this handle's current state; "
                 "save() or save_snapshot() first"
             )
@@ -535,8 +585,6 @@ class VectorCollection:
         with open(tmp, "w") as f:
             json.dump({"versions": [v for v in versions if v != version]}, f)
         os.rename(tmp, manifest)
-        import shutil
-
         shutil.rmtree(target, ignore_errors=True)
 
     def expire_snapshots(self, keep_last: int) -> list[int]:
@@ -559,8 +607,12 @@ class VectorCollection:
         for v in doomed:
             try:
                 self.delete_snapshot(v)
-            except ValueError:
+            except SnapshotInUseError:
                 continue  # backs this handle's current state — skip
+            # any OTHER ValueError (e.g. "no snapshot vN" because another
+            # handle rewrote the manifest between snapshots() and here)
+            # propagates: silently swallowing it would misreport a real
+            # inconsistency as a benign skip
             dropped.append(v)
         return dropped
 

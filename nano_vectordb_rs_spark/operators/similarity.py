@@ -1246,7 +1246,12 @@ def _ivf_pq_read_schema(spark: SparkSession, sf_dir: str):
     every call and the scale probe caught the 0.4 → 4.7 s regression)."""
     import os as _os
 
-    key = _os.path.abspath(_os.path.join(sf_dir, "embeddings.parquet"))
+    # content key (abspath + mtime + size), matching _materialize_cached's
+    # convention: a fixture regenerated at the same path with different
+    # column types must miss the cache, not serve a stale schema
+    src = _os.path.abspath(_os.path.join(sf_dir, "embeddings.parquet"))
+    st = _os.stat(src)
+    key = (src, st.st_mtime_ns, st.st_size)
     if key not in _IVF_PQ_SCHEMA_CACHE:
         from pyspark.sql.types import StructType
 

@@ -111,7 +111,14 @@ def materialize(spark: SparkSession, mult: int) -> str:
     pairs grow linearly with mult (the production shape — a 2x corpus has
     ~2x the dups, not 4x the cross-pairs).
     """
-    out = os.path.join(WORK, f"x{mult}")
+    # v2: cache key versions the SCALED-TABLE SET (r08 added lineitem) — an
+    # early-return on a pre-change x{mult} dir would silently probe the
+    # unscaled base table for any table added later. Bump the suffix
+    # whenever scaled_keys changes; stale unversioned dirs are swept.
+    stale = os.path.join(WORK, f"x{mult}")
+    if os.path.isdir(stale):
+        shutil.rmtree(stale)
+    out = os.path.join(WORK, f"x{mult}.v2")
     if os.path.isdir(out):
         return out
     os.makedirs(out, exist_ok=True)

@@ -497,6 +497,99 @@ def test_expire_snapshots_keeps_newest_tail(spark, coll):
         coll.expire_snapshots(keep_last=-1)
 
 
+def test_save_crash_between_renames_recovers_staged(spark, tmp_path, monkeypatch):
+    # regression (r09): save() used rmtree(live) -> rename(staged, live); a
+    # crash between the two left NO live dir and open() silently created an
+    # EMPTY collection (data loss). The rename-aside swap plus open()-time
+    # replay must finish an interrupted promote instead.
+    import os
+
+    path = str(tmp_path / "c1")
+    coll = VectorCollection.open(spark, DIM, path, SCHEMA)
+    coll.upsert(make_batch(spark, [("a", [1, 0, 0, 0], "x")]))
+    coll.save()
+    coll.upsert(make_batch(spark, [("b", [0, 1, 0, 0], "y")]))
+
+    real_rename = os.rename
+
+    def crash_on_promote(src, dst):
+        if dst == path and src.endswith(".staging"):
+            raise OSError("simulated crash between rename-aside and promote")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", crash_on_promote)
+    with pytest.raises(OSError, match="simulated crash"):
+        coll.save()
+    monkeypatch.undo()
+    # the crash window: no live dir, complete staged dir, aside copy
+    assert not os.path.exists(path)
+    assert os.path.exists(os.path.join(path + ".staging", "_SUCCESS"))
+    assert os.path.isdir(path + ".old")
+    # open() replays the tail of the swap: the NEW state wins
+    re = VectorCollection.open(spark, DIM, path, SCHEMA)
+    assert sorted(r["__id__"] for r in re.df.collect()) == ["a", "b"]
+    assert not os.path.isdir(path + ".staging")
+    assert not os.path.isdir(path + ".old")
+
+
+def test_save_crash_rolls_back_incomplete_staging(spark, tmp_path):
+    # an aside copy next to an INCOMPLETE staged dir (no _SUCCESS — the
+    # staged write itself never committed) must roll back to the old state
+    import os
+
+    path = str(tmp_path / "c2")
+    coll = VectorCollection.open(spark, DIM, path, SCHEMA)
+    coll.upsert(make_batch(spark, [("a", [1, 0, 0, 0], "x")]))
+    coll.save()
+    os.rename(path, path + ".old")
+    os.makedirs(path + ".staging")  # junk: no _SUCCESS, no data
+    re = VectorCollection.open(spark, DIM, path, SCHEMA)
+    assert sorted(r["__id__"] for r in re.df.collect()) == ["a"]
+    assert not os.path.isdir(path + ".staging")
+    assert not os.path.isdir(path + ".old")
+
+
+def test_save_clears_stray_aside_copy(spark, tmp_path):
+    # crash AFTER the promote but before the aside cleanup: the live dir is
+    # current, so open() must serve it untouched and the next save() must
+    # clear the stray .old (which would otherwise block the rename-aside)
+    import os
+
+    path = str(tmp_path / "c3")
+    coll = VectorCollection.open(spark, DIM, path, SCHEMA)
+    coll.upsert(make_batch(spark, [("a", [1, 0, 0, 0], "x")]))
+    coll.save()
+    os.makedirs(path + ".old")  # stray remnant
+    re = VectorCollection.open(spark, DIM, path, SCHEMA)
+    assert re.count() == 1
+    re.upsert(make_batch(spark, [("b", [0, 1, 0, 0], "y")]))
+    re.save()
+    assert not os.path.isdir(path + ".old")
+    assert sorted(r["__id__"] for r in re.df.collect()) == ["a", "b"]
+
+
+def test_expire_snapshots_propagates_unknown_version(spark, coll, monkeypatch):
+    # regression (r09 review): expire_snapshots swallowed ANY ValueError as
+    # "backs this handle"; a 'no snapshot vN' inconsistency (manifest moved
+    # under us) must propagate, only SnapshotInUseError is a benign skip
+    from nano_vectordb_rs_spark.collection import SnapshotInUseError
+
+    coll.upsert(make_batch(spark, [("a", [1, 0, 0, 0], "x")]))
+    coll.save_snapshot()
+    coll.save_snapshot()
+
+    def gone(version):
+        raise ValueError(f"no snapshot v{version} at {coll.path}")
+
+    monkeypatch.setattr(coll, "delete_snapshot", gone)
+    with pytest.raises(ValueError, match="no snapshot"):
+        coll.expire_snapshots(keep_last=0)
+    monkeypatch.undo()
+    # and the in-use refusal is the distinct subtype
+    with pytest.raises(SnapshotInUseError):
+        coll.delete_snapshot(2)
+
+
 def test_delete_snapshot_guard_holds_for_relative_path(spark, tmp_path, monkeypatch):
     # regression (r08 review): the path-boundary guard compared the store's
     # RELATIVE target path against the absolute URI paths inputFiles()
@@ -515,3 +608,11 @@ def test_delete_snapshot_guard_holds_for_relative_path(spark, tmp_path, monkeypa
     v2 = coll.save_snapshot()
     coll.delete_snapshot(v1)
     assert coll.snapshots() == [v2]
+    # the abspath fix means NOTHING stages against the JVM's cwd (the repo
+    # root) — the pre-fix run left six debris files that got committed in
+    # r08; keep the root provably clean
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    assert not os.path.exists(os.path.join(repo_root, "relstore.snapshots"))
+    assert not os.path.exists(os.path.join(repo_root, "relstore"))
