@@ -34,7 +34,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession, functions as F  # noqa: E402
 
 from nano_vectordb_rs_spark.session import get_spark  # noqa: E402
-from nano_vectordb_rs_spark.operators import dedup, pipeline, similarity, knn, textops  # noqa: E402
+from nano_vectordb_rs_spark.operators import (  # noqa: E402
+    dedup,
+    knn,
+    lifecycle,
+    pipeline,
+    similarity,
+    textops,
+)
 
 BASE_SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 MULTS = [int(m) for m in sys.argv[2:]] or [1, 2, 4]
@@ -85,6 +92,19 @@ PROBES = [
     # one hash-aggregated Expand) — the probe measures that the Expand's
     # cost stays linear in rows, the premise of the documented HLL swap
     ("table_profile", pipeline.table_profile, ("lineitem",)),
+    # r09 additions (VERDICT r08 task 7): the four r08-born lifecycle/dedup
+    # ops with real data-dependent cost. compact_roundtrip_stats = full
+    # rewrite into ceil(n/target) files (linear in bytes written);
+    # snapshot_diff_report = two snapshot writes + ONE full-outer id join
+    # (the diff's unavoidable shuffle — the slope that must stay linear);
+    # snapshot_retention_report = five snapshot writes + an O(versions)
+    # manifest sweep; minhash_index_merge_stats = corpus band-index merge
+    # write-back, whose oracle side is an independent full rebuild — cost
+    # tracks corpus size linearly, never pairs.
+    ("compact_roundtrip_stats", lifecycle.compact_roundtrip_stats, ("embeddings",)),
+    ("snapshot_diff_report", lifecycle.snapshot_diff_report, ("embeddings",)),
+    ("snapshot_retention_report", lifecycle.snapshot_retention_report, ("embeddings",)),
+    ("minhash_index_merge_stats", dedup.minhash_index_merge_stats, ("documents",)),
 ]
 
 ALL_TABLES = [
