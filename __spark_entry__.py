@@ -65,10 +65,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         SnapshotInUseError that expire_snapshots skips), ann_ivf_pq_topk
         (probe read-schema cache now content-keyed on abspath+mtime+size).
       - STALENESS BLOCKS: ALL 20 r04-latest queries and ALL 22 r05-latest
-        queries (listed in the dict sections below), plus dedup_keep_best
-        (oldest r06 green and the round's bench-retime target) in the last
-        slot — after r09 no declared query's latest driver row predates
-        r06.
+        queries (listed in the dict sections below) — after r09 no
+        declared query's latest driver row predates r06. The last slot
+        goes to vacuum_report, r09-BORN and therefore gated from birth
+        (the policy the r08-born queries initially missed): the GC sweep
+        for crash droppings, completing the save()-hardening story.
+        dedup_keep_best (oldest r06 green; this round's bench-retime
+        target, adjudicated quiet at 0.79 s in BENCH.json) stays at 51+
+        and rotates in with the r06 block next round.
       - Rotated out to 51+ to make room: the r08 freshness block (all
         green r08, the freshest evidence in the ledger) and the r07-debut
         holders, now multiply green (jsonl/orc roundtrips,
@@ -79,15 +83,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       tests/test_oracle_parity.py (stricter than the driver: dtype-class +
       unhashable-cell checks).
     * R10 ROTATION QUEUE (write-ahead note): nothing will be unverified
-      after r09, so the r10 gate is pure freshness — the 17 remaining
-      r06-latest queries (ann_lsh_topk, ann_pq_topk, ann_pq_codes_topk,
-      bigram_stats, cross_source_overlap, doc_chunk_report,
-      embedding_outlier_report, events_json_stats, events_session_window,
-      events_union_slices, events_value_drift,
+      after r09, so the r10 gate is pure freshness — the 18 r06-latest
+      queries (ann_lsh_topk, ann_pq_topk, ann_pq_codes_topk,
+      bigram_stats, cross_source_overlap, dedup_keep_best,
+      doc_chunk_report, embedding_outlier_report, events_json_stats,
+      events_session_window, events_union_slices, events_value_drift,
       exact_substring_contamination, media_resize_summary,
       ngram_novelty_scores, quality_weighted_sample,
-      reference_json_roundtrip, streaming_hourly_counts) plus the oldest
-      ~32 of the 34 r07-latest, displacing this round's staleness blocks.
+      reference_json_roundtrip, streaming_hourly_counts) plus
+      vacuum_report holding its slot for a second driver row and the
+      oldest ~30 of the 34 r07-latest, displacing this round's staleness
+      blocks.
     """
     return {
         # ---- r09 gate block (first 50) ------------------------------
@@ -151,11 +157,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": pipeline.pack_sequences,
         "repetition_scores": textops.repetition_scores,
         "token_counts": textops.token_counts,
-        # oldest r06 green in the last slot (also this round's bench
-        # retime target, so timing evidence and value evidence co-land)
-        "dedup_keep_best": dedup.dedup_keep_best,
+        # NEW r09, gated from birth: the GC half of the crash-safety work
+        # (VectorCollection.vacuum reclaiming stranded .staging/.old,
+        # orphan snapshot dirs and manifest tmp files, live state pinned)
+        "vacuum_report": lifecycle.vacuum_report,
         # ---------------- entry 51+ (full local coverage every round
         # via test_oracle_parity) — all green r07/r08 or multiply green -
+        "dedup_keep_best": dedup.dedup_keep_best,
         "snapshot_time_travel": lifecycle.snapshot_time_travel,
         "jsonl_export_roundtrip": lifecycle.jsonl_export_roundtrip,
         "orc_export_roundtrip": lifecycle.orc_export_roundtrip,
@@ -415,5 +423,6 @@ def oracle_sql() -> dict[str, str]:
         "compact_roundtrip_stats": lifecycle.COMPACT_ROUNDTRIP_SQL,
         "snapshot_diff_report": lifecycle.SNAPSHOT_DIFF_SQL,
         "snapshot_retention_report": lifecycle.SNAPSHOT_RETENTION_SQL,
+        "vacuum_report": lifecycle.VACUUM_REPORT_SQL,
         "minhash_index_merge_stats": dedup.MINHASH_INDEX_MERGE_SQL,
     }

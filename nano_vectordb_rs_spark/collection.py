@@ -616,6 +616,80 @@ class VectorCollection:
             dropped.append(v)
         return dropped
 
+    def vacuum(self) -> dict[str, int]:
+        """Reclaim crash droppings the swap/recovery protocol deliberately
+        leaves behind — the GC half of crash safety (the Iceberg
+        remove-orphan-files / Delta VACUUM shape, applied to this store's
+        directory layout; no reference analogue, its store is one file):
+
+          * a stranded ``<path>.staging`` beside the LIVE dir (a save whose
+            swap never started — an unswapped save never happened, the live
+            dir supersedes it by contract), and likewise an unpublished
+            ``vN.staging`` under the snapshot root;
+          * a ``<path>.old`` aside copy beside the live dir (crash after
+            the promote, before the cleanup);
+          * orphan ``vN`` snapshot dirs the manifest never learned about
+            (crash between save_snapshot's data rename and manifest
+            rename — the version counter already skips them; this reclaims
+            the bytes);
+          * a half-written ``manifest.json.tmp``.
+
+        REFUSES to run while the live dir is missing: in that state the
+        ``.staging``/``.old`` dirs are the recovery INPUTS open() replays,
+        not garbage. Any dir whose files back this handle's current state
+        is skipped, not an error (same boundary-match guard as
+        delete_snapshot) — a GC sweep is best-effort by contract. Returns
+        per-kind reclaim counts. At 100 TB this runs as the nightly
+        maintenance job beside compact() and expire_snapshots(); all its
+        work is O(directory listing), never a data scan."""
+        if not self.path:
+            raise ValueError("no storage path configured")
+        if not os.path.exists(self.path):
+            raise ValueError(
+                f"live dir missing at {self.path}: refusing to vacuum — "
+                "the .staging/.old dirs are recovery inputs until open() "
+                "replays them"
+            )
+        from urllib.parse import unquote, urlparse
+
+        backing = {
+            os.path.abspath(unquote(urlparse(f).path or f))
+            for f in self._df.inputFiles()
+        }
+
+        def _backs_dir(d: str) -> bool:
+            sep = os.path.abspath(d).rstrip(os.sep) + os.sep
+            return any(p.startswith(sep) for p in backing)
+
+        removed = {"staging": 0, "aside": 0, "orphan_snapshots": 0, "manifest_tmp": 0}
+        for kind, d in (
+            ("staging", self.path + ".staging"),
+            ("aside", self.path + ".old"),
+        ):
+            if os.path.isdir(d) and not _backs_dir(d):
+                shutil.rmtree(d)
+                removed[kind] += 1
+        root = self._snapshot_root()
+        if os.path.isdir(root):
+            live = set(self.snapshots())
+            for name in sorted(os.listdir(root)):
+                full = os.path.join(root, name)
+                if not os.path.isdir(full):
+                    if name == "manifest.json.tmp":
+                        os.remove(full)
+                        removed["manifest_tmp"] += 1
+                    continue
+                if _backs_dir(full):
+                    continue
+                if name.startswith("v") and name[1:].isdigit():
+                    if int(name[1:]) not in live:
+                        shutil.rmtree(full)
+                        removed["orphan_snapshots"] += 1
+                elif name.endswith(".staging"):
+                    shutil.rmtree(full)
+                    removed["staging"] += 1
+        return removed
+
     @classmethod
     def open_snapshot(
         cls, spark: SparkSession, embedding_dim: int, path: str, version: int

@@ -612,3 +612,86 @@ FROM (
 GROUP BY version
 ORDER BY version
 """
+
+
+def vacuum_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``VectorCollection.vacuum()`` through the gate — the GC half of the
+    r09 crash-safety work: a store with two snapshots gets one fabricated
+    crash dropping of every kind the swap/recovery protocol can leave
+    (stranded ``.staging`` beside the live dir, an unpublished
+    ``vN.staging`` under the snapshot root, an ``.old`` aside copy, an
+    orphan ``vN`` dir the manifest never learned about, a half-written
+    ``manifest.json.tmp``), then the sweep runs and the query reports the
+    per-kind reclaim counts PLUS full content stats over the reopened
+    store.
+
+    The pinned counts catch a sweep that eats too little (droppings
+    survive) or too much (wrong kind matched); the content stats +
+    ``additional_ok`` (here: sidecar intact AND both manifest versions
+    still open with identical live content) catch the catastrophic
+    failure mode — GC touching live data. The oracle recomputes the
+    literal counts and the fixture stats independently. No reference
+    analogue (its whole store is one JSON file, src/lib.rs:289-293);
+    this is the maintenance surface the snapshot/save extension needs."""
+    import os
+
+    tmp = tempfile.mkdtemp(prefix="nvdb_vacuum_")
+    store = f"{tmp}/col"
+    try:
+        col = VectorCollection(
+            spark, EMBEDDING_DIM, _collection_frame(spark, sf_dir), store
+        )
+        col.store_additional_data(_ADDITIONAL)
+        col.save()
+        v1 = col.save_snapshot()
+        v2 = col.save_snapshot()
+        root = f"{store}.snapshots"
+        # one fabricated dropping per kind
+        os.makedirs(f"{store}.staging")
+        with open(f"{store}.staging/part-junk.parquet", "w") as f:
+            f.write("x")
+        os.makedirs(f"{store}.old")
+        os.makedirs(f"{root}/v99")
+        os.makedirs(f"{root}/v100.staging")
+        with open(f"{root}/manifest.json.tmp", "w") as f:
+            f.write("{")
+        removed = col.vacuum()
+        counts_ok = removed == {
+            "staging": 2,  # <store>.staging + v100.staging
+            "aside": 1,
+            "orphan_snapshots": 1,
+            "manifest_tmp": 1,
+        }
+        # live surface must be untouched: reopen from disk, sidecar intact,
+        # manifest still [v1, v2], live content ≡ newest snapshot content
+        reopened = VectorCollection.open(spark, EMBEDDING_DIM, store)
+        ok = (
+            counts_ok
+            and reopened.additional_data() == _ADDITIONAL
+            and reopened.snapshots() == [v1, v2]
+            and VectorCollection.open_snapshot(
+                spark, EMBEDDING_DIM, store, v2
+            ).count()
+            == reopened.count()
+        )
+        out = _stats(reopened.df, ok).select(
+            F.lit(removed["staging"]).alias("n_staging_removed"),
+            F.lit(removed["aside"]).alias("n_aside_removed"),
+            F.lit(removed["orphan_snapshots"]).alias("n_orphan_removed"),
+            F.lit(removed["manifest_tmp"]).alias("n_manifest_tmp_removed"),
+            "*",
+        )
+        rows, schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+VACUUM_REPORT_SQL = f"""
+SELECT 2 AS n_staging_removed,
+       1 AS n_aside_removed,
+       1 AS n_orphan_removed,
+       1 AS n_manifest_tmp_removed,
+       s.*
+FROM ({_STATS_ORACLE}) s
+"""

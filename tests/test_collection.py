@@ -590,6 +590,67 @@ def test_expire_snapshots_propagates_unknown_version(spark, coll, monkeypatch):
         coll.delete_snapshot(2)
 
 
+def test_vacuum_reclaims_only_crash_droppings(spark, coll):
+    import os
+
+    coll.upsert(make_batch(spark, [("a", [1, 0, 0, 0], "x")]))
+    coll.save()
+    v1 = coll.save_snapshot()
+    root = coll.path + ".snapshots"
+    os.makedirs(coll.path + ".staging")
+    os.makedirs(coll.path + ".old")
+    os.makedirs(os.path.join(root, "v99"))
+    os.makedirs(os.path.join(root, "v100.staging"))
+    with open(os.path.join(root, "manifest.json.tmp"), "w") as f:
+        f.write("{")
+    removed = coll.vacuum()
+    assert removed == {
+        "staging": 2, "aside": 1, "orphan_snapshots": 1, "manifest_tmp": 1,
+    }
+    # live surface untouched
+    assert coll.snapshots() == [v1]
+    assert os.path.isdir(os.path.join(root, f"v{v1}"))
+    assert coll.count() == 1
+    assert not os.path.isdir(os.path.join(root, "v99"))
+    # idempotent: a second sweep finds nothing
+    assert coll.vacuum() == {
+        "staging": 0, "aside": 0, "orphan_snapshots": 0, "manifest_tmp": 0,
+    }
+
+
+def test_vacuum_refuses_when_live_dir_missing(spark, coll):
+    # while the live dir is missing, .staging/.old are RECOVERY INPUTS, not
+    # garbage — vacuum must refuse, and open() must still replay them after
+    import os
+
+    coll.upsert(make_batch(spark, [("a", [1, 0, 0, 0], "x")]))
+    coll.save()
+    os.rename(coll.path, coll.path + ".old")
+    with pytest.raises(ValueError, match="refusing to vacuum"):
+        coll.vacuum()
+    re = VectorCollection.open(spark, DIM, coll.path, SCHEMA)
+    assert re.count() == 1
+
+
+def test_vacuum_skips_orphan_backing_handle(spark, coll):
+    # a crash between save_snapshot's data rename and manifest rename
+    # leaves the handle reading a vN dir the manifest never listed — the
+    # sweep must skip it (best-effort), never break the live handle
+    import json
+    import os
+
+    coll.upsert(make_batch(spark, [("a", [1, 0, 0, 0], "x")]))
+    coll.save()
+    v1 = coll.save_snapshot()
+    manifest = os.path.join(coll.path + ".snapshots", "manifest.json")
+    with open(manifest, "w") as f:
+        json.dump({"versions": []}, f)
+    removed = coll.vacuum()
+    assert removed["orphan_snapshots"] == 0
+    assert os.path.isdir(os.path.join(coll.path + ".snapshots", f"v{v1}"))
+    assert coll.count() == 1
+
+
 def test_delete_snapshot_guard_holds_for_relative_path(spark, tmp_path, monkeypatch):
     # regression (r08 review): the path-boundary guard compared the store's
     # RELATIVE target path against the absolute URI paths inputFiles()
