@@ -15,7 +15,10 @@ long-lived 100 TB store needs on top of it, end to end on one collection:
      live handle),
   6. small-file compaction (``compact``),
   7. the retention sweep (``expire_snapshots(keep_last=N)`` — the
-     Iceberg-expire/VACUUM shape, oldest-first).
+     Iceberg-expire/VACUUM shape, oldest-first),
+  8. crash-dropping GC (``vacuum()`` — reclaims stranded staging/aside
+     dirs, orphan snapshot versions and half-written manifests; never
+     touches live state).
 
 Run:  python examples/lifecycle_demo.py
 """
@@ -93,6 +96,16 @@ def main(spark=None, path: str | None = None) -> dict:
         db.save_snapshot()
     dropped = db.expire_snapshots(keep_last=2)
     print(f"expired {dropped}; versions = {db.snapshots()}")
+
+    # 8. GC: fabricate a crash dropping of each kind, then sweep them —
+    # the live store and both remaining snapshots are untouched
+    import os
+
+    root = db.path + ".snapshots"
+    os.makedirs(db.path + ".staging", exist_ok=True)
+    os.makedirs(os.path.join(root, "v99"), exist_ok=True)
+    removed = db.vacuum()
+    print(f"vacuumed {removed}; versions = {db.snapshots()}; rows = {len(db)}")
     return changes
 
 
