@@ -83,8 +83,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       tests/test_oracle_parity.py (stricter than the driver: dtype-class +
       unhashable-cell checks).
     * R10 ROTATION QUEUE (write-ahead note): nothing will be unverified
-      after r09, so the r10 gate is pure freshness — the 18 r06-latest
-      queries (ann_lsh_topk, ann_pq_topk, ann_pq_codes_topk,
+      after r09, so the r10 gate is pure freshness — the 18 queries whose
+      latest driver row will still be r06 after this round (19 were
+      r06-latest entering r09, but save_roundtrip_stats re-gated THIS
+      round for the crash-safe save change, leaving 18): (ann_lsh_topk,
+      ann_pq_topk, ann_pq_codes_topk,
       bigram_stats, cross_source_overlap, dedup_keep_best,
       doc_chunk_report, embedding_outlier_report, events_json_stats,
       events_session_window, events_union_slices, events_value_drift,

@@ -325,12 +325,15 @@ class VectorCollection:
     @staticmethod
     def _recover_interrupted_save(path: str) -> None:
         """Replay the tail of a save() swap that crashed mid-flight (called
-        from open() before the existence check).  save() only starts its
-        rename-aside swap AFTER the staged dir is complete (parquet
-        ``_SUCCESS`` committed, sidecar written), so if the live dir is
-        missing:
+        from open() AND from save() itself, before either touches the
+        dirs).  save() only starts its rename-aside swap AFTER the staged
+        dir is complete (parquet ``_SUCCESS`` committed AND sidecar
+        written — both are required below, so a first-save crash between
+        the parquet commit and the sidecar write is correctly treated as
+        "the save never happened" rather than promoted minus half its
+        payload), so if the live dir is missing:
 
-        * a complete ``.staging`` dir means the crash hit between the two
+        * a COMPLETE ``.staging`` dir means the crash hit between the two
           renames — finish the swap by promoting it (and drop the aside
           copy, whose content it supersedes);
         * otherwise a ``.old`` aside copy means the staged data never
@@ -342,8 +345,10 @@ class VectorCollection:
         if os.path.exists(path):
             return
         staged, old = path + ".staging", path + ".old"
-        if os.path.isdir(staged) and os.path.exists(
-            os.path.join(staged, "_SUCCESS")
+        if (
+            os.path.isdir(staged)
+            and os.path.exists(os.path.join(staged, "_SUCCESS"))
+            and os.path.exists(os.path.join(staged, _SIDECAR))
         ):
             os.rename(staged, path)
             if os.path.isdir(old):
@@ -358,14 +363,25 @@ class VectorCollection:
         aside, promote the staged dir, drop the aside copy.  Parquet cannot
         overwrite a location it is still reading from, hence the staging;
         the rename-aside (rather than rmtree-then-rename) means NO crash
-        window loses data — every intermediate state is replayed by
-        ``_recover_interrupted_save`` on the next open()."""
+        window loses committed data — every intermediate state is replayed
+        by ``_recover_interrupted_save`` on the next open() OR on a retried
+        save() (the replay below).  A retry on the SAME handle after a
+        mid-swap crash first restores the target dir; its own write may
+        then still fail because the handle's lazy plan can reference
+        renamed-away files — reopen to continue — but the store on disk
+        stays whole either way."""
         path = os.path.abspath(path) if path else self.path
         if not path:
             raise ValueError("no storage path configured")
         staged = path + ".staging"
         old = path + ".old"
-        if os.path.isdir(old):
+        # replay any interrupted PRIOR swap of this target before touching
+        # its dirs: without this, a retry after a crash between the two
+        # renames would rmtree the .old aside copy — the only committed
+        # copy — and then fail its own staged write (whose input files
+        # lived under the renamed-away dir), bricking the store
+        self._recover_interrupted_save(path)
+        if os.path.isdir(old) and os.path.exists(path):
             # remnant of a crash after a completed promote: the live dir
             # exists, so the aside copy is superseded (and would block the
             # rename-aside below)
@@ -558,24 +574,7 @@ class VectorCollection:
         if version not in versions:
             raise ValueError(f"no snapshot v{version} at {self.path}")
         target = os.path.join(self._snapshot_root(), f"v{version}")
-        # path-BOUNDARY match, not substring: "v1" is a string prefix of
-        # "v10"/"v11"/..., so a substring test spuriously refuses deleting
-        # v1 (the normal oldest-first retention pattern) once the handle
-        # reads v10+. inputFiles() returns URIs (file:/..., possibly
-        # percent-encoded), so compare ABSOLUTE, decoded path components —
-        # a relative collection path must still match the absolute URI
-        # paths Spark reports, or the guard silently passes and the sweep
-        # deletes the files backing the live handle.
-        from urllib.parse import unquote, urlparse
-
-        target_abs = os.path.abspath(target)
-        sep = target_abs.rstrip(os.sep) + os.sep
-
-        def _backs(f: str) -> bool:
-            p = os.path.abspath(unquote(urlparse(f).path or f))
-            return p == target_abs or p.startswith(sep)
-
-        if any(_backs(f) for f in self._df.inputFiles()):
+        if self._dir_backs(target, self._backing_paths()):
             raise SnapshotInUseError(
                 f"snapshot v{version} backs this handle's current state; "
                 "save() or save_snapshot() first"
@@ -586,6 +585,34 @@ class VectorCollection:
             json.dump({"versions": [v for v in versions if v != version]}, f)
         os.rename(tmp, manifest)
         shutil.rmtree(target, ignore_errors=True)
+
+    def _backing_paths(self) -> set[str]:
+        """Absolute, URI-decoded paths of the files backing this handle's
+        current plan.  inputFiles() returns URIs (``file:/...``, possibly
+        percent-encoded), so both this and ``_dir_backs`` compare ABSOLUTE
+        decoded path components — a relative collection path must still
+        match the absolute URI paths Spark reports, or a guard silently
+        passes and a sweep deletes the files backing the live handle (the
+        r08 relative-path data-loss bug)."""
+        from urllib.parse import unquote, urlparse
+
+        return {
+            os.path.abspath(unquote(urlparse(f).path or f))
+            for f in self._df.inputFiles()
+        }
+
+    @staticmethod
+    def _dir_backs(target: str, backing: set[str]) -> bool:
+        """True if any backing file IS ``target`` or lives under it.
+        Path-BOUNDARY match, never substring: "v1" is a string prefix of
+        "v10"/"v11"/..., so a substring test spuriously refuses deleting
+        v1 (the normal oldest-first retention pattern) once the handle
+        reads v10+.  The single shared implementation for every
+        is-this-dir-live guard (delete_snapshot, vacuum) — this logic has
+        had one data-loss bug already; keep it in one place."""
+        target_abs = os.path.abspath(target)
+        sep = target_abs.rstrip(os.sep) + os.sep
+        return any(p == target_abs or p.startswith(sep) for p in backing)
 
     def expire_snapshots(self, keep_last: int) -> list[int]:
         """Retention sweep — drop every snapshot except the newest
@@ -650,23 +677,13 @@ class VectorCollection:
                 "the .staging/.old dirs are recovery inputs until open() "
                 "replays them"
             )
-        from urllib.parse import unquote, urlparse
-
-        backing = {
-            os.path.abspath(unquote(urlparse(f).path or f))
-            for f in self._df.inputFiles()
-        }
-
-        def _backs_dir(d: str) -> bool:
-            sep = os.path.abspath(d).rstrip(os.sep) + os.sep
-            return any(p.startswith(sep) for p in backing)
-
+        backing = self._backing_paths()
         removed = {"staging": 0, "aside": 0, "orphan_snapshots": 0, "manifest_tmp": 0}
         for kind, d in (
             ("staging", self.path + ".staging"),
             ("aside", self.path + ".old"),
         ):
-            if os.path.isdir(d) and not _backs_dir(d):
+            if os.path.isdir(d) and not self._dir_backs(d, backing):
                 shutil.rmtree(d)
                 removed[kind] += 1
         root = self._snapshot_root()
@@ -679,7 +696,7 @@ class VectorCollection:
                         os.remove(full)
                         removed["manifest_tmp"] += 1
                     continue
-                if _backs_dir(full):
+                if self._dir_backs(full, backing):
                     continue
                 if name.startswith("v") and name[1:].isdigit():
                     if int(name[1:]) not in live:
