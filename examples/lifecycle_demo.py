@@ -8,7 +8,10 @@ long-lived 100 TB store needs on top of it, end to end on one collection:
      published),
   2. time travel (``open_snapshot`` — reopen any version after later
      mutations),
-  3. a row-level change feed between versions (``diff_snapshots``),
+  3. a row-level change feed between versions (``diff_snapshots``) and
+     its CDC-replay consumer (``changes`` ships the delta WITH payload;
+     ``apply_changes`` replays it onto a replica at v1 to reconstruct v2
+     without moving the table),
   4. predicate deletion (``delete_where`` — the GDPR-purge shape, no
      driver-side id list),
   5. retention (``delete_snapshot`` — refuses the version backing the
@@ -77,6 +80,15 @@ def main(spark=None, path: str | None = None) -> dict:
         r["__id__"]: r["change"] for r in db.diff_snapshots(v1, v2).collect()
     }
     print("diff v1->v2:", dict(sorted(changes.items())))
+
+    # 3b. CDC replay: ship ONLY the delta to a replica sitting at v1 and
+    # reconstruct v2 exactly (the Delta-CDF / Debezium consumer shape)
+    replica = VectorCollection.open_snapshot(spark, 3, path, v1)
+    replica.apply_changes(db.changes(v1, v2))
+    print(
+        "replayed replica ids:",
+        sorted(r["__id__"] for r in replica.df.collect()),
+    )
 
     # 5. retention: v1 reclaimable, v2 (backing the live handle) refused
     db.delete_snapshot(v1)

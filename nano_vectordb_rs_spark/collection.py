@@ -495,19 +495,18 @@ class VectorCollection:
         os.rename(tmp, manifest)
         return v
 
-    def diff_snapshots(self, version_a: int, version_b: int) -> DataFrame:
-        """Row-level change feed between two snapshot versions: one row per
-        id whose state differs, ``change ∈ {'added','removed','changed'}``
-        (ids identical in both versions are excluded — the diff of a 100-TB
-        store is read for its delta, not its unchanged bulk).
-
-        'changed' compares the full row: exact f32 vector equality plus
-        every metadata column (null-safe). Plan shape: a full outer join of
-        two parquet scans on the id — the one unavoidable shuffle of a diff;
-        at scale both snapshot writes would bucket by id so the join is
-        co-partitioned (save_snapshot writes whatever partitioning the
-        plan carries, so a bucketed writer slots in without touching this
-        read path)."""
+    def _versions_joined(
+        self, version_a: int, version_b: int
+    ) -> tuple[DataFrame, list[str]]:
+        """Shared core of ``diff_snapshots`` (id+kind) and ``changes`` (full
+        CDC payload): a full-outer join of two snapshot versions on the id
+        with a nullable ``change`` classification column.  Returns the
+        joined frame (``ID_COL``, ``__a__``/``__b__`` full-row structs,
+        ``change``) plus the unioned metadata column list.  'changed'
+        compares the full row: exact f32 vector equality plus every
+        metadata column (struct <=> struct is null-safe equality over every
+        field, vector arrays included — one codegen'd comparison, no
+        per-column chain)."""
         a = VectorCollection.open_snapshot(
             self.spark, self.embedding_dim, self.path, version_a
         ).df
@@ -517,39 +516,81 @@ class VectorCollection:
         meta_cols = sorted(
             (set(a.columns) | set(b.columns)) - {ID_COL, VECTOR_COL}
         )
-        an = a.select(
-            F.col(ID_COL),
-            F.struct(
-                F.col(VECTOR_COL),
-                *[
-                    (F.col(c) if c in a.columns else F.lit(None)).alias(c)
-                    for c in meta_cols
-                ],
-            ).alias("__a__"),
-        )
-        bn = b.select(
-            F.col(ID_COL),
-            F.struct(
-                F.col(VECTOR_COL),
-                *[
-                    (F.col(c) if c in b.columns else F.lit(None)).alias(c)
-                    for c in meta_cols
-                ],
-            ).alias("__b__"),
-        )
-        joined = an.join(bn, ID_COL, "full_outer")
-        # struct <=> struct is null-safe equality over every field, vector
-        # arrays included — one codegen'd comparison, no per-column chain
+
+        def side(df: DataFrame, alias: str) -> DataFrame:
+            return df.select(
+                F.col(ID_COL),
+                F.struct(
+                    F.col(VECTOR_COL),
+                    *[
+                        (F.col(c) if c in df.columns else F.lit(None)).alias(c)
+                        for c in meta_cols
+                    ],
+                ).alias(alias),
+            )
+
+        joined = side(a, "__a__").join(side(b, "__b__"), ID_COL, "full_outer")
         change = (
             F.when(F.col("__a__").isNull(), F.lit("added"))
             .when(F.col("__b__").isNull(), F.lit("removed"))
             .when(~F.col("__a__").eqNullSafe(F.col("__b__")), F.lit("changed"))
         )
-        return (
-            joined.withColumn("change", change)
-            .filter(F.col("change").isNotNull())
-            .select(ID_COL, "change")
+        return joined.withColumn("change", change), meta_cols
+
+    def diff_snapshots(self, version_a: int, version_b: int) -> DataFrame:
+        """Row-level change summary between two snapshot versions: one row
+        per id whose state differs, ``change ∈ {'added','removed',
+        'changed'}`` (ids identical in both versions are excluded — the
+        diff of a 100-TB store is read for its delta, not its unchanged
+        bulk).  Plan shape: a full outer join of two parquet scans on the
+        id — the one unavoidable shuffle of a diff; at scale both snapshot
+        writes would bucket by id so the join is co-partitioned
+        (save_snapshot writes whatever partitioning the plan carries, so a
+        bucketed writer slots in without touching this read path)."""
+        joined, _ = self._versions_joined(version_a, version_b)
+        return joined.filter(F.col("change").isNotNull()).select(ID_COL, "change")
+
+    def changes(self, version_a: int, version_b: int) -> DataFrame:
+        """Full CDC feed between two snapshot versions — ``diff_snapshots``
+        with the payload attached (the Delta-CDF / Debezium shape: ship the
+        delta, not the table).  One row per differing id with columns
+        ``(ID_COL, change, vector, <metadata...>)``; the payload is the
+        version_b row for 'added'/'changed' and all-NULL for 'removed'.
+        Feeding this frame to ``apply_changes`` on a handle at version_a
+        reconstructs version_b exactly — pinned by the cdc_apply_report
+        gate query.  Same single full-outer-join plan as diff_snapshots."""
+        joined, meta_cols = self._versions_joined(version_a, version_b)
+        return joined.filter(F.col("change").isNotNull()).select(
+            ID_COL,
+            "change",
+            F.col(f"__b__.{VECTOR_COL}").alias(VECTOR_COL),
+            *[F.col(f"__b__.{c}").alias(c) for c in meta_cols],
         )
+
+    def apply_changes(self, feed: DataFrame) -> None:
+        """Replay a ``changes()`` feed onto the current state — the
+        consumer half of CDC: drop every 'removed' id, full-row-replace
+        every 'changed' id, insert every 'added' id.  A handle opened at
+        version_a becomes exactly version_b after applying
+        ``changes(version_a, version_b)``.
+
+        This is a PHYSICAL replay: payload bytes are applied verbatim — no
+        re-normalization (the feed's vectors were already normalized at
+        their original ingest) and no dim re-validation, so replayed
+        vectors stay bit-identical to the source version.  Precondition:
+        one row per id (``changes()`` guarantees it; a feed with duplicate
+        ids would insert duplicates).  Plan: one anti join on the id (drop
+        every touched id) + a union of the added/changed payload — both
+        partition on the id key; a small nightly feed's anti join
+        broadcasts under AQE, a full-corpus feed shuffles like any merge.
+        Lazy like delete()/upsert(): nothing persists until save()."""
+        payload_cols = [c for c in feed.columns if c != "change"]
+        upserts = feed.filter(F.col("change") != F.lit("removed")).select(
+            *payload_cols
+        )
+        self._df = self._df.join(
+            feed.select(ID_COL), ID_COL, "left_anti"
+        ).unionByName(upserts, allowMissingColumns=True)
 
     def delete_where(self, predicate: Column | str) -> None:
         """Predicate delete — the set-based generalization of O5's id-list

@@ -528,6 +528,121 @@ ORDER BY change
 """
 
 
+def cdc_apply_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``changes()`` + ``apply_changes()`` through the gate — CDC REPLAY,
+    the consumer half of the change-feed story whose producer half
+    ``snapshot_diff_report`` already gates (Delta-CDF / Debezium pattern:
+    ship the delta, not the table).
+
+    Scenario (same mutation recipe as snapshot_diff_report, so the oracle
+    shares its delta algebra): v1 = fixture; v2 = delete ids ≡ 0 mod 7
+    (via the set-based delete_where), relabel the ≡ 3 mod 7 slice, insert
+    a +1M-shifted copy of the ≡ 1 mod 10 slice.  The feed
+    ``changes(v1, v2)`` — one full-outer join of the two snapshot scans —
+    is then replayed onto a FRESH handle opened at v1 via
+    ``apply_changes`` (one anti join + union, no re-normalization).
+
+    ``apply_ok`` is a full-row null-safe struct comparison of the replayed
+    state against v2 over a full-outer join: a dropped delete, a skipped
+    upsert, a re-normalized vector byte, or a phantom/duplicate row each
+    flips it false.  ``replay_rows`` pins the cardinality; the per-change
+    ``n``/``id_sum`` rows pin the feed itself with the arithmetic the
+    oracle recomputes in SQL.  Reference parity: the replay IS the
+    reference's upsert/delete surface (src/lib.rs:150-185, 273-286)
+    driven from a change feed instead of a user batch."""
+    idn = F.col(ID_COL).cast("bigint")
+    base = _collection_frame(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="nvdb_cdc_apply_")
+    store = f"{tmp}/col"
+    try:
+        col = VectorCollection.open(spark, EMBEDDING_DIM, store)
+        col.upsert(base)
+        v1 = col.save_snapshot()
+        col.delete_where(idn % 7 == 0)
+        delta = base.filter(idn % 7 == 3).withColumn(
+            "label", F.lit("edited")
+        ).unionByName(
+            base.filter(idn % 10 == 1).select(
+                (idn + 1_000_000).cast("string").alias(ID_COL),
+                F.col(VECTOR_COL),
+                F.lit("new").alias("label"),
+            )
+        )
+        col.upsert(delta)
+        v2 = col.save_snapshot()
+        feed = col.changes(v1, v2)
+        feed_stats = (
+            feed.select(F.col(ID_COL).cast("bigint").alias("idn"), "change")
+            .groupBy("change")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("idn").cast("decimal(38,0)"))
+                .cast("bigint")
+                .alias("id_sum"),
+            )
+        )
+        stat_rows = feed_stats.collect()
+        replay = VectorCollection.open_snapshot(spark, EMBEDDING_DIM, store, v1)
+        replay.apply_changes(feed)
+        target = VectorCollection.open_snapshot(spark, EMBEDDING_DIM, store, v2)
+        meta_cols = sorted(
+            (set(replay.df.columns) | set(target.df.columns))
+            - {ID_COL, VECTOR_COL}
+        )
+
+        def state(df: DataFrame, alias: str) -> DataFrame:
+            return df.select(
+                F.col(ID_COL),
+                F.struct(
+                    F.col(VECTOR_COL),
+                    *[
+                        (F.col(c) if c in df.columns else F.lit(None)).alias(c)
+                        for c in meta_cols
+                    ],
+                ).alias(alias),
+            )
+
+        cmp = state(replay.df, "__r__").join(
+            state(target.df, "__t__"), ID_COL, "full_outer"
+        )
+        mismatches = cmp.filter(
+            ~F.col("__r__").eqNullSafe(F.col("__t__"))
+        ).count()
+        replay_rows = replay.count()
+        apply_ok = mismatches == 0 and replay_rows == target.count()
+        out = (
+            spark.createDataFrame(stat_rows, feed_stats.schema)
+            .withColumn("apply_ok", F.lit(apply_ok))
+            .withColumn("replay_rows", F.lit(replay_rows).cast("bigint"))
+            .orderBy("change")
+        )
+        rows, schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+CDC_APPLY_SQL = """
+WITH delta AS (
+  SELECT 'removed' AS change, vec_id AS idn FROM embeddings
+  WHERE vec_id % 7 = 0
+  UNION ALL
+  SELECT 'changed' AS change, vec_id AS idn FROM embeddings
+  WHERE vec_id % 7 = 3
+  UNION ALL
+  SELECT 'added' AS change, vec_id + 1000000 AS idn FROM embeddings
+  WHERE vec_id % 10 = 1)
+SELECT change, count(*) AS n, CAST(sum(idn) AS BIGINT) AS id_sum,
+       TRUE AS apply_ok,
+       CAST((SELECT count(*) FROM embeddings WHERE vec_id % 7 <> 0)
+            + (SELECT count(*) FROM embeddings WHERE vec_id % 10 = 1)
+            AS BIGINT) AS replay_rows
+FROM delta
+GROUP BY change
+ORDER BY change
+"""
+
+
 def snapshot_retention_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``expire_snapshots`` through an oracle-checked query: take five
     snapshots (v_k holds the ids ≡ 0 mod k for k = 1..5 — each version a

@@ -743,3 +743,75 @@ def test_delete_snapshot_guard_holds_for_relative_path(spark, tmp_path, monkeypa
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     assert not os.path.exists(os.path.join(repo_root, "relstore.snapshots"))
     assert not os.path.exists(os.path.join(repo_root, "relstore"))
+
+
+# ---- changes() / apply_changes(): the CDC replay pair ----------------------
+
+
+def _two_versions(spark, coll):
+    """v1 = {a,b,c}; v2 = b relabeled, c deleted, d added. Unit vectors so
+    ingest normalization is the identity and payload equality is exact."""
+    coll.upsert(
+        make_batch(
+            spark,
+            [("a", [1, 0, 0, 0], "x"), ("b", [0, 1, 0, 0], "y"), ("c", [0, 0, 1, 0], "z")],
+        )
+    )
+    v1 = coll.save_snapshot()
+    coll.delete(["c"])
+    coll.upsert(make_batch(spark, [("b", [0, 1, 0, 0], "y2"), ("d", [0, 0, 0, 1], "w")]))
+    v2 = coll.save_snapshot()
+    return v1, v2
+
+
+def _state_set(df):
+    return {(r["__id__"], tuple(r["vector"]), r["tag"]) for r in df.collect()}
+
+
+def test_changes_feed_carries_b_side_payload(spark, coll):
+    v1, v2 = _two_versions(spark, coll)
+    feed = {r["__id__"]: r for r in coll.changes(v1, v2).collect()}
+    assert {k: r["change"] for k, r in feed.items()} == {
+        "b": "changed",
+        "c": "removed",
+        "d": "added",
+    }
+    # removed rows ship id+kind only — payload is all-NULL
+    assert feed["c"]["vector"] is None and feed["c"]["tag"] is None
+    # added/changed carry the version_b row verbatim
+    assert feed["d"]["tag"] == "w" and feed["d"]["vector"] == [0.0, 0.0, 0.0, 1.0]
+    assert feed["b"]["tag"] == "y2" and feed["b"]["vector"] == [0.0, 1.0, 0.0, 0.0]
+
+
+def test_apply_changes_reconstructs_target_version(spark, coll):
+    v1, v2 = _two_versions(spark, coll)
+    replay = VectorCollection.open_snapshot(spark, DIM, coll.path, v1)
+    replay.apply_changes(coll.changes(v1, v2))
+    want = _state_set(VectorCollection.open_snapshot(spark, DIM, coll.path, v2).df)
+    assert _state_set(replay.df) == want
+
+
+def test_apply_changes_empty_feed_is_noop(spark, coll):
+    coll.upsert(make_batch(spark, [("a", [1, 0, 0, 0], "x")]))
+    v1 = coll.save_snapshot()
+    v2 = coll.save_snapshot()  # identical content
+    feed = coll.changes(v1, v2)
+    assert feed.count() == 0
+    replay = VectorCollection.open_snapshot(spark, DIM, coll.path, v1)
+    replay.apply_changes(feed)
+    assert _state_set(replay.df) == {("a", (1.0, 0.0, 0.0, 0.0), "x")}
+
+
+def test_apply_changes_keeps_vector_bytes_verbatim(spark, coll):
+    # non-unit ingest vector: normalized exactly ONCE at upsert; the replay
+    # path must apply the feed's bytes verbatim (no re-normalization), so
+    # the replayed vector is bit-identical to the target snapshot's
+    coll.upsert(make_batch(spark, [("a", [1, 2, 3, 4], "x")]))
+    v1 = coll.save_snapshot()
+    coll.upsert(make_batch(spark, [("a", [1, 2, 3, 4], "relabeled")]))
+    v2 = coll.save_snapshot()
+    replay = VectorCollection.open_snapshot(spark, DIM, coll.path, v1)
+    replay.apply_changes(coll.changes(v1, v2))
+    [got] = replay.df.collect()
+    [want] = VectorCollection.open_snapshot(spark, DIM, coll.path, v2).df.collect()
+    assert got["vector"] == want["vector"] and got["tag"] == "relabeled"
