@@ -183,6 +183,66 @@ def test_snapshots_replay_model_state(spark_session, ops):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@settings(max_examples=5, deadline=None, derandomize=True)
+@given(ops=st.lists(st.one_of(_up_op, _del_op, _snap_op), min_size=2, max_size=6))
+def test_cdc_replay_reconstructs_any_later_version(spark_session, ops):
+    """CDC-replay law under ARBITRARY op sequences: for consecutive snapshot
+    versions (and the first→last pair), applying ``changes(vi, vj)`` to a
+    fresh handle opened at vi must reproduce EXACTLY the id→(vector, tag)
+    state the Python model recorded when vj was taken — the replay twin of
+    test_snapshots_replay_model_state, pinning that the feed misses no
+    mutation kind in any interleaving (delete-then-reinsert, repeated
+    relabels, no-op versions included)."""
+    import itertools
+    import shutil
+    import tempfile
+
+    spark = spark_session
+    tmp = tempfile.mkdtemp(prefix="nvdb_prop_cdc_")
+    try:
+        c = VectorCollection.open(spark, DIM, f"{tmp}/col")
+        model: dict[str, tuple] = {}
+        snaps: dict[int, dict] = {}
+        for kind, arg in [("snapshot", None)] + ops + [("snapshot", None)]:
+            if kind == "upsert":
+                rows = [(i, list(v), t) for i, (v, t) in arg.items()]
+                c.upsert(
+                    spark.createDataFrame(
+                        rows, "`__id__` string, vector array<float>, tag string"
+                    )
+                )
+                for i, (v, t) in arg.items():
+                    model[i] = (np.asarray(v, dtype=np.float32), t)
+            elif kind == "delete":
+                c.delete(arg)
+                for i in arg:
+                    model.pop(i, None)
+            else:
+                snaps[c.save_snapshot()] = dict(model)
+        versions = sorted(snaps)
+        pairs = set(itertools.pairwise(versions)) | {(versions[0], versions[-1])}
+        for vi, vj in pairs:
+            if vi == vj:
+                continue
+            replica = VectorCollection.open_snapshot(spark, DIM, f"{tmp}/col", vi)
+            replica.apply_changes(c.changes(vi, vj))
+            got = {
+                r["__id__"]: (np.asarray(r["vector"], dtype=np.float32), r["tag"])
+                for r in replica.df.collect()
+            }
+            want = snaps[vj]
+            assert set(got) == set(want), f"replay v{vi}->v{vj}: id sets differ"
+            for i in want:
+                wv = want[i][0].astype(np.float64)
+                wv = (wv / np.linalg.norm(wv)).astype(np.float32)
+                assert got[i][1] == want[i][1], f"replay v{vi}->v{vj}/{i}: tag"
+                assert np.allclose(got[i][0], wv, atol=1e-6), (
+                    f"replay v{vi}->v{vj}/{i}: vector"
+                )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @settings(max_examples=10, deadline=None, derandomize=True)
 @given(
     ops=st.lists(
