@@ -105,6 +105,12 @@ PROBES = [
     ("snapshot_diff_report", lifecycle.snapshot_diff_report, ("embeddings",)),
     ("snapshot_retention_report", lifecycle.snapshot_retention_report, ("embeddings",)),
     ("minhash_index_merge_stats", dedup.minhash_index_merge_stats, ("documents",)),
+    # r09-born late addition: CDC replay — two snapshot writes + the
+    # full-outer change-feed join + the apply's anti join + union + the
+    # full-row verification join; every stage id-keyed, so the slope must
+    # stay linear (a replay that re-shuffled per change type or verified
+    # pairwise would show here)
+    ("cdc_apply_report", lifecycle.cdc_apply_report, ("embeddings",)),
 ]
 
 ALL_TABLES = [
