@@ -41,7 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Declared query surface, 149 entries — every entry has a DuckDB value
+    """Declared query surface, 150 entries — every entry has a DuckDB value
     oracle in ``oracle_sql()`` (zero rows-only checks since round 5).
 
     GATE-ROTATION POLICY: the driver's correctness gate checks the FIRST 50
@@ -73,14 +73,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_keep_best (oldest r06 green; this round's bench-retime
         target, adjudicated quiet at 0.79 s in BENCH.json) stays at 51+
         and rotates in with the r06 block next round.
-      - LATE-r09 ADJUDICATION: cdc_apply_report (r09-born mid-round — the
-        CDC replay consumer completing snapshot_diff_report's producer) is
-        also gated from birth per the same policy; born-gating outranks
-        the last marginal freshness slot, so it displaces token_counts
-        (r05-latest, multiply green r02-r05, local parity green every
-        round) to 51+. token_counts goes FIRST in the r10 queue below —
-        the one r05 row the "nothing predates r06" target consciously
-        leaves behind this round.
+      - LATE-r09 ADJUDICATION: cdc_apply_report and streaming_cdc_apply
+        (both r09-born mid-round — the batch CDC replay consumer
+        completing snapshot_diff_report's producer, and its streaming
+        foreachBatch twin) are gated from birth per the same policy;
+        born-gating outranks the last marginal freshness slots, so they
+        displace token_counts and repetition_scores (both r05-latest,
+        multiply green, local parity green every round) to 51+. Those two
+        go FIRST in the r10 queue below — the two r05 rows the "nothing
+        predates r06" target consciously leaves behind this round.
       - Rotated out to 51+ to make room: the r08 freshness block (all
         green r08, the freshest evidence in the ledger) and the r07-debut
         holders, now multiply green (jsonl/orc roundtrips,
@@ -93,7 +94,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     * R10 ROTATION QUEUE (write-ahead note): nothing will be unverified
       after r09, so the r10 gate is pure freshness — the 18 queries whose
       latest driver row will still be r05/r06 after this round —
-      token_counts (r05, displaced above) first, then the 18 r06 holdouts
+      token_counts and repetition_scores (r05, displaced above) first,
+      then the 18 r06 holdouts
       (19 were r06-latest entering r09, but save_roundtrip_stats re-gated
       THIS round for the crash-safe save change): (ann_lsh_topk,
       ann_pq_topk, ann_pq_codes_topk,
@@ -123,8 +125,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff_report": lifecycle.snapshot_diff_report,
         # NEW r09 (born mid-round), gated from birth: CDC replay — the
         # consumer half of the change feed (changes() + apply_changes();
-        # displaces token_counts per the docstring adjudication)
+        # displaces token_counts per the docstring adjudication) — and its
+        # streaming foreachBatch twin (displaces repetition_scores)
         "cdc_apply_report": lifecycle.cdc_apply_report,
+        "streaming_cdc_apply": collection_stream.streaming_cdc_apply,
         # CHANGED r09 (content-keyed probe read-schema cache) — re-gated
         "ann_ivf_pq_topk": similarity.ann_ivf_pq_topk,
         # ---- staleness block A: every query whose latest driver row
@@ -171,7 +175,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_embeddings": similarity.near_dup_embeddings,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "pack_sequences": pipeline.pack_sequences,
-        "repetition_scores": textops.repetition_scores,
         # NEW r09, gated from birth: the GC half of the crash-safety work
         # (VectorCollection.vacuum reclaiming stranded .staging/.old,
         # orphan snapshot dirs and manifest tmp files, live state pinned)
@@ -179,9 +182,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---------------- entry 51+ (full local coverage every round
         # via test_oracle_parity) — all green r07/r08 or multiply green -
         "dedup_keep_best": dedup.dedup_keep_best,
-        # displaced late-r09 by cdc_apply_report's birth-gating (see
-        # docstring adjudication); first in the r10 queue
+        # displaced late-r09 by the CDC pair's birth-gating (see docstring
+        # adjudication); first two in the r10 queue
         "token_counts": textops.token_counts,
+        "repetition_scores": textops.repetition_scores,
         "snapshot_time_travel": lifecycle.snapshot_time_travel,
         "jsonl_export_roundtrip": lifecycle.jsonl_export_roundtrip,
         "orc_export_roundtrip": lifecycle.orc_export_roundtrip,
@@ -433,6 +437,7 @@ def oracle_sql() -> dict[str, str]:
         "join_skew_advisor": advanced.JOIN_SKEW_ADVISOR_SQL,
         # --- r07 5th wave ---
         "snapshot_time_travel": lifecycle.SNAPSHOT_TIME_TRAVEL_SQL,
+        "streaming_cdc_apply": collection_stream.STREAMING_CDC_APPLY_SQL,
         "streaming_collection_upsert": (
             collection_stream.STREAMING_COLLECTION_UPSERT_SQL
         ),

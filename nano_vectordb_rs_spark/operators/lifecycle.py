@@ -605,11 +605,18 @@ def cdc_apply_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         cmp = state(replay.df, "__r__").join(
             state(target.df, "__t__"), ID_COL, "full_outer"
         )
-        mismatches = cmp.filter(
-            ~F.col("__r__").eqNullSafe(F.col("__t__"))
-        ).count()
-        replay_rows = replay.count()
-        apply_ok = mismatches == 0 and replay_rows == target.count()
+        # one action for the whole verification: mismatch count (covers
+        # phantom/missing ids too — an id on only one side has one null
+        # struct) plus both cardinalities off the same join
+        [v] = cmp.agg(
+            F.sum(
+                (~F.col("__r__").eqNullSafe(F.col("__t__"))).cast("long")
+            ).alias("mismatches"),
+            F.count("__r__").alias("replay_rows"),
+            F.count("__t__").alias("target_rows"),
+        ).collect()
+        replay_rows = v["replay_rows"]
+        apply_ok = (v["mismatches"] or 0) == 0 and replay_rows == v["target_rows"]
         out = (
             spark.createDataFrame(stat_rows, feed_stats.schema)
             .withColumn("apply_ok", F.lit(apply_ok))

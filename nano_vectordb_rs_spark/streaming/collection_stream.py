@@ -166,3 +166,165 @@ FROM final
 GROUP BY label
 ORDER BY label
 """
+
+
+def stream_apply_changes(
+    collection: VectorCollection,
+    feed_stream: DataFrame,
+    checkpoint_dir: str,
+    save_every_batch: bool = True,
+) -> Any:
+    """Drain a STREAMING CDC feed (``changes()`` schema: __id__, change,
+    vector, metadata...) into ``collection`` — the streaming twin of
+    ``apply_changes`` the way ``stream_upsert`` is the streaming twin of
+    O2 upsert.  Each micro-batch goes through
+    ``VectorCollection.apply_changes`` itself, so the batch semantics
+    (drop removed ids, full-row-replace changed, insert added, payload
+    bytes verbatim — no re-normalization) are reused verbatim: one code
+    path, two execution modes.
+
+    Exactly-once notes: the checkpoint makes batch delivery at-least-once
+    across restarts; apply_changes is idempotent per id (re-applying a
+    batch re-deletes / re-replaces the same ids), so the collection
+    converges — pinned by the full-checkpoint-loss replay in
+    tests/test_streaming.py.  Ordering ACROSS batches is the feed
+    producer's contract (a change feed is a sequence): feeds whose waves
+    touch disjoint ids are order-free; replaying interleaved mutations of
+    the same id requires per-id ordering the file source does not promise.
+
+    ``save_every_batch=True`` persists after each micro-batch AND bounds
+    the plan: save() re-points the handle at the just-written Parquet, so
+    the anti-join lineage cannot grow with the number of batches (an
+    unbounded drain with save_every_batch=False would).  availableNow
+    trigger — process everything currently available, then stop."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        collection.apply_changes(batch_df)
+        if save_every_batch:
+            collection.save()
+
+    q = (
+        feed_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def streaming_cdc_apply(spark: "SparkSession", sf_dir: str) -> DataFrame:
+    """Declared gate query for the streaming CDC path: seed a collection
+    from the embeddings fixture, then drain a file-source STREAM of three
+    disjoint change-feed waves through ``stream_apply_changes``
+    (foreachBatch → ``VectorCollection.apply_changes`` → one ``save()``),
+    reopen the store from disk, and report the final per-label state.
+
+    Waves (disjoint by id — the final state is identical under ANY
+    micro-batch split or ordering, availableNow promises neither):
+      * 'removed' for ids ≡ 0 (mod 7), payload all-NULL (the feed wire
+        shape ``changes()`` produces for deletes)
+      * 'changed' for ids ≡ 3 (mod 7): label → 'edited', vector = the
+        collection's own normalized bytes (a physical feed ships the
+        stored representation)
+      * 'added' for ids ≡ 1 (mod 10), shifted +1_000_000, label 'new'
+    A dropped delete, a double-applied replace, a re-normalized payload
+    byte or a lost batch all shift the per-label counts/id-sums or flip
+    ``all_unit_norm`` (which holds because the replayed bytes ARE the
+    normalized ingest bytes, applied verbatim).
+
+    Scale: identical plan shape to the batch apply — per micro-batch one
+    id-keyed anti join + union against the collection scan; state lives
+    in Parquet, not the state store, so collection size is unbounded by
+    streaming memory.  The same shape a 1000-executor continuous CDC
+    subscription runs (Delta-CDF consumer)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import SparkSession, functions as F  # noqa: F811
+
+    from nano_vectordb_rs_spark.collection import ID_COL, VECTOR_COL
+    from nano_vectordb_rs_spark.functions.vector import (
+        EMBEDDING_DIM,
+        as_double_array,
+        norm_expr,
+    )
+    from nano_vectordb_rs_spark.sources.tables import load_table
+
+    base = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("string").alias(ID_COL),
+        F.col("embedding").alias(VECTOR_COL),
+        F.col("label").cast("string").alias("label"),
+    )
+    idn = F.col(ID_COL).cast("bigint")
+    tmp = tempfile.mkdtemp(prefix="nvdb_stream_cdc_")
+    src, ckpt, store = f"{tmp}/feed", f"{tmp}/ckpt", f"{tmp}/col"
+    try:
+        col = VectorCollection.open(spark, EMBEDDING_DIM, store)
+        col.upsert(base)
+        col.save()
+        state = col.df  # normalized ingested bytes — the wire payload
+        null_vec = F.lit(None).cast("array<float>")
+        waves = [
+            state.filter(idn % 7 == 0).select(
+                ID_COL,
+                F.lit("removed").alias("change"),
+                null_vec.alias(VECTOR_COL),
+                F.lit(None).cast("string").alias("label"),
+            ),
+            state.filter(idn % 7 == 3).select(
+                ID_COL,
+                F.lit("changed").alias("change"),
+                F.col(VECTOR_COL),
+                F.lit("edited").alias("label"),
+            ),
+            state.filter(idn % 10 == 1).select(
+                (idn + 1_000_000).cast("string").alias(ID_COL),
+                F.lit("added").alias("change"),
+                F.col(VECTOR_COL),
+                F.lit("new").alias("label"),
+            ),
+        ]
+        for w in waves:
+            w.write.mode("append").parquet(src)
+        feed = spark.readStream.schema(waves[0].schema).parquet(src)
+        stream_apply_changes(col, feed, ckpt, save_every_batch=False)
+        col.save()
+        reopened = VectorCollection.open(spark, EMBEDDING_DIM, store)
+        norm = F.expr(norm_expr(as_double_array(VECTOR_COL)))
+        out = (
+            reopened.df.select(
+                "label", F.col(ID_COL).cast("bigint").alias("idn"), norm.alias("nrm")
+            )
+            .groupBy("label")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.countDistinct("idn").alias("n_ids"),
+                F.sum(F.col("idn").cast("decimal(38,0)")).cast("bigint").alias("id_sum"),
+                (F.max(F.abs(F.col("nrm") - 1.0)) < 1e-3).alias("all_unit_norm"),
+            )
+            .orderBy("label")
+        )
+        rows, schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+STREAMING_CDC_APPLY_SQL = """
+WITH final AS (
+  SELECT CASE WHEN vec_id % 7 = 3 THEN 'edited'
+              ELSE CAST(label AS VARCHAR) END AS label,
+         vec_id AS idn
+  FROM embeddings WHERE vec_id % 7 <> 0
+  UNION ALL
+  SELECT 'new' AS label, vec_id + 1000000 AS idn
+  FROM embeddings WHERE vec_id % 10 = 1)
+SELECT label, count(*) AS n_rows, count(DISTINCT idn) AS n_ids,
+       CAST(sum(idn) AS BIGINT) AS id_sum, TRUE AS all_unit_norm
+FROM final
+GROUP BY label
+ORDER BY label
+"""

@@ -388,3 +388,71 @@ def test_stream_upsert_crash_recovery_equals_single_drain(spark, tmp_path):
         str(tmp_path / "ckpt_a2"),
     )
     assert state(col_a) == resumed
+
+
+def test_stream_apply_changes_replays_feed(spark, tmp_path):
+    """Streaming CDC apply: a change-feed drained through foreachBatch must
+    leave the same state as the batch apply_changes — and RE-draining the
+    whole feed on a FRESH checkpoint (full redelivery, the at-least-once
+    worst case) must converge to the same state (idempotence per id)."""
+    from nano_vectordb_rs_spark.collection import VectorCollection
+    from nano_vectordb_rs_spark.streaming.collection_stream import (
+        stream_apply_changes,
+    )
+
+    schema = "`__id__` string, vector array<float>, tag string"
+    feed_schema = "`__id__` string, change string, vector array<float>, tag string"
+    coll_path = str(tmp_path / "coll")
+    coll = VectorCollection.open(spark, 4, coll_path)
+    coll.upsert(
+        spark.createDataFrame(
+            [
+                ("a", [1.0, 0.0, 0.0, 0.0], "x"),
+                ("b", [0.0, 1.0, 0.0, 0.0], "y"),
+                ("c", [0.0, 0.0, 1.0, 0.0], "z"),
+            ],
+            schema,
+        )
+    )
+    coll.save()
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    spark.createDataFrame(
+        [
+            ("c", "removed", None, None),
+            ("b", "changed", [0.0, 1.0, 0.0, 0.0], "y2"),
+            ("d", "added", [0.0, 0.0, 0.0, 1.0], "w"),
+        ],
+        feed_schema,
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "wave1"))
+
+    def read_feed():
+        return (
+            spark.readStream.schema(feed_schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .format("parquet")
+            .load(str(src))
+        )
+
+    want = {
+        ("a", (1.0, 0.0, 0.0, 0.0), "x"),
+        ("b", (0.0, 1.0, 0.0, 0.0), "y2"),
+        ("d", (0.0, 0.0, 0.0, 1.0), "w"),
+    }
+
+    def state():
+        final = VectorCollection.open(spark, 4, coll_path)
+        return {
+            (r["__id__"], tuple(r["vector"]), r["tag"]) for r in final.df.collect()
+        }
+
+    stream_apply_changes(coll, read_feed(), str(tmp_path / "ckpt1"))
+    assert state() == want
+
+    # full checkpoint loss: the whole feed is redelivered to a fresh handle;
+    # apply_changes is idempotent per id, so the state must not change
+    coll2 = VectorCollection.open(spark, 4, coll_path)
+    stream_apply_changes(coll2, read_feed(), str(tmp_path / "ckpt2"))
+    assert state() == want
