@@ -579,14 +579,35 @@ class VectorCollection:
         their original ingest) and no dim re-validation, so replayed
         vectors stay bit-identical to the source version.  Precondition:
         one row per id (``changes()`` guarantees it; a feed with duplicate
-        ids would insert duplicates).  Plan: one anti join on the id (drop
-        every touched id) + a union of the added/changed payload — both
-        partition on the id key; a small nightly feed's anti join
-        broadcasts under AQE, a full-corpus feed shuffles like any merge.
-        Lazy like delete()/upsert(): nothing persists until save()."""
+        ids would insert duplicates).  A hand-built feed with an unknown
+        or NULL ``change`` kind fails at evaluation time via
+        ``raise_error`` (lazy, like the rest of the plan) — without the
+        guard such a row would silently act as a delete (its id anti-joins
+        away, NULL never matches the upsert filter).  Plan: one anti join
+        on the id (drop every touched id) + a union of the added/changed
+        payload — both partition on the id key; a small nightly feed's
+        anti join broadcasts under AQE, a full-corpus feed shuffles like
+        any merge.  Lazy like delete()/upsert(): nothing persists until
+        save()."""
         payload_cols = [c for c in feed.columns if c != "change"]
-        upserts = feed.filter(F.col("change") != F.lit("removed")).select(
-            *payload_cols
+        # validated kind column: computed (not a raw parquet column), so the
+        # filter below cannot be pushed past it — every feed row's kind is
+        # checked on the upsert branch's scan
+        kind = F.when(
+            F.col("change").isin("added", "changed", "removed"),
+            F.col("change"),
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("apply_changes: unknown change kind "),
+                    F.coalesce(F.col("change"), F.lit("NULL")),
+                )
+            )
+        )
+        upserts = (
+            feed.withColumn("change", kind)
+            .filter(F.col("change") != F.lit("removed"))
+            .select(*payload_cols)
         )
         self._df = self._df.join(
             feed.select(ID_COL), ID_COL, "left_anti"

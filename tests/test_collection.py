@@ -815,3 +815,19 @@ def test_apply_changes_keeps_vector_bytes_verbatim(spark, coll):
     [got] = replay.df.collect()
     [want] = VectorCollection.open_snapshot(spark, DIM, coll.path, v2).df.collect()
     assert got["vector"] == want["vector"] and got["tag"] == "relabeled"
+
+
+def test_apply_changes_rejects_unknown_change_kind(spark, coll):
+    # a hand-built feed with a NULL/unknown kind must error at evaluation,
+    # not silently delete the row (its id anti-joins away while NULL never
+    # matches the upsert filter)
+    coll.upsert(make_batch(spark, [("a", [1, 0, 0, 0], "x")]))
+    feed_schema = "`__id__` string, change string, vector array<float>, tag string"
+    for bad_kind in [None, "frobnicate"]:
+        replica = VectorCollection.open(spark, DIM, coll.path + "_r", SCHEMA)
+        replica.upsert(make_batch(spark, [("a", [1, 0, 0, 0], "x")]))
+        replica.apply_changes(
+            spark.createDataFrame([("a", bad_kind, None, None)], feed_schema)
+        )
+        with pytest.raises(Exception, match="unknown change kind"):
+            replica.df.collect()
