@@ -42,6 +42,7 @@ from nano_vectordb_rs_spark.operators import (  # noqa: E402
     similarity,
     textops,
 )
+from nano_vectordb_rs_spark.streaming import collection_stream  # noqa: E402
 
 BASE_SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 MULTS = [int(m) for m in sys.argv[2:]] or [1, 2, 4]
@@ -111,6 +112,10 @@ PROBES = [
     # stay linear (a replay that re-shuffled per change type or verified
     # pairwise would show here)
     ("cdc_apply_report", lifecycle.cdc_apply_report, ("embeddings",)),
+    # streaming twin: checkpointed foreachBatch drain of the three change
+    # waves — fixed trigger/checkpoint overhead plus the same id-keyed
+    # joins per micro-batch; must stay linear like its batch twin
+    ("streaming_cdc_apply", collection_stream.streaming_cdc_apply, ("embeddings",)),
 ]
 
 ALL_TABLES = [
