@@ -531,3 +531,38 @@ def test_compaction_plan_window_runs_on_day_frame(spark, queries):
     assert plan.count("Exchange SinglePartition") <= 1
     assert a["n_broadcast_joins"] == 0 and a["n_sort_merge_joins"] == 0
     assert a["n_shuffles"] <= 4  # day agg + day window + file agg + sort
+
+
+def test_cdc_changes_and_apply_plans_are_id_keyed_joins(spark, tmp_path):
+    """The CDC pair's scale claims as plan assertions: changes() is ONE
+    full-outer join of two snapshot scans with a single codegen'd struct
+    comparison (no cartesian/nested-loop anywhere), and apply_changes() is
+    one LEFT ANTI join + union (the merge shape that co-partitions under a
+    bucketed writer). A refactor that introduced a per-column comparison
+    chain or a nested-loop dedup would fail here before any benchmark
+    notices."""
+    from nano_vectordb_rs_spark.collection import VectorCollection
+    from nano_vectordb_rs_spark.plans.audit import plan_string
+
+    c = VectorCollection.open(spark, 4, str(tmp_path / "coll"))
+    c.upsert(
+        spark.createDataFrame(
+            [("a", [1.0, 0.0, 0.0, 0.0], "x"), ("b", [0.0, 1.0, 0.0, 0.0], "y")],
+            "`__id__` string, vector array<float>, tag string",
+        )
+    )
+    v1 = c.save_snapshot()
+    c.delete(["b"])
+    v2 = c.save_snapshot()
+
+    feed = c.changes(v1, v2)
+    fp = plan_string(feed)
+    assert "FullOuter" in fp
+    assert "CartesianProduct" not in fp and "BroadcastNestedLoopJoin" not in fp
+
+    replica = VectorCollection.open_snapshot(spark, 4, str(tmp_path / "coll"), v1)
+    replica.apply_changes(feed)
+    ap = plan_string(replica.df)
+    assert "LeftAnti" in ap
+    assert "Union" in ap
+    assert "CartesianProduct" not in ap and "BroadcastNestedLoopJoin" not in ap
