@@ -41,7 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Declared query surface, 150 entries — every entry has a DuckDB value
+    """Declared query surface, 151 entries — every entry has a DuckDB value
     oracle in ``oracle_sql()`` (zero rows-only checks since round 5).
 
     GATE-ROTATION POLICY: the driver's correctness gate checks the FIRST 50
@@ -73,15 +73,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_keep_best (oldest r06 green; this round's bench-retime
         target, adjudicated quiet at 0.79 s in BENCH.json) stays at 51+
         and rotates in with the r06 block next round.
-      - LATE-r09 ADJUDICATION: cdc_apply_report and streaming_cdc_apply
-        (both r09-born mid-round — the batch CDC replay consumer
-        completing snapshot_diff_report's producer, and its streaming
-        foreachBatch twin) are gated from birth per the same policy;
-        born-gating outranks the last marginal freshness slots, so they
-        displace token_counts and repetition_scores (both r05-latest,
-        multiply green, local parity green every round) to 51+. Those two
-        go FIRST in the r10 queue below — the two r05 rows the "nothing
-        predates r06" target consciously leaves behind this round.
+      - LATE-r09 ADJUDICATION: cdc_apply_report, streaming_cdc_apply and
+        pii_scrub_report (all r09-born mid-round — the batch CDC replay
+        consumer completing snapshot_diff_report's producer, its streaming
+        foreachBatch twin, and the document-level PII scrub with an
+        injection-by-construction oracle) are gated from birth per the
+        same policy; born-gating outranks the last marginal freshness
+        slots, so they displace token_counts, repetition_scores and
+        media_inventory (all r05-latest, multiply green, local parity
+        green every round) to 51+. Those three go FIRST in the r10 queue
+        below — the three r05 rows the "nothing predates r06" target
+        consciously leaves behind this round.
       - Rotated out to 51+ to make room: the r08 freshness block (all
         green r08, the freshest evidence in the ledger) and the r07-debut
         holders, now multiply green (jsonl/orc roundtrips,
@@ -94,8 +96,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     * R10 ROTATION QUEUE (write-ahead note): nothing will be unverified
       after r09, so the r10 gate is pure freshness — the 18 queries whose
       latest driver row will still be r05/r06 after this round —
-      token_counts and repetition_scores (r05, displaced above) first,
-      then the 18 r06 holdouts
+      token_counts, repetition_scores and media_inventory (r05, displaced
+      above) first, then the 18 r06 holdouts
       (19 were r06-latest entering r09, but save_roundtrip_stats re-gated
       THIS round for the crash-safe save change): (ann_lsh_topk,
       ann_pq_topk, ann_pq_codes_topk,
@@ -129,6 +131,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming foreachBatch twin (displaces repetition_scores)
         "cdc_apply_report": lifecycle.cdc_apply_report,
         "streaming_cdc_apply": collection_stream.streaming_cdc_apply,
+        # NEW r09 (born mid-round), gated from birth: document-level PII
+        # scrub, injection-by-construction oracle (displaces
+        # media_inventory per the docstring adjudication)
+        "pii_scrub_report": textops.pii_scrub_report,
         # CHANGED r09 (content-keyed probe read-schema cache) — re-gated
         "ann_ivf_pq_topk": similarity.ann_ivf_pq_topk,
         # ---- staleness block A: every query whose latest driver row
@@ -170,7 +176,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_embeddings": pipeline.kmeans_embeddings,
         "knn_join": similarity.knn_join,
         "media_fingerprints": multimodal.media_fingerprints,
-        "media_inventory": multimodal.media_inventory,
         "minhash_near_dup_docs": dedup.minhash_near_dup_docs,
         "near_dup_embeddings": similarity.near_dup_embeddings,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -186,6 +191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # adjudication); first two in the r10 queue
         "token_counts": textops.token_counts,
         "repetition_scores": textops.repetition_scores,
+        "media_inventory": multimodal.media_inventory,
         "snapshot_time_travel": lifecycle.snapshot_time_travel,
         "jsonl_export_roundtrip": lifecycle.jsonl_export_roundtrip,
         "orc_export_roundtrip": lifecycle.orc_export_roundtrip,
@@ -438,6 +444,7 @@ def oracle_sql() -> dict[str, str]:
         # --- r07 5th wave ---
         "snapshot_time_travel": lifecycle.SNAPSHOT_TIME_TRAVEL_SQL,
         "streaming_cdc_apply": collection_stream.STREAMING_CDC_APPLY_SQL,
+        "pii_scrub_report": textops.PII_SCRUB_SQL,
         "streaming_collection_upsert": (
             collection_stream.STREAMING_COLLECTION_UPSERT_SQL
         ),

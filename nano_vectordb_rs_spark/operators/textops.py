@@ -796,3 +796,109 @@ FROM (
 WHERE rank <= {COLLOC_TOP}
 ORDER BY lang, rank
 """
+
+
+# --- document-level PII scrubbing --------------------------------------------
+
+# the two redaction kernels under test (Java regex, JVM-side regexp_replace)
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+def pii_scrub_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level PII redaction before a corpus becomes training data —
+    the free-text sibling of the structured-log scrub
+    (``events_props_scrub``): redact email addresses and phone numbers with
+    placeholder tokens and report, per source, what the scrub did (match
+    counts, length delta, order-free checksum of the redacted corpus).
+
+    Oracle design — INJECTION BY CONSTRUCTION, the strongest independence
+    this family has: the documents fixture is verified pattern-free (zero
+    '@' characters, zero phone shapes, at every SF), so the query first
+    appends deterministic PII built from ``doc_id`` arithmetic (an email
+    for ids ≡ 0 mod 13, a phone for ids ≡ 0 mod 17), then runs the REAL
+    regex kernels over the augmented text.  The DuckDB oracle never
+    touches a regex: it constructs the expected redacted string
+    analytically from the same arithmetic.  A kernel that over-matches
+    (eats legitimate text), under-matches (misses an injected value), or
+    redacts in the wrong order diverges from the constructed expectation
+    and fails the checksum — unlike a same-regex-both-sides oracle, which
+    would share any misunderstanding.
+
+    Scale: scan-local projection (concat + two regexp_replace + md5)
+    followed by one source-keyed aggregation whose checksum is a
+    commutative SUM (map-side combines; O(1) state per key — the same
+    mergeable-checksum trick as events_props_scrub)."""
+    docs = load_table(spark, sf_dir, "documents")
+    idc = F.col("doc_id")
+    email_sfx = F.when(
+        idc % 13 == 0,
+        F.concat(
+            F.lit(" contact user"), idc.cast("string"), F.lit("@example.com now")
+        ),
+    ).otherwise(F.lit(""))
+    phone_sfx = F.when(
+        idc % 17 == 0,
+        F.concat(
+            F.lit(" call "),
+            (idc % 900 + 100).cast("string"),
+            F.lit("-555-"),
+            F.lpad((idc % 10000).cast("string"), 4, "0"),
+            F.lit(" today"),
+        ),
+    ).otherwise(F.lit(""))
+    aug = F.concat(F.col("text"), email_sfx, phone_sfx)
+    red = F.regexp_replace(
+        F.regexp_replace(aug, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    row_hash = F.conv(F.substring(F.md5(red), 1, 8), 16, 10).cast("bigint")
+    return (
+        docs.select(
+            "source",
+            F.regexp_count(aug, F.lit(_EMAIL_RE)).alias("e"),
+            F.regexp_count(aug, F.lit(_PHONE_RE)).alias("p"),
+            (F.length(red) - F.length(aug)).alias("delta"),
+            row_hash.alias("h"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("e").alias("emails_redacted"),
+            F.sum("p").alias("phones_redacted"),
+            F.sum("delta").alias("len_delta"),
+            F.sum("h").alias("redacted_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+PII_SCRUB_SQL = """
+WITH aug AS (
+  SELECT source,
+         text
+           || CASE WHEN doc_id % 13 = 0
+                   THEN ' contact user' || doc_id || '@example.com now'
+                   ELSE '' END
+           || CASE WHEN doc_id % 17 = 0
+                   THEN ' call ' || (doc_id % 900 + 100) || '-555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        || ' today'
+                   ELSE '' END AS t,
+         text
+           || CASE WHEN doc_id % 13 = 0 THEN ' contact [EMAIL] now' ELSE '' END
+           || CASE WHEN doc_id % 17 = 0 THEN ' call [PHONE] today' ELSE '' END
+           AS red,
+         CAST(doc_id % 13 = 0 AS INT) AS e,
+         CAST(doc_id % 17 = 0 AS INT) AS p
+  FROM documents)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(e) AS BIGINT) AS emails_redacted,
+       CAST(sum(p) AS BIGINT) AS phones_redacted,
+       CAST(sum(length(red) - length(t)) AS BIGINT) AS len_delta,
+       CAST(sum(CAST('0x' || substr(md5(red), 1, 8) AS BIGINT)) AS BIGINT)
+         AS redacted_checksum
+FROM aug
+GROUP BY source
+ORDER BY source
+"""
