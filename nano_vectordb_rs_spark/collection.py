@@ -40,6 +40,7 @@ from nano_vectordb_rs_spark.functions.vector import (
     as_double_array,
     dot_expr,
     norm_expr,
+    qcol,
 )
 
 ID_COL = "__id__"
@@ -518,12 +519,14 @@ class VectorCollection:
         )
 
         def side(df: DataFrame, alias: str) -> DataFrame:
+            # qcol (literal-name resolution), not F.col(c): a metadata
+            # column named with '.' or '`' would misresolve as a path
             return df.select(
                 F.col(ID_COL),
                 F.struct(
                     F.col(VECTOR_COL),
                     *[
-                        (F.col(c) if c in df.columns else F.lit(None)).alias(c)
+                        (qcol(c) if c in df.columns else F.lit(None)).alias(c)
                         for c in meta_cols
                     ],
                 ).alias(alias),
@@ -560,14 +563,20 @@ class VectorCollection:
         reconstructs version_b exactly — pinned by the cdc_apply_report
         gate query.  Same single full-outer-join plan as diff_snapshots."""
         joined, meta_cols = self._versions_joined(version_a, version_b)
+        # struct indexing (col("__b__")[c]), not a dotted f-string path:
+        # upsert accepts arbitrary metadata column names, and a name
+        # containing '.' or '`' would misresolve as a nested path
+        b = F.col("__b__")
         return joined.filter(F.col("change").isNotNull()).select(
             ID_COL,
             "change",
-            F.col(f"__b__.{VECTOR_COL}").alias(VECTOR_COL),
-            *[F.col(f"__b__.{c}").alias(c) for c in meta_cols],
+            b[VECTOR_COL].alias(VECTOR_COL),
+            *[b[c].alias(c) for c in meta_cols],
         )
 
-    def apply_changes(self, feed: DataFrame) -> None:
+    def apply_changes(
+        self, feed: DataFrame, validate_unique_ids: bool = True
+    ) -> None:
         """Replay a ``changes()`` feed onto the current state — the
         consumer half of CDC: drop every 'removed' id, full-row-replace
         every 'changed' id, insert every 'added' id.  A handle opened at
@@ -578,17 +587,24 @@ class VectorCollection:
         re-normalization (the feed's vectors were already normalized at
         their original ingest) and no dim re-validation, so replayed
         vectors stay bit-identical to the source version.  Precondition:
-        one row per id (``changes()`` guarantees it; a feed with duplicate
-        ids would insert duplicates).  A hand-built feed with an unknown
-        or NULL ``change`` kind fails at evaluation time via
-        ``raise_error`` (lazy, like the rest of the plan) — without the
-        guard such a row would silently act as a delete (its id anti-joins
-        away, NULL never matches the upsert filter).  Plan: one anti join
-        on the id (drop every touched id) + a union of the added/changed
-        payload — both partition on the id key; a small nightly feed's
-        anti join broadcasts under AQE, a full-corpus feed shuffles like
-        any merge.  Lazy like delete()/upsert(): nothing persists until
-        save()."""
+        one row per id (``changes()`` guarantees it by construction).  A
+        hand-built feed with an unknown or NULL ``change`` kind, or — with
+        ``validate_unique_ids`` (default) — a duplicate id, fails at
+        evaluation time via ``raise_error`` (lazy, like the rest of the
+        plan): without the kind guard an unknown row would silently act as
+        a delete (its id anti-joins away, NULL never matches the upsert
+        filter), and without the id guard a duplicate feed id would insert
+        duplicate rows, breaking the per-id invariant every other mutator
+        (upsert/delete) preserves.  The id guard is a count window keyed
+        on the id — the same key the anti join shuffles on, so a shuffled
+        feed reuses the exchange; feeds that are one-row-per-id by
+        construction (``changes()`` output on a hot path) can pass
+        ``validate_unique_ids=False`` to let a small feed broadcast
+        without the window shuffle.  Plan: one anti join on the id (drop
+        every touched id) + a union of the added/changed payload — both
+        partition on the id key; a small nightly feed's anti join
+        broadcasts under AQE, a full-corpus feed shuffles like any merge.
+        Lazy like delete()/upsert(): nothing persists until save()."""
         payload_cols = [c for c in feed.columns if c != "change"]
         # validated kind column: computed (not a raw parquet column), so the
         # filter below cannot be pushed past it — every feed row's kind is
@@ -604,10 +620,23 @@ class VectorCollection:
                 )
             )
         )
+        if validate_unique_ids:
+            from pyspark.sql.window import Window
+
+            n_per_id = F.count("*").over(Window.partitionBy(ID_COL))
+            kind = F.when(
+                n_per_id > 1,
+                F.raise_error(
+                    F.concat(
+                        F.lit("apply_changes: duplicate feed id "),
+                        F.col(ID_COL),
+                    )
+                ),
+            ).otherwise(kind)
         upserts = (
             feed.withColumn("change", kind)
             .filter(F.col("change") != F.lit("removed"))
-            .select(*payload_cols)
+            .select(*[qcol(c) for c in payload_cols])
         )
         self._df = self._df.join(
             feed.select(ID_COL), ID_COL, "left_anti"

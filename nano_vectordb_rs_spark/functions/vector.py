@@ -84,6 +84,14 @@ def l2_norm_col(vec_col: str) -> Column:
     return F.expr(norm_expr(as_double_array(vec_col)))
 
 
+def qcol(name: str) -> Column:
+    """Column by LITERAL name: backtick-quoted so a user metadata column
+    containing '.' (or '`') resolves as itself, never as a struct path —
+    upsert accepts arbitrary metadata names, so every dynamic-name select
+    on the collection path must go through this."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 # ---------------------------------------------------------------------------
 # DuckDB-oracle SQL generators — same operation order, different dialect
 # ---------------------------------------------------------------------------

@@ -102,11 +102,14 @@ def normalize_ml(df: DataFrame, vec_col: str = "vector") -> DataFrame:
     from pyspark.ml.feature import Normalizer
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
+    from nano_vectordb_rs_spark.functions.vector import qcol
+
     names = df.columns
     vecs = df.withColumn("__v__", array_to_vector(vec_col))
     normed = Normalizer(inputCol="__v__", outputCol="__nv__", p=2.0).transform(vecs)
     out = normed.withColumn(vec_col, vector_to_array(F.col("__nv__"), dtype="float32"))
-    return out.select(*names)
+    # qcol: metadata column names are user-controlled and may contain '.'
+    return out.select(*[qcol(c) for c in names])
 
 
 def topk_over(

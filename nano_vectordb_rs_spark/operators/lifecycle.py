@@ -274,13 +274,12 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         col = VectorCollection.open(spark, EMBEDDING_DIM, store)
         col.upsert(base)
         v1 = col.save_snapshot()
-        # driver-side id list ON PURPOSE: this gate exercises the reference-
-        # parity delete(ids) API (src/lib.rs:273-286), whose contract IS an
-        # explicit id list. The at-scale variant is delete_where(predicate)
-        # (collection.py), which snapshot_diff_report drives with the same
-        # %7==0 slice without ever collecting ids.
-        doomed = [r[0] for r in base.select(ID_COL).filter(idn % 7 == 0).collect()]
-        col.delete(doomed)
+        # set-based predicate delete: no gate query collects an O(corpus)
+        # id list to the driver (at 100x this slice is millions of ids).
+        # The reference-parity id-LIST delete API (src/lib.rs:273-286) stays
+        # gate-covered by delete_by_ids, whose contract IS a small explicit
+        # list, and by tests/test_collection.py.
+        col.delete_where(idn % 7 == 0)
         # one upsert batch carrying BOTH arms (disjoint ids): updates that
         # relabel the %7==3 slice and inserts shifted +1M — exercising O2's
         # update and insert classification in a single merge

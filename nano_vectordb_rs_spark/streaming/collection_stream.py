@@ -46,6 +46,13 @@ def stream_upsert(
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if not save_every_batch:
+            # a foreachBatch frame is only valid during its callback; with
+            # the deferred-save mode the composed plan executes AFTER the
+            # query ends, so pin the batch eagerly (localCheckpoint
+            # materializes to executor storage and truncates lineage)
+            # rather than rely on the source being re-readable
+            batch_df = batch_df.localCheckpoint(eager=True)
         collection.upsert(batch_df)
         if save_every_batch:
             collection.save()
@@ -194,13 +201,24 @@ def stream_apply_changes(
 
     ``save_every_batch=True`` persists after each micro-batch AND bounds
     the plan: save() re-points the handle at the just-written Parquet, so
-    the anti-join lineage cannot grow with the number of batches (an
-    unbounded drain with save_every_batch=False would).  availableNow
-    trigger — process everything currently available, then stop."""
+    the anti-join lineage cannot grow with the number of batches.  With
+    ``save_every_batch=False`` each batch is pinned via an eager
+    ``localCheckpoint`` inside the callback (a foreachBatch frame is only
+    valid during its callback — the deferred save() executes after the
+    query ends), which keeps the composed plan source-independent but
+    holds every drained batch in executor storage and grows the anti-join
+    chain until save(); it is the short-finite-drain mode (tests,
+    bounded backfills), not the scale default.  availableNow trigger —
+    process everything currently available, then stop."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if not save_every_batch:
+            # same lifetime rule as stream_upsert's sink: without a
+            # per-batch save() the micro-batch frame outlives its
+            # callback, so materialize it eagerly before composing
+            batch_df = batch_df.localCheckpoint(eager=True)
         collection.apply_changes(batch_df)
         if save_every_batch:
             collection.save()

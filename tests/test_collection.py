@@ -831,3 +831,66 @@ def test_apply_changes_rejects_unknown_change_kind(spark, coll):
         )
         with pytest.raises(Exception, match="unknown change kind"):
             replica.df.collect()
+
+
+def test_apply_changes_rejects_duplicate_feed_ids(spark, coll):
+    # the per-id invariant every mutator preserves: a hand-built feed with
+    # the same id twice must error at evaluation (default validation), not
+    # silently insert duplicate __id__ rows
+    coll.upsert(make_batch(spark, [("a", [1, 0, 0, 0], "x")]))
+    feed_schema = "`__id__` string, change string, vector array<float>, tag string"
+    dup_feed = spark.createDataFrame(
+        [
+            ("b", "added", [0.0, 1.0, 0.0, 0.0], "y1"),
+            ("b", "added", [0.0, 0.0, 1.0, 0.0], "y2"),
+        ],
+        feed_schema,
+    )
+    coll.apply_changes(dup_feed)
+    with pytest.raises(Exception, match="duplicate feed id"):
+        coll.df.collect()
+
+
+def test_apply_changes_validate_opt_out_documented_behavior(spark, coll):
+    # validate_unique_ids=False is the trusted-feed fast path (changes()
+    # output is one-row-per-id by construction): no window shuffle, and a
+    # well-formed feed replays identically to the default path
+    v1, v2 = _two_versions(spark, coll)
+    replay = VectorCollection.open_snapshot(spark, DIM, coll.path, v1)
+    replay.apply_changes(coll.changes(v1, v2), validate_unique_ids=False)
+    want = _state_set(VectorCollection.open_snapshot(spark, DIM, coll.path, v2).df)
+    assert _state_set(replay.df) == want
+
+
+def test_changes_roundtrip_with_dotted_metadata_column(spark, coll):
+    # upsert accepts arbitrary metadata column names; a name containing a
+    # dot must survive the CDC pair (struct indexing, not a path lookup)
+    dotted = "meta.tag"
+    batch_schema = T.StructType(
+        [
+            T.StructField("__id__", T.StringType()),
+            T.StructField("vector", T.ArrayType(T.FloatType())),
+            T.StructField(dotted, T.StringType()),
+        ]
+    )
+    c = VectorCollection.open(spark, DIM, coll.path + "_dot", batch_schema)
+    c.upsert(
+        spark.createDataFrame(
+            [("a", [1.0, 0.0, 0.0, 0.0], "x"), ("c", [0.0, 0.0, 1.0, 0.0], "z")],
+            batch_schema,
+        )
+    )
+    v1 = c.save_snapshot()
+    c.delete(["c"])
+    c.upsert(spark.createDataFrame([("b", [0.0, 1.0, 0.0, 0.0], "y")], batch_schema))
+    v2 = c.save_snapshot()
+    feed = {r["__id__"]: r for r in c.changes(v1, v2).collect()}
+    assert {k: r["change"] for k, r in feed.items()} == {
+        "b": "added",
+        "c": "removed",
+    }
+    assert feed["b"][dotted] == "y" and feed["c"][dotted] is None
+    replay = VectorCollection.open_snapshot(spark, DIM, c.path, v1)
+    replay.apply_changes(c.changes(v1, v2))
+    got = {(r["__id__"], r[dotted]) for r in replay.df.collect()}
+    assert got == {("a", "x"), ("b", "y")}
