@@ -52,93 +52,120 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       queries whose SOURCE changed since their last green row re-gate; and
       once nothing is unverified, the STALEST greens rotate back through
       (evidence freshness), displacing multiply-green entries to 51+.
-    * ROUND-9 ROTATION (executes the r08 write-ahead queue + VERDICT r08
-      tasks 2/5): after r08 the latest-row distribution was r04:20 r05:22
-      r06:19 r07:34 r08:50 with two never-gated queries, so this gate is
-      built from birth-gating + source-change + staleness:
-      - NEW (first driver rows, gated from birth): snapshot_retention_report
-        and minhash_index_merge_stats — the two r08-born entries.
-      - CHANGED in r09, re-gated: save_roundtrip_stats and
-        compact_roundtrip_stats (save() now uses a crash-safe rename-aside
-        swap with open()-time replay), snapshot_diff_report
-        (delete_snapshot's in-use refusal is now the typed
-        SnapshotInUseError that expire_snapshots skips), ann_ivf_pq_topk
-        (probe read-schema cache now content-keyed on abspath+mtime+size).
-      - STALENESS BLOCKS: ALL 20 r04-latest queries and ALL 22 r05-latest
-        queries (listed in the dict sections below) — after r09 no
-        declared query's latest driver row predates r06. The last slot
-        goes to vacuum_report, r09-BORN and therefore gated from birth
-        (the policy the r08-born queries initially missed): the GC sweep
-        for crash droppings, completing the save()-hardening story.
-        dedup_keep_best (oldest r06 green; this round's bench-retime
-        target, adjudicated quiet at 0.79 s in BENCH.json) stays at 51+
-        and rotates in with the r06 block next round.
-      - LATE-r09 ADJUDICATION: cdc_apply_report, streaming_cdc_apply and
-        pii_scrub_report (all r09-born mid-round — the batch CDC replay
-        consumer completing snapshot_diff_report's producer, its streaming
-        foreachBatch twin, and the document-level PII scrub with an
-        injection-by-construction oracle) are gated from birth per the
-        same policy; born-gating outranks the last marginal freshness
-        slots, so they displace token_counts, repetition_scores and
-        media_inventory (all r05-latest, multiply green, local parity
-        green every round) to 51+. Those three go FIRST in the r10 queue
-        below — the three r05 rows the "nothing predates r06" target
-        consciously leaves behind this round.
-      - Rotated out to 51+ to make room: the r08 freshness block (all
-        green r08, the freshest evidence in the ledger) and the r07-debut
-        holders, now multiply green (jsonl/orc roundtrips,
-        minhash_index_probe, table_profile, ivf_cell_health, streaming
-        gates, snapshot_time_travel, ...).
+    * ROUND-10 ROTATION (executes the r09 write-ahead queue + VERDICT r09
+      task 1): after r09 the latest-row union is 151/151 green for the
+      first time (distribution r05:3 r06:18 r07:34 r08:46 r09:50), so this
+      gate is source-change re-gating + pure freshness:
+      - SOURCE-CHANGED in r10 (CDC hardening, commit 1bf1982), re-gated:
+        cdc_apply_report and streaming_cdc_apply (apply_changes grew the
+        duplicate-feed-id raise_error guard + qcol dotted-name-safe column
+        resolution), streaming_collection_upsert (its deferred-save sink
+        now pins each micro-batch with an eager localCheckpoint — the
+        foreachBatch-lifetime fix), snapshot_time_travel (doomed-id
+        collect swapped for delete_where, closing the last O(corpus)
+        driver collect in a gate query).
+      - FRESHNESS: the full r09 write-ahead queue — token_counts,
+        repetition_scores, media_inventory (the three r05 rows r09
+        consciously left behind), all 18 r06-latest holdouts, and
+        vacuum_report's held slot for a second driver row (r09-born,
+        gated from birth, now re-evidenced post-save-hardening).
+      - BACKFILL: the first 23 alphabetically of the 34 r07-latest
+        queries (a deterministic, documentable cut; includes
+        events_anomaly_report, this round's bench-retime target, so its
+        quiet-box adjudication gets a fresh driver row too). The
+        remaining 11 r07s lead the r11 queue.
+      - Rotated out to 51+: the r09 gate block (freshest evidence in the
+        ledger) and the r08 multiply-green holders.
     * Historical green rounds per family are tracked in PARITY.md §gate.
     * Entries 51+ keep full local coverage every round via
       tests/test_oracle_parity.py (stricter than the driver: dtype-class +
       unhashable-cell checks).
-    * R10 ROTATION QUEUE (write-ahead note): nothing will be unverified
-      after r09, so the r10 gate is pure freshness — the 18 queries whose
-      latest driver row will still be r05/r06 after this round —
-      token_counts, repetition_scores and media_inventory (r05, displaced
-      above) first, then the 18 r06 holdouts
-      (19 were r06-latest entering r09, but save_roundtrip_stats re-gated
-      THIS round for the crash-safe save change): (ann_lsh_topk,
-      ann_pq_topk, ann_pq_codes_topk,
-      bigram_stats, cross_source_overlap, dedup_keep_best,
-      doc_chunk_report, embedding_outlier_report, events_json_stats,
-      events_session_window, events_union_slices, events_value_drift,
-      exact_substring_contamination, media_resize_summary,
-      ngram_novelty_scores, quality_weighted_sample,
-      reference_json_roundtrip, streaming_hourly_counts) plus
-      vacuum_report holding its slot for a second driver row and the
-      oldest ~30 of the 34 r07-latest, displacing this round's staleness
-      blocks.
+    * R11 ROTATION QUEUE (write-ahead note): nothing unverified remains,
+      so the r11 gate is again freshness + any source change: the 11
+      deferred r07-latest queries first (skew_salted_join,
+      stratified_sample_docs, streaming_click_attribution,
+      streaming_dedup_counts, tpch_q4_priority, tpch_q9_profit,
+      tpch_q11_important_parts, tpch_q16_supplier_counts,
+      tpch_q20_promotion_suppliers, train_shard_manifest,
+      vocab_coverage_report), then the oldest ~38 of the 44 r08-latest
+      holders (46 entering r10 minus snapshot_time_travel and
+      streaming_collection_upsert, which re-gate this round).
     """
     return {
-        # ---- r09 gate block (first 50) ------------------------------
+        # ---- r10 gate block (first 50) ------------------------------
         # flagship
         "knn_topk": knn.knn_topk,
-        # NEW r08 ops, first driver rows (gated from birth per the
-        # write-ahead queue; snapshot_retention_report also re-gates the
-        # r09 SnapshotInUseError typing in expire_snapshots)
-        "snapshot_retention_report": lifecycle.snapshot_retention_report,
-        "minhash_index_merge_stats": dedup.minhash_index_merge_stats,
-        # CHANGED r09 (crash-safe rename-aside save swap) — re-gated
-        "save_roundtrip_stats": lifecycle.save_roundtrip_stats,
-        "compact_roundtrip_stats": lifecycle.compact_roundtrip_stats,
-        # CHANGED r09 (delete_snapshot typed in-use refusal) — re-gated
-        "snapshot_diff_report": lifecycle.snapshot_diff_report,
-        # NEW r09 (born mid-round), gated from birth: CDC replay — the
-        # consumer half of the change feed (changes() + apply_changes();
-        # displaces token_counts per the docstring adjudication) — and its
-        # streaming foreachBatch twin (displaces repetition_scores)
+        # SOURCE-CHANGED r10 (CDC hardening, commit 1bf1982) — re-gated:
+        # apply_changes grew the duplicate-feed-id raise_error guard and
+        # dotted-name-safe column resolution (qcol); both streaming sinks
+        # now pin deferred-save micro-batches via eager localCheckpoint;
+        # snapshot_time_travel swapped its doomed-id collect for
+        # delete_where (no gate query collects an O(corpus) id list)
         "cdc_apply_report": lifecycle.cdc_apply_report,
         "streaming_cdc_apply": collection_stream.streaming_cdc_apply,
-        # NEW r09 (born mid-round), gated from birth: document-level PII
-        # scrub, injection-by-construction oracle (displaces
-        # media_inventory per the docstring adjudication)
+        "streaming_collection_upsert": collection_stream.streaming_collection_upsert,
+        "snapshot_time_travel": lifecycle.snapshot_time_travel,
+        # ---- freshness block A: the three r05-latest queries displaced
+        # by r09's birth-gating (first in the write-ahead r10 queue) ----
+        "token_counts": textops.token_counts,
+        "repetition_scores": textops.repetition_scores,
+        "media_inventory": multimodal.media_inventory,
+        # ---- freshness block B: all 18 r06-latest holdouts ------------
+        "ann_lsh_topk": similarity.ann_lsh_topk,
+        "ann_pq_topk": similarity.ann_pq_topk,
+        "ann_pq_codes_topk": similarity.ann_pq_codes_topk,
+        "bigram_stats": pipeline.bigram_stats,
+        "cross_source_overlap": dedup.cross_source_overlap,
+        "dedup_keep_best": dedup.dedup_keep_best,
+        "doc_chunk_report": pipeline.doc_chunk_report,
+        "embedding_outlier_report": pipeline.embedding_outlier_report,
+        "events_json_stats": events.events_json_stats,
+        "events_session_window": events.events_session_window,
+        "events_union_slices": events.events_union_slices,
+        "events_value_drift": events.events_value_drift,
+        "exact_substring_contamination": dedup.exact_substring_contamination,
+        "media_resize_summary": multimodal.media_resize_summary,
+        "ngram_novelty_scores": dedup.ngram_novelty_scores,
+        "quality_weighted_sample": pipeline.quality_weighted_sample,
+        "reference_json_roundtrip": lifecycle.reference_json_roundtrip,
+        "streaming_hourly_counts": events_stream.streaming_hourly_counts,
+        # r09-born, second driver row (held its queued slot)
+        "vacuum_report": lifecycle.vacuum_report,
+        # ---- freshness block C: oldest r07-latest backfill (first 23
+        # alphabetically of the 34; the remaining 11 lead the r11 queue) -
+        "ann_recall": similarity.ann_recall,
+        "cluster_topic_report": pipeline.cluster_topic_report,
+        "contamination_check": dedup.contamination_check,
+        "crossmodal_dup_check": similarity.crossmodal_dup_check,
+        "customer_balance_quartiles_approx": relational2.customer_balance_quartiles_approx,
+        "dup_clusters": dedup.dup_clusters,
+        "embedding_top_component": pipeline.embedding_top_component,
+        "events_anomaly_report": events.events_anomaly_report,
+        "events_daily_full_outer": events.events_daily_full_outer,
+        "events_distinct_sketch": events.events_distinct_sketch,
+        "events_next_transition": events.events_next_transition,
+        "events_props_scrub": events.events_props_scrub,
+        "events_top_users": events.events_top_users,
+        "events_value_bands": advanced.events_value_bands,
+        "events_value_percentiles_approx": events.events_value_percentiles_approx,
+        "label_centroids_mergeable": similarity.label_centroids_mergeable,
+        "length_filter_report": pipeline.length_filter_report,
+        "media_feature_stats": multimodal.media_feature_stats,
+        "media_frame_sample": multimodal.media_frame_sample,
+        "mixture_temperature_weights": textops.mixture_temperature_weights,
+        "nation_supplier_lists": relational2.nation_supplier_lists,
+        "phrase_collocations": textops.phrase_collocations,
+        "reservoir_per_key": pipeline.reservoir_per_key,
+        # ---------------- entry 51+ (full local coverage every round
+        # via test_oracle_parity) — r08/r09 multiply-green holders plus
+        # the 11 deferred r07s (marked below — they lead the r11 queue) --
+        "snapshot_retention_report": lifecycle.snapshot_retention_report,
+        "minhash_index_merge_stats": dedup.minhash_index_merge_stats,
+        "save_roundtrip_stats": lifecycle.save_roundtrip_stats,
+        "compact_roundtrip_stats": lifecycle.compact_roundtrip_stats,
+        "snapshot_diff_report": lifecycle.snapshot_diff_report,
         "pii_scrub_report": textops.pii_scrub_report,
-        # CHANGED r09 (content-keyed probe read-schema cache) — re-gated
         "ann_ivf_pq_topk": similarity.ann_ivf_pq_topk,
-        # ---- staleness block A: every query whose latest driver row
-        # was r04 (20 entries) ----------------------------------------
         "count_stats": crud.count_stats,
         "delete_by_ids": crud.delete_by_ids,
         "events_funnel": events.events_funnel,
@@ -159,8 +186,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": dedup.simhash_docs,
         "tpch_q1_pricing": relational.tpch_q1_pricing,
         "upsert_merge": crud.upsert_merge,
-        # ---- staleness block B: every query whose latest driver row
-        # was r05 (22 entries) ----------------------------------------
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "corpus_budget_report": textops.corpus_budget_report,
         "doc_fingerprints": textops.doc_fingerprints,
@@ -180,19 +205,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_embeddings": similarity.near_dup_embeddings,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "pack_sequences": pipeline.pack_sequences,
-        # NEW r09, gated from birth: the GC half of the crash-safety work
-        # (VectorCollection.vacuum reclaiming stranded .staging/.old,
-        # orphan snapshot dirs and manifest tmp files, live state pinned)
-        "vacuum_report": lifecycle.vacuum_report,
-        # ---------------- entry 51+ (full local coverage every round
-        # via test_oracle_parity) — all green r07/r08 or multiply green -
-        "dedup_keep_best": dedup.dedup_keep_best,
-        # displaced late-r09 by the CDC pair's birth-gating (see docstring
-        # adjudication); first two in the r10 queue
-        "token_counts": textops.token_counts,
-        "repetition_scores": textops.repetition_scores,
-        "media_inventory": multimodal.media_inventory,
-        "snapshot_time_travel": lifecycle.snapshot_time_travel,
         "jsonl_export_roundtrip": lifecycle.jsonl_export_roundtrip,
         "orc_export_roundtrip": lifecycle.orc_export_roundtrip,
         "minhash_index_probe": dedup.minhash_index_probe,
@@ -202,7 +214,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_pair_recall": dedup.dedup_pair_recall,
         "dedup_funnel_report": dedup.dedup_funnel_report,
         "streaming_sessionize_custom": events_stream.streaming_sessionize_custom,
-        "streaming_collection_upsert": collection_stream.streaming_collection_upsert,
         "events_scd2_state": events.events_scd2_state,
         "compaction_plan": pipeline.compaction_plan,
         "join_skew_advisor": advanced.join_skew_advisor,
@@ -238,57 +249,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": advanced.customers_without_orders,
         "orders_cumulative": advanced.orders_cumulative,
         "order_value_quantiles": advanced.order_value_quantiles,
-        "ann_recall": similarity.ann_recall,
-        "crossmodal_dup_check": similarity.crossmodal_dup_check,
-        "label_centroids_mergeable": similarity.label_centroids_mergeable,
-        "contamination_check": dedup.contamination_check,
-        "dup_clusters": dedup.dup_clusters,
-        "phrase_collocations": textops.phrase_collocations,
-        "mixture_temperature_weights": textops.mixture_temperature_weights,
-        "media_frame_sample": multimodal.media_frame_sample,
-        "media_feature_stats": multimodal.media_feature_stats,
-        "embedding_top_component": pipeline.embedding_top_component,
-        "cluster_topic_report": pipeline.cluster_topic_report,
-        "events_top_users": events.events_top_users,
-        "events_distinct_sketch": events.events_distinct_sketch,
-        "events_value_percentiles_approx": events.events_value_percentiles_approx,
-        "events_anomaly_report": events.events_anomaly_report,
-        "events_props_scrub": events.events_props_scrub,
-        "events_value_bands": advanced.events_value_bands,
-        "events_next_transition": events.events_next_transition,
-        "events_daily_full_outer": events.events_daily_full_outer,
         "streaming_dedup_counts": events_stream.streaming_dedup_counts,
         "streaming_click_attribution": events_stream.streaming_click_attribution,
         "stratified_sample_docs": pipeline.stratified_sample_docs,
-        "reservoir_per_key": pipeline.reservoir_per_key,
-        "length_filter_report": pipeline.length_filter_report,
         "train_shard_manifest": pipeline.train_shard_manifest,
         "vocab_coverage_report": pipeline.vocab_coverage_report,
         "skew_salted_join": advanced.skew_salted_join,
-        "customer_balance_quartiles_approx": relational2.customer_balance_quartiles_approx,
         "tpch_q4_priority": relational3.tpch_q4_priority,
         "tpch_q9_profit": relational3.tpch_q9_profit,
         "tpch_q11_important_parts": relational3.tpch_q11_important_parts,
         "tpch_q16_supplier_counts": relational3.tpch_q16_supplier_counts,
         "tpch_q20_promotion_suppliers": relational3.tpch_q20_promotion_suppliers,
-        "nation_supplier_lists": relational2.nation_supplier_lists,
-        "reference_json_roundtrip": lifecycle.reference_json_roundtrip,
-        "ann_lsh_topk": similarity.ann_lsh_topk,
-        "media_resize_summary": multimodal.media_resize_summary,
-        "events_json_stats": events.events_json_stats,
-        "bigram_stats": pipeline.bigram_stats,
-        "streaming_hourly_counts": events_stream.streaming_hourly_counts,
-        "events_session_window": events.events_session_window,
-        "events_union_slices": events.events_union_slices,
-        "ann_pq_topk": similarity.ann_pq_topk,
-        "ann_pq_codes_topk": similarity.ann_pq_codes_topk,
-        "exact_substring_contamination": dedup.exact_substring_contamination,
-        "ngram_novelty_scores": dedup.ngram_novelty_scores,
-        "cross_source_overlap": dedup.cross_source_overlap,
-        "quality_weighted_sample": pipeline.quality_weighted_sample,
-        "doc_chunk_report": pipeline.doc_chunk_report,
-        "embedding_outlier_report": pipeline.embedding_outlier_report,
-        "events_value_drift": events.events_value_drift,
     }
 
 
