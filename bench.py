@@ -211,14 +211,31 @@ def load_prior_times(
     # query can vanish from recent rounds' tails while its stale r01/r02
     # value survives) — read it last.
     paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
-    if os.path.exists(os.path.join(here, "BENCH.json")):
-        paths.append(os.path.join(here, "BENCH.json"))
+    # BENCH.json must come from the COMMITTED tree, not the working copy:
+    # this script overwrites the working-tree file on every run, so a
+    # back-to-back re-run would otherwise compare against its own previous
+    # (possibly storm-inflated) output and the tripwire self-ratifies —
+    # observed r10: run 1 hit a load storm (events block 3-9x), run 2 read
+    # run 1's numbers as "prior" and reported zero regressions.
+    records: list[dict] = []
     for p in paths:
         try:
             with open(p) as fh:
-                rec = json.load(fh)
+                records.append(json.load(fh))
         except (OSError, json.JSONDecodeError):
             continue
+    try:
+        import subprocess
+
+        committed = subprocess.run(
+            ["git", "-C", here, "show", "HEAD:BENCH.json"],
+            capture_output=True, text=True, timeout=30,
+        )
+        if committed.returncode == 0:
+            records.append(json.loads(committed.stdout))
+    except Exception:  # noqa: BLE001 — no git / not a repo: skip, the
+        pass  # BENCH_r*.json rounds still provide the reference
+    for rec in records:
         if sf is not None:
             got = rec_sf(rec)
             if got is None or float(got) != float(sf):

@@ -230,8 +230,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     dirs = {m: materialize(spark, m) for m in MULTS}
 
+    # SCALE_PROBE_ONLY=a,b,c restricts the sweep — used for the deep (8x)
+    # tier, where re-running all 30 probes would cost hours for no new
+    # information (the scan-local/manifest-bound probes are already pinned
+    # sub-linear at 1-4x; only the pair-space shapes have a quadratic
+    # failure mode worth chasing to higher multiples).
+    only = {
+        s for s in os.environ.get("SCALE_PROBE_ONLY", "").split(",") if s
+    }
+    probes = [p for p in PROBES if not only or p[0] in only]
+
     report: dict = {}
-    for name, fn, _tables in PROBES:
+    for name, fn, _tables in probes:
         times: dict[int, float] = {}
         for m in MULTS:
             fn(spark, dirs[m]).collect()  # warm plan + parquet footers

@@ -101,3 +101,44 @@ def test_micro_timed_retroactively_discards_inflated_head(monkeypatch):
     assert best == 0.99
     assert set(rec["discarded_storm_runs"]) == {10.0, 9.5}
     assert all(t <= 3 * 0.99 for t in rec["runs"])
+
+
+def test_load_prior_times_prefers_committed_bench_over_working_tree(
+    tmp_path, monkeypatch
+):
+    # The script overwrites the working-tree BENCH.json on every run, so the
+    # tripwire reference must come from git HEAD: a back-to-back re-run
+    # comparing against its own previous (storm-inflated) output would
+    # self-ratify the storm (observed r10: run 1 events block 3-9x slow,
+    # run 2 read run 1's numbers as "prior" and reported zero regressions).
+    import subprocess
+
+    def git(*argv):
+        subprocess.run(
+            ["git", "-C", str(tmp_path), *argv],
+            check=True,
+            capture_output=True,
+            env={
+                "GIT_AUTHOR_NAME": "t",
+                "GIT_AUTHOR_EMAIL": "t@t",
+                "GIT_COMMITTER_NAME": "t",
+                "GIT_COMMITTER_EMAIL": "t@t",
+                "HOME": str(tmp_path),
+                "PATH": bench.os.environ["PATH"],
+            },
+        )
+
+    git("init", "-q")
+    (tmp_path / "BENCH.json").write_text(
+        json.dumps({"queries": {"q_a": 0.5}, "sf": "0.1"})
+    )
+    git("add", "BENCH.json")
+    git("commit", "-q", "-m", "committed snapshot")
+    # a fresh run overwrites the working tree with a storm-inflated record
+    (tmp_path / "BENCH.json").write_text(
+        json.dumps({"queries": {"q_a": 4.0}, "sf": "0.1"})
+    )
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    assert bench.load_prior_times({"q_a"}, sf="0.1") == {"q_a": 0.5}
