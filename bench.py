@@ -345,8 +345,19 @@ def main() -> None:
     wait_for_quiet("headline")
     calibrate_probe()
 
+    # micros + the numpy flagship twin live in the same results/queries map
+    # as the headline queries, so they need prior rows too — without them
+    # they were tripwire-EXEMPT (observed r10: micro_query hit a sustained
+    # storm, committed 3.8x its prior with regressions={}).
+    extra_timed = {
+        "knn_topk_numpy",
+        "micro_insert_scan_floor",
+        "micro_insert_100k_1024",
+        "micro_save_100k_1024",
+        "micro_query_100k_1024",
+    }
     prior = load_prior_times(
-        set(queries), sf=SF_DIR.rstrip("/").split("sf")[-1]
+        set(queries) | extra_timed, sf=SF_DIR.rstrip("/").split("sf")[-1]
     )
     retimed: list[str] = []
     for name in sorted(queries):
@@ -367,10 +378,14 @@ def main() -> None:
             # events killed all 87 timings with rc=1 / parsed:null)
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
-    # NumPy fast path vs pure-SQL path for the flagship shape
-    results["knn_topk_numpy"] = timed(
-        lambda: knn_topk_fast(spark, SF_DIR).collect()
-    )
+    # NumPy fast path vs pure-SQL path for the flagship shape (same
+    # 3x-prior quiet-gate retime as the headline loop)
+    t = timed(lambda: knn_topk_fast(spark, SF_DIR).collect())
+    if "knn_topk_numpy" in prior and t > 3 * prior["knn_topk_numpy"]:
+        wait_for_quiet("retime:knn_topk_numpy")
+        t = min(t, timed(lambda: knn_topk_fast(spark, SF_DIR).collect()))
+        retimed.append("knn_topk_numpy")
+    results["knn_topk_numpy"] = t
 
     # PQ index build timed as WHAT IT IS — a build, not a query (the
     # ann_pq_topk SKIP above explains the split), and recorded in its OWN
@@ -462,13 +477,27 @@ def main() -> None:
         normalized.agg(elem1).collect()
 
     micro_stats: dict = {}
+
+    def micro_gated(name: str, fn) -> float:
+        """micro_timed + the same 3x-prior quiet-gate retime the headline
+        loop gets (the micros were tripwire-exempt before r10 — a storm
+        that outlasted micro_timed's in-run discard committed silently).
+        A retime keeps the min and records the second runs array under
+        ``<name>_retime`` so both measurements stay visible."""
+        t = micro_timed(fn, micro_stats, name)
+        if name in prior and t > 3 * prior[name]:
+            wait_for_quiet(f"retime:{name}")
+            t = min(t, micro_timed(fn, micro_stats, f"{name}_retime"))
+            retimed.append(name)
+        return t
+
     wait_for_quiet("micro_insert")
     # live scan-floor measurement: the cached-raw pass with NO normalize.
     # micro_insert minus this is the normalize path's true compute cost; the
     # floor alone ~= the reference's entire 0.175 s in-process insert (see
     # the decomposition in the module docstring).
-    results["micro_insert_scan_floor"] = micro_timed(
-        lambda: raw.agg(elem1).collect(), micro_stats, "micro_insert_scan_floor"
+    results["micro_insert_scan_floor"] = micro_gated(
+        "micro_insert_scan_floor", lambda: raw.agg(elem1).collect()
     )
     micro_stats["floor_components_sec"] = {
         # isolated offline best-of-5 (see module docstring for method);
@@ -480,8 +509,8 @@ def main() -> None:
         "sum": 0.42,
         "identity_arrow_roundtrip": 0.545,
     }
-    results["micro_insert_100k_1024"] = micro_timed(
-        micro_insert, micro_stats, "micro_insert_100k_1024"
+    results["micro_insert_100k_1024"] = micro_gated(
+        "micro_insert_100k_1024", micro_insert
     )
     ins = results["micro_insert_100k_1024"]
     floor = results["micro_insert_scan_floor"]
@@ -514,10 +543,9 @@ def main() -> None:
     normalized.agg(elem1).collect()
 
     # save = persist the collection to Parquet (reference: 540 MB JSON)
-    results["micro_save_100k_1024"] = micro_timed(
-        lambda: normalized.write.mode("overwrite").parquet(tmp),
-        micro_stats,
+    results["micro_save_100k_1024"] = micro_gated(
         "micro_save_100k_1024",
+        lambda: normalized.write.mode("overwrite").parquet(tmp),
     )
     size_mb = sum(
         os.path.getsize(os.path.join(tmp, f)) for f in os.listdir(tmp)
@@ -533,8 +561,8 @@ def main() -> None:
         topk_over(normalized, qvec, k=10, assume_normalized=True).collect()
 
     wait_for_quiet("micro_query")
-    results["micro_query_100k_1024"] = micro_timed(
-        micro_query, micro_stats, "micro_query_100k_1024"
+    results["micro_query_100k_1024"] = micro_gated(
+        "micro_query_100k_1024", micro_query
     )
     normalized.unpersist()
     raw.unpersist()
