@@ -52,214 +52,200 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       queries whose SOURCE changed since their last green row re-gate; and
       once nothing is unverified, the STALEST greens rotate back through
       (evidence freshness), displacing multiply-green entries to 51+.
-    * ROUND-10 ROTATION (executes the r09 write-ahead queue + VERDICT r09
-      task 1): after r09 the latest-row union is 151/151 green for the
-      first time (distribution r05:3 r06:18 r07:34 r08:46 r09:50), so this
-      gate is source-change re-gating + pure freshness:
-      - SOURCE-CHANGED in r10 (CDC hardening, commit 1bf1982), re-gated:
-        cdc_apply_report and streaming_cdc_apply (apply_changes grew the
-        duplicate-feed-id raise_error guard + qcol dotted-name-safe column
-        resolution), streaming_collection_upsert (its deferred-save sink
-        now pins each micro-batch with an eager localCheckpoint — the
-        foreachBatch-lifetime fix), snapshot_time_travel (doomed-id
-        collect swapped for delete_where, closing the last O(corpus)
-        driver collect in a gate query).
-      - FRESHNESS: the full r09 write-ahead queue — token_counts,
-        repetition_scores, media_inventory (the three r05 rows r09
-        consciously left behind), all 18 r06-latest holdouts, and
-        vacuum_report's held slot for a second driver row (r09-born,
-        gated from birth, now re-evidenced post-save-hardening).
-      - BACKFILL: the first 23 alphabetically of the 34 r07-latest
-        queries (a deterministic, documentable cut; includes
-        events_anomaly_report, this round's bench-retime target, so its
-        quiet-box adjudication gets a fresh driver row too). The
-        remaining 11 r07s lead the r11 queue.
-      - Rotated out to 51+: the r09 gate block (freshest evidence in the
-        ledger) and the r08 multiply-green holders.
+    * ROUND-11 ROTATION (executes the r10 write-ahead queue verbatim +
+      VERDICT r10 task 1): the union entering r11 is 151/151 green with
+      distribution r07:11 r08:44 r09:46 r10:50 — no source changes land
+      this round (r11 touches bench.py, docs, and this file only), so the
+      gate is PURE FRESHNESS:
+      - The 11 r07-latest queries first (the oldest evidence in the
+        ledger): skew_salted_join, stratified_sample_docs,
+        streaming_click_attribution, streaming_dedup_counts,
+        tpch_q4_priority, tpch_q9_profit, tpch_q11_important_parts,
+        tpch_q16_supplier_counts, tpch_q20_promotion_suppliers,
+        train_shard_manifest, vocab_coverage_report.
+      - Then the first 38 alphabetically of the 44 r08-latest holders
+        (the same deterministic, documentable cut rule r10 used for its
+        r07 backfill). The remaining 6 (tpch_q22_idle_rich,
+        tpch_q3_shipping, tpch_q5_regional, tpch_q6_forecast,
+        tpch_q7_nation_trade, tpch_q8_market_share) lead the r12 queue.
+      - Rotated out to 51+: the entire r10 gate block (freshest evidence)
+        and the r09 multiply-green holders.
     * Historical green rounds per family are tracked in PARITY.md §gate.
     * Entries 51+ keep full local coverage every round via
       tests/test_oracle_parity.py (stricter than the driver: dtype-class +
       unhashable-cell checks).
-    * R11 ROTATION QUEUE (write-ahead note): nothing unverified remains,
-      so the r11 gate is again freshness + any source change: the 11
-      deferred r07-latest queries first (skew_salted_join,
-      stratified_sample_docs, streaming_click_attribution,
-      streaming_dedup_counts, tpch_q4_priority, tpch_q9_profit,
-      tpch_q11_important_parts, tpch_q16_supplier_counts,
-      tpch_q20_promotion_suppliers, train_shard_manifest,
-      vocab_coverage_report), then the oldest ~38 of the 44 r08-latest
-      holders (46 entering r10 minus snapshot_time_travel and
-      streaming_collection_upsert, which re-gate this round).
+    * R12 ROTATION QUEUE (write-ahead note): after r11 no latest row
+      predates r08; the r12 gate is freshness + any r12 source change:
+      the 6 deferred r08-latest queries first (tpch_q22_idle_rich,
+      tpch_q3_shipping, tpch_q5_regional, tpch_q6_forecast,
+      tpch_q7_nation_trade, tpch_q8_market_share), then the oldest ~43
+      of the 46 r09-latest holders (alphabetical cut, same rule).
     """
     return {
-        # ---- r10 gate block (first 50) ------------------------------
-        # flagship
+        # ---- r11 gate block (first 50) ------------------------------
+        # flagship (kept first every round)
         "knn_topk": knn.knn_topk,
-        # SOURCE-CHANGED r10 (CDC hardening, commit 1bf1982) — re-gated:
-        # apply_changes grew the duplicate-feed-id raise_error guard and
-        # dotted-name-safe column resolution (qcol); both streaming sinks
-        # now pin deferred-save micro-batches via eager localCheckpoint;
-        # snapshot_time_travel swapped its doomed-id collect for
-        # delete_where (no gate query collects an O(corpus) id list)
-        "cdc_apply_report": lifecycle.cdc_apply_report,
-        "streaming_cdc_apply": collection_stream.streaming_cdc_apply,
-        "streaming_collection_upsert": collection_stream.streaming_collection_upsert,
-        "snapshot_time_travel": lifecycle.snapshot_time_travel,
-        # ---- freshness block A: the three r05-latest queries displaced
-        # by r09's birth-gating (first in the write-ahead r10 queue) ----
-        "token_counts": textops.token_counts,
-        "repetition_scores": textops.repetition_scores,
-        "media_inventory": multimodal.media_inventory,
-        # ---- freshness block B: all 18 r06-latest holdouts ------------
-        "ann_lsh_topk": similarity.ann_lsh_topk,
-        "ann_pq_topk": similarity.ann_pq_topk,
-        "ann_pq_codes_topk": similarity.ann_pq_codes_topk,
-        "bigram_stats": pipeline.bigram_stats,
-        "cross_source_overlap": dedup.cross_source_overlap,
-        "dedup_keep_best": dedup.dedup_keep_best,
-        "doc_chunk_report": pipeline.doc_chunk_report,
-        "embedding_outlier_report": pipeline.embedding_outlier_report,
-        "events_json_stats": events.events_json_stats,
-        "events_session_window": events.events_session_window,
-        "events_union_slices": events.events_union_slices,
-        "events_value_drift": events.events_value_drift,
-        "exact_substring_contamination": dedup.exact_substring_contamination,
-        "media_resize_summary": multimodal.media_resize_summary,
-        "ngram_novelty_scores": dedup.ngram_novelty_scores,
-        "quality_weighted_sample": pipeline.quality_weighted_sample,
-        "reference_json_roundtrip": lifecycle.reference_json_roundtrip,
-        "streaming_hourly_counts": events_stream.streaming_hourly_counts,
-        # r09-born, second driver row (held its queued slot)
-        "vacuum_report": lifecycle.vacuum_report,
-        # ---- freshness block C: oldest r07-latest backfill (first 23
-        # alphabetically of the 34; the remaining 11 lead the r11 queue) -
-        "ann_recall": similarity.ann_recall,
-        "cluster_topic_report": pipeline.cluster_topic_report,
-        "contamination_check": dedup.contamination_check,
-        "crossmodal_dup_check": similarity.crossmodal_dup_check,
-        "customer_balance_quartiles_approx": relational2.customer_balance_quartiles_approx,
-        "dup_clusters": dedup.dup_clusters,
-        "embedding_top_component": pipeline.embedding_top_component,
-        "events_anomaly_report": events.events_anomaly_report,
-        "events_daily_full_outer": events.events_daily_full_outer,
-        "events_distinct_sketch": events.events_distinct_sketch,
-        "events_next_transition": events.events_next_transition,
-        "events_props_scrub": events.events_props_scrub,
-        "events_top_users": events.events_top_users,
-        "events_value_bands": advanced.events_value_bands,
-        "events_value_percentiles_approx": events.events_value_percentiles_approx,
-        "label_centroids_mergeable": similarity.label_centroids_mergeable,
-        "length_filter_report": pipeline.length_filter_report,
-        "media_feature_stats": multimodal.media_feature_stats,
-        "media_frame_sample": multimodal.media_frame_sample,
-        "mixture_temperature_weights": textops.mixture_temperature_weights,
-        "nation_supplier_lists": relational2.nation_supplier_lists,
-        "phrase_collocations": textops.phrase_collocations,
-        "reservoir_per_key": pipeline.reservoir_per_key,
+        # ---- freshness block A: the 11 deferred r07-latest queries
+        # (head of the r10 write-ahead queue; oldest evidence in the
+        # ledger entering r11) ------------------------------------------
+        "skew_salted_join": advanced.skew_salted_join,
+        "stratified_sample_docs": pipeline.stratified_sample_docs,
+        "streaming_click_attribution": events_stream.streaming_click_attribution,
+        "streaming_dedup_counts": events_stream.streaming_dedup_counts,
+        "tpch_q11_important_parts": relational3.tpch_q11_important_parts,
+        "tpch_q16_supplier_counts": relational3.tpch_q16_supplier_counts,
+        "tpch_q20_promotion_suppliers": relational3.tpch_q20_promotion_suppliers,
+        "tpch_q4_priority": relational3.tpch_q4_priority,
+        "tpch_q9_profit": relational3.tpch_q9_profit,
+        "train_shard_manifest": pipeline.train_shard_manifest,
+        "vocab_coverage_report": pipeline.vocab_coverage_report,
+        # ---- freshness block B: first 38 alphabetically of the 44
+        # r08-latest holders (deterministic, documentable cut; the
+        # remaining 6 lead the r12 queue) --------------------------------
+        "compaction_plan": pipeline.compaction_plan,
+        "customer_balance_quartiles": relational2.customer_balance_quartiles,
+        "customer_set_ops": advanced.customer_set_ops,
+        "customers_without_orders": advanced.customers_without_orders,
+        "dedup_funnel_report": dedup.dedup_funnel_report,
+        "dedup_pair_recall": dedup.dedup_pair_recall,
+        "events_scd2_state": events.events_scd2_state,
+        "ivf_cell_health": similarity.ivf_cell_health,
+        "join_skew_advisor": advanced.join_skew_advisor,
+        "jsonl_export_roundtrip": lifecycle.jsonl_export_roundtrip,
+        "lineitem_stats": relational2.lineitem_stats,
+        "minhash_index_probe": dedup.minhash_index_probe,
+        "orc_export_roundtrip": lifecycle.orc_export_roundtrip,
+        "order_priority_counts": relational.order_priority_counts,
+        "order_value_quantiles": advanced.order_value_quantiles,
+        "orders_cumulative": advanced.orders_cumulative,
+        "orders_pivot": relational2.orders_pivot,
+        "part_supplier_diversity": advanced.part_supplier_diversity,
+        "parts_brand_stats": relational.parts_brand_stats,
+        "parts_cube": relational2.parts_cube,
+        "region_rollup": relational.region_rollup,
+        "sales_rollup": relational2.sales_rollup,
+        "streaming_sessionize_custom": events_stream.streaming_sessionize_custom,
+        "supplier_nation_rank": advanced.supplier_nation_rank,
+        "supplier_percent_rank": relational2.supplier_percent_rank,
+        "supplier_trailing_revenue": relational2.supplier_trailing_revenue,
+        "table_profile": pipeline.table_profile,
+        "tokenizer_fertility": textops.tokenizer_fertility,
+        "top_customers": relational.top_customers,
+        "tpch_q10_returned": advanced.tpch_q10_returned,
+        "tpch_q12_latecount": advanced.tpch_q12_latecount,
+        "tpch_q13_order_dist": relational2.tpch_q13_order_dist,
+        "tpch_q14_promo": advanced.tpch_q14_promo,
+        "tpch_q15_top_supplier": relational2.tpch_q15_top_supplier,
+        "tpch_q17_small_qty": relational2.tpch_q17_small_qty,
+        "tpch_q18_big_orders": advanced.tpch_q18_big_orders,
+        "tpch_q19_disjunctive": relational2.tpch_q19_disjunctive,
+        "tpch_q21_waiting_supplier": relational2.tpch_q21_waiting_supplier,
         # ---------------- entry 51+ (full local coverage every round
-        # via test_oracle_parity) — r08/r09 multiply-green holders plus
-        # the 11 deferred r07s (marked below — they lead the r11 queue) --
-        "snapshot_retention_report": lifecycle.snapshot_retention_report,
-        "minhash_index_merge_stats": dedup.minhash_index_merge_stats,
-        "save_roundtrip_stats": lifecycle.save_roundtrip_stats,
-        "compact_roundtrip_stats": lifecycle.compact_roundtrip_stats,
-        "snapshot_diff_report": lifecycle.snapshot_diff_report,
-        "pii_scrub_report": textops.pii_scrub_report,
+        # via test_oracle_parity) ---------------------------------------
+        # the 6 deferred r08s — they lead the r12 queue:
+        "tpch_q22_idle_rich": relational2.tpch_q22_idle_rich,
+        "tpch_q3_shipping": relational.tpch_q3_shipping,
+        "tpch_q5_regional": relational.tpch_q5_regional,
+        "tpch_q6_forecast": advanced.tpch_q6_forecast,
+        "tpch_q7_nation_trade": advanced.tpch_q7_nation_trade,
+        "tpch_q8_market_share": relational2.tpch_q8_market_share,
+        # r09-latest holders:
         "ann_ivf_pq_topk": similarity.ann_ivf_pq_topk,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
+        "compact_roundtrip_stats": lifecycle.compact_roundtrip_stats,
+        "corpus_budget_report": textops.corpus_budget_report,
         "count_stats": crud.count_stats,
         "delete_by_ids": crud.delete_by_ids,
-        "events_funnel": events.events_funnel,
-        "events_sessionized": events.events_sessionized,
-        "events_sliding_windows": events.events_sliding_windows,
-        "exact_dedup_docs": dedup.exact_dedup_docs,
-        "get_by_ids": crud.get_by_ids,
-        "hybrid_search_rrf": retrieval.hybrid_search_rrf,
-        "knn_filtered": knn.knn_filtered,
-        "knn_threshold": knn.knn_threshold,
-        "label_centroids": similarity.label_centroids,
-        "lang_id": textops.lang_id,
-        "lexical_search_docs": retrieval.lexical_search_docs,
-        "normalize_all": crud.normalize_all,
-        "normalized_dedup_docs": dedup.normalized_dedup_docs,
-        "quality_scores": textops.quality_scores,
-        "semantic_search_docs": similarity.semantic_search_docs,
-        "simhash_docs": dedup.simhash_docs,
-        "tpch_q1_pricing": relational.tpch_q1_pricing,
-        "upsert_merge": crud.upsert_merge,
-        "ann_ivf_topk": similarity.ann_ivf_topk,
-        "corpus_budget_report": textops.corpus_budget_report,
         "doc_fingerprints": textops.doc_fingerprints,
         "docs_length_histogram": textops.docs_length_histogram,
         "docs_split_assignment": textops.docs_split_assignment,
         "domain_mixture_weights": textops.domain_mixture_weights,
         "embedding_quantize_stats": pipeline.embedding_quantize_stats,
         "events_asof_join": advanced.events_asof_join,
+        "events_funnel": events.events_funnel,
         "events_hourly": events.events_hourly,
         "events_retention": events.events_retention,
+        "events_sessionized": events.events_sessionized,
+        "events_sliding_windows": events.events_sliding_windows,
         "events_user_seq": events.events_user_seq,
+        "exact_dedup_docs": dedup.exact_dedup_docs,
+        "get_by_ids": crud.get_by_ids,
+        "hybrid_search_rrf": retrieval.hybrid_search_rrf,
         "idf_top_terms": textops.idf_top_terms,
         "kmeans_embeddings": pipeline.kmeans_embeddings,
+        "knn_filtered": knn.knn_filtered,
         "knn_join": similarity.knn_join,
+        "knn_threshold": knn.knn_threshold,
+        "label_centroids": similarity.label_centroids,
+        "lang_id": textops.lang_id,
+        "lexical_search_docs": retrieval.lexical_search_docs,
         "media_fingerprints": multimodal.media_fingerprints,
+        "minhash_index_merge_stats": dedup.minhash_index_merge_stats,
         "minhash_near_dup_docs": dedup.minhash_near_dup_docs,
         "near_dup_embeddings": similarity.near_dup_embeddings,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "normalize_all": crud.normalize_all,
+        "normalized_dedup_docs": dedup.normalized_dedup_docs,
         "pack_sequences": pipeline.pack_sequences,
-        "jsonl_export_roundtrip": lifecycle.jsonl_export_roundtrip,
-        "orc_export_roundtrip": lifecycle.orc_export_roundtrip,
-        "minhash_index_probe": dedup.minhash_index_probe,
-        "table_profile": pipeline.table_profile,
-        "ivf_cell_health": similarity.ivf_cell_health,
-        "tokenizer_fertility": textops.tokenizer_fertility,
-        "dedup_pair_recall": dedup.dedup_pair_recall,
-        "dedup_funnel_report": dedup.dedup_funnel_report,
-        "streaming_sessionize_custom": events_stream.streaming_sessionize_custom,
-        "events_scd2_state": events.events_scd2_state,
-        "compaction_plan": pipeline.compaction_plan,
-        "join_skew_advisor": advanced.join_skew_advisor,
-        "supplier_percent_rank": relational2.supplier_percent_rank,
-        "tpch_q3_shipping": relational.tpch_q3_shipping,
-        "tpch_q5_regional": relational.tpch_q5_regional,
-        "tpch_q6_forecast": advanced.tpch_q6_forecast,
-        "tpch_q10_returned": advanced.tpch_q10_returned,
-        "tpch_q12_latecount": advanced.tpch_q12_latecount,
-        "tpch_q14_promo": advanced.tpch_q14_promo,
-        "tpch_q18_big_orders": advanced.tpch_q18_big_orders,
-        "tpch_q7_nation_trade": advanced.tpch_q7_nation_trade,
-        "tpch_q8_market_share": relational2.tpch_q8_market_share,
-        "tpch_q13_order_dist": relational2.tpch_q13_order_dist,
-        "tpch_q15_top_supplier": relational2.tpch_q15_top_supplier,
-        "tpch_q17_small_qty": relational2.tpch_q17_small_qty,
-        "tpch_q19_disjunctive": relational2.tpch_q19_disjunctive,
-        "tpch_q21_waiting_supplier": relational2.tpch_q21_waiting_supplier,
-        "tpch_q22_idle_rich": relational2.tpch_q22_idle_rich,
-        "order_priority_counts": relational.order_priority_counts,
-        "top_customers": relational.top_customers,
-        "region_rollup": relational.region_rollup,
-        "parts_brand_stats": relational.parts_brand_stats,
-        "sales_rollup": relational2.sales_rollup,
-        "orders_pivot": relational2.orders_pivot,
-        "customer_balance_quartiles": relational2.customer_balance_quartiles,
-        "parts_cube": relational2.parts_cube,
-        "lineitem_stats": relational2.lineitem_stats,
-        "supplier_trailing_revenue": relational2.supplier_trailing_revenue,
-        "part_supplier_diversity": advanced.part_supplier_diversity,
-        "customer_set_ops": advanced.customer_set_ops,
-        "supplier_nation_rank": advanced.supplier_nation_rank,
-        "customers_without_orders": advanced.customers_without_orders,
-        "orders_cumulative": advanced.orders_cumulative,
-        "order_value_quantiles": advanced.order_value_quantiles,
-        "streaming_dedup_counts": events_stream.streaming_dedup_counts,
-        "streaming_click_attribution": events_stream.streaming_click_attribution,
-        "stratified_sample_docs": pipeline.stratified_sample_docs,
-        "train_shard_manifest": pipeline.train_shard_manifest,
-        "vocab_coverage_report": pipeline.vocab_coverage_report,
-        "skew_salted_join": advanced.skew_salted_join,
-        "tpch_q4_priority": relational3.tpch_q4_priority,
-        "tpch_q9_profit": relational3.tpch_q9_profit,
-        "tpch_q11_important_parts": relational3.tpch_q11_important_parts,
-        "tpch_q16_supplier_counts": relational3.tpch_q16_supplier_counts,
-        "tpch_q20_promotion_suppliers": relational3.tpch_q20_promotion_suppliers,
+        "pii_scrub_report": textops.pii_scrub_report,
+        "quality_scores": textops.quality_scores,
+        "save_roundtrip_stats": lifecycle.save_roundtrip_stats,
+        "semantic_search_docs": similarity.semantic_search_docs,
+        "simhash_docs": dedup.simhash_docs,
+        "snapshot_diff_report": lifecycle.snapshot_diff_report,
+        "snapshot_retention_report": lifecycle.snapshot_retention_report,
+        "tpch_q1_pricing": relational.tpch_q1_pricing,
+        "upsert_merge": crud.upsert_merge,
+        # r10-latest holders (freshest evidence; rotated out):
+        "ann_lsh_topk": similarity.ann_lsh_topk,
+        "ann_pq_codes_topk": similarity.ann_pq_codes_topk,
+        "ann_pq_topk": similarity.ann_pq_topk,
+        "ann_recall": similarity.ann_recall,
+        "bigram_stats": pipeline.bigram_stats,
+        "cdc_apply_report": lifecycle.cdc_apply_report,
+        "cluster_topic_report": pipeline.cluster_topic_report,
+        "contamination_check": dedup.contamination_check,
+        "cross_source_overlap": dedup.cross_source_overlap,
+        "crossmodal_dup_check": similarity.crossmodal_dup_check,
+        "customer_balance_quartiles_approx": relational2.customer_balance_quartiles_approx,
+        "dedup_keep_best": dedup.dedup_keep_best,
+        "doc_chunk_report": pipeline.doc_chunk_report,
+        "dup_clusters": dedup.dup_clusters,
+        "embedding_outlier_report": pipeline.embedding_outlier_report,
+        "embedding_top_component": pipeline.embedding_top_component,
+        "events_anomaly_report": events.events_anomaly_report,
+        "events_daily_full_outer": events.events_daily_full_outer,
+        "events_distinct_sketch": events.events_distinct_sketch,
+        "events_json_stats": events.events_json_stats,
+        "events_next_transition": events.events_next_transition,
+        "events_props_scrub": events.events_props_scrub,
+        "events_session_window": events.events_session_window,
+        "events_top_users": events.events_top_users,
+        "events_union_slices": events.events_union_slices,
+        "events_value_bands": advanced.events_value_bands,
+        "events_value_drift": events.events_value_drift,
+        "events_value_percentiles_approx": events.events_value_percentiles_approx,
+        "exact_substring_contamination": dedup.exact_substring_contamination,
+        "label_centroids_mergeable": similarity.label_centroids_mergeable,
+        "length_filter_report": pipeline.length_filter_report,
+        "media_feature_stats": multimodal.media_feature_stats,
+        "media_frame_sample": multimodal.media_frame_sample,
+        "media_inventory": multimodal.media_inventory,
+        "media_resize_summary": multimodal.media_resize_summary,
+        "mixture_temperature_weights": textops.mixture_temperature_weights,
+        "nation_supplier_lists": relational2.nation_supplier_lists,
+        "ngram_novelty_scores": dedup.ngram_novelty_scores,
+        "phrase_collocations": textops.phrase_collocations,
+        "quality_weighted_sample": pipeline.quality_weighted_sample,
+        "reference_json_roundtrip": lifecycle.reference_json_roundtrip,
+        "repetition_scores": textops.repetition_scores,
+        "reservoir_per_key": pipeline.reservoir_per_key,
+        "snapshot_time_travel": lifecycle.snapshot_time_travel,
+        "streaming_cdc_apply": collection_stream.streaming_cdc_apply,
+        "streaming_collection_upsert": collection_stream.streaming_collection_upsert,
+        "streaming_hourly_counts": events_stream.streaming_hourly_counts,
+        "token_counts": textops.token_counts,
+        "vacuum_report": lifecycle.vacuum_report,
     }
 
 
