@@ -210,31 +210,59 @@ def load_prior_times(
     # un-truncated one (driver tails cut the front of long payloads, so a
     # query can vanish from recent rounds' tails while its stale r01/r02
     # value survives) — read it last.
-    paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
-    # BENCH.json must come from the COMMITTED tree, not the working copy:
-    # this script overwrites the working-tree file on every run, so a
-    # back-to-back re-run would otherwise compare against its own previous
-    # (possibly storm-inflated) output and the tripwire self-ratifies —
-    # observed r10: run 1 hit a load storm (events block 3-9x), run 2 read
-    # run 1's numbers as "prior" and reported zero regressions.
+    #
+    # EVERY prior comes from the COMMITTED tree (HEAD), never the working
+    # copy: this script overwrites BENCH.json on every run and the driver
+    # writes BENCH_r{N}.json post-HEAD, so working-tree reads let a
+    # same-session (possibly storm-inflated) output become its own
+    # tripwire reference — observed r10 for BENCH.json (run 1 hit a load
+    # storm, run 2 read run 1's numbers as "prior", regressions={}); the
+    # same hole existed for untracked BENCH_r*.json until r11. Paths are
+    # derived via `rev-parse --show-prefix` so a future bench.py move
+    # into a subdirectory can't silently break the HEAD lookups.
     records: list[dict] = []
-    for p in paths:
-        try:
-            with open(p) as fh:
-                records.append(json.load(fh))
-        except (OSError, json.JSONDecodeError):
-            continue
     try:
         import subprocess
 
-        committed = subprocess.run(
-            ["git", "-C", here, "show", "HEAD:BENCH.json"],
-            capture_output=True, text=True, timeout=30,
-        )
-        if committed.returncode == 0:
-            records.append(json.loads(committed.stdout))
-    except Exception:  # noqa: BLE001 — no git / not a repo: skip, the
-        pass  # BENCH_r*.json rounds still provide the reference
+        def _git(*argv: str) -> "subprocess.CompletedProcess[str]":
+            return subprocess.run(
+                ["git", "-C", here, *argv],
+                capture_output=True, text=True, timeout=30,
+            )
+
+        pfx_res = _git("rev-parse", "--show-prefix")
+        if pfx_res.returncode != 0:
+            raise RuntimeError(pfx_res.stderr.strip() or "rev-parse failed")
+        pfx = pfx_res.stdout.strip()  # "" at repo root, "sub/dir/" below
+        ls = _git("ls-tree", "--name-only", "HEAD", "--",
+                  pfx if pfx else ".")
+        tracked = [
+            n for n in ls.stdout.splitlines()
+            if re.fullmatch(re.escape(pfx) + r"BENCH_r\d+\.json", n)
+        ]
+        for name in sorted(tracked) + [f"{pfx}BENCH.json"]:
+            shown = _git("show", f"HEAD:{name}")
+            if shown.returncode != 0:
+                if name.endswith("BENCH.json") and not name.startswith("BENCH_r"):
+                    print(f"[bench] no committed {name} at HEAD — "
+                          "priors limited to BENCH_r*.json", file=sys.stderr)
+                continue
+            try:
+                records.append(json.loads(shown.stdout))
+            except json.JSONDecodeError:
+                continue
+    except Exception as exc:  # noqa: BLE001 — no git / not a repo
+        print(f"[bench] committed priors unavailable ({exc}) — falling "
+              "back to working-tree BENCH*.json (weaker: same-session "
+              "self-ratification possible)", file=sys.stderr)
+        paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+        paths.append(os.path.join(here, "BENCH.json"))
+        for p in paths:
+            try:
+                with open(p) as fh:
+                    records.append(json.load(fh))
+            except (OSError, json.JSONDecodeError):
+                continue
     for rec in records:
         if sf is not None:
             got = rec_sf(rec)
@@ -482,13 +510,25 @@ def main() -> None:
         """micro_timed + the same 3x-prior quiet-gate retime the headline
         loop gets (the micros were tripwire-exempt before r10 — a storm
         that outlasted micro_timed's in-run discard committed silently).
-        A retime keeps the min and records the second runs array under
-        ``<name>_retime`` so both measurements stay visible."""
+        Both passes stay visible, and the PRIMARY block is always the one
+        that supplied the headline min (r11 fix: previously a winning
+        retime left the storm pass's runs/mean/std under the primary key,
+        so min(primary.runs) disagreed with the committed value). The
+        losing pass is kept under ``<name>_storm_pass`` / ``<name>_retime``
+        and the primary block carries a ``source`` field naming the pass
+        that won."""
         t = micro_timed(fn, micro_stats, name)
         if name in prior and t > 3 * prior[name]:
             wait_for_quiet(f"retime:{name}")
-            t = min(t, micro_timed(fn, micro_stats, f"{name}_retime"))
+            t2 = micro_timed(fn, micro_stats, f"{name}_retime")
             retimed.append(name)
+            if t2 < t:
+                micro_stats[f"{name}_storm_pass"] = micro_stats[name]
+                micro_stats[name] = micro_stats.pop(f"{name}_retime")
+                micro_stats[name]["source"] = "retime"
+                t = t2
+            else:
+                micro_stats[name]["source"] = "first_pass"
         return t
 
     wait_for_quiet("micro_insert")
