@@ -126,6 +126,16 @@ PROBES = [
     # under 1 (a vacuum that scanned data files would show here)
     ("pii_scrub_report", textops.pii_scrub_report, ("documents",)),
     ("vacuum_report", lifecycle.vacuum_report, ("embeddings",)),
+    # r11 additions (VERDICT r10 task 4): the last two top-5-cost gate
+    # queries without probe rows. streaming_collection_upsert = three
+    # availableNow foreachBatch drains + per-batch upsert/save — trigger
+    # and checkpoint overhead is fixed, the upsert merge + save write are
+    # the only row-linear stages, so expect ≈ flat-to-sub-linear;
+    # snapshot_time_travel = multi-save lifecycle (two snapshots, a
+    # delete_where, reopen) whose manifest work is O(versions) — the
+    # snapshot writes are the data term, expect well under 1.
+    ("streaming_collection_upsert", collection_stream.streaming_collection_upsert, ("embeddings",)),
+    ("snapshot_time_travel", lifecycle.snapshot_time_travel, ("embeddings",)),
 ]
 
 ALL_TABLES = [
