@@ -20,6 +20,12 @@ def spark():
 @pytest.fixture(scope="session")
 def duck():
     con = duckdb.connect()
+    # out-of-core: a full-surface sf0.01 sweep shares the process with a
+    # long-lived local[32] JVM; without a spill dir one big oracle (e.g.
+    # ann_recall's exact-KNN CTE) can lose the malloc race and abort the
+    # whole session (observed r11: bad allocation at 256 KiB)
+    con.execute("SET temp_directory='/tmp/nvdb_duck_spill'")
+    con.execute("SET memory_limit='24GB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
