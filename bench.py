@@ -320,6 +320,19 @@ def timed(fn, runs: int | None = None) -> float:
     return round(min(timed_all(fn, runs or RUNS)), 4)
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from /proc/stat's aggregate cpu line —
+    storm ATTRIBUTION: a discarded run with high steal%% is the hypervisor
+    taking the cores (nothing this code can fix), while a slow run at ~0
+    steal would point back at the workload. Returns (0, 0) off-Linux."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:9]]
+        return vals[7], sum(vals)
+    except Exception:  # noqa: BLE001 — diagnostics must never break timing
+        return 0, 0
+
+
 def micro_timed(fn, stats: dict, name: str) -> float:
     """Reference protocol for the baseline micros: N runs, record all of
     them plus mean ± std; the headline number stays best-of-N.
@@ -330,22 +343,37 @@ def micro_timed(fn, stats: dict, name: str) -> float:
     that exceeds 3x the current minimum is recorded as discarded and
     replaced (bounded retries), so mean/std describe the machine running
     the code, not the storm. The discarded runs stay in the record —
-    nothing is hidden, they just don't contaminate the summary stats."""
+    nothing is hidden, they just don't contaminate the summary stats.
+    r11: every run also records the hypervisor steal%% over its window
+    (parallel arrays steal_pct / discarded_steal_pct), so a committed
+    storm carries its attribution."""
     times: list[float] = []
+    steals: list[float] = []
     discarded: list[float] = []
+    discarded_steals: list[float] = []
     attempts = 0
     while len(times) < MICRO_RUNS and attempts < 3 * MICRO_RUNS:
         attempts += 1
+        s0, tot0 = _cpu_ticks()
         t = timed_all(fn, 1)[0]
+        s1, tot1 = _cpu_ticks()
+        steal = round(100.0 * (s1 - s0) / max(1, tot1 - tot0), 2)
         if times and t > 3 * min(times):
             discarded.append(t)
+            discarded_steals.append(steal)
             wait_for_quiet(f"micro-storm:{name}")
             continue
         # a new much-lower min reveals EARLIER runs as contaminated
         if t > 0 and any(x > 3 * t for x in times):
+            keep = [i for i, x in enumerate(times) if x <= 3 * t]
             discarded += [x for x in times if x > 3 * t]
-            times = [x for x in times if x <= 3 * t]
+            discarded_steals += [
+                s for i, s in enumerate(steals) if i not in keep
+            ]
+            times = [times[i] for i in keep]
+            steals = [steals[i] for i in keep]
         times.append(t)
+        steals.append(steal)
     mean = sum(times) / len(times)
     std = (sum((t - mean) ** 2 for t in times) / len(times)) ** 0.5
     stats[name] = {
@@ -353,6 +381,8 @@ def micro_timed(fn, stats: dict, name: str) -> float:
         "mean": round(mean, 4),
         "std": round(std, 4),
         "discarded_storm_runs": discarded,
+        "steal_pct": steals,
+        "discarded_steal_pct": discarded_steals,
     }
     return round(min(times), 4)
 

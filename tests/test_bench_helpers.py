@@ -87,6 +87,9 @@ def test_micro_timed_discards_storm_runs(monkeypatch):
     assert rec["discarded_storm_runs"] == [30.0]
     assert len(rec["runs"]) == 5
     assert rec["std"] < 0.05  # storm no longer contaminates the summary
+    # r11 attribution arrays stay parallel to their run arrays
+    assert len(rec["steal_pct"]) == len(rec["runs"])
+    assert len(rec["discarded_steal_pct"]) == len(rec["discarded_storm_runs"])
 
 
 def test_micro_timed_retroactively_discards_inflated_head(monkeypatch):
@@ -101,6 +104,8 @@ def test_micro_timed_retroactively_discards_inflated_head(monkeypatch):
     assert best == 0.99
     assert set(rec["discarded_storm_runs"]) == {10.0, 9.5}
     assert all(t <= 3 * 0.99 for t in rec["runs"])
+    assert len(rec["steal_pct"]) == len(rec["runs"])
+    assert len(rec["discarded_steal_pct"]) == len(rec["discarded_storm_runs"])
 
 
 def test_load_prior_times_prefers_committed_bench_over_working_tree(
