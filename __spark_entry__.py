@@ -52,104 +52,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       queries whose SOURCE changed since their last green row re-gate; and
       once nothing is unverified, the STALEST greens rotate back through
       (evidence freshness), displacing multiply-green entries to 51+.
-    * ROUND-11 ROTATION (executes the r10 write-ahead queue verbatim +
-      VERDICT r10 task 1): the union entering r11 is 151/151 green with
-      distribution r07:11 r08:44 r09:46 r10:50 — no source changes land
-      this round (r11 touches bench.py, docs, and this file only), so the
-      gate is PURE FRESHNESS:
-      - The 11 r07-latest queries first (the oldest evidence in the
-        ledger): skew_salted_join, stratified_sample_docs,
-        streaming_click_attribution, streaming_dedup_counts,
-        tpch_q4_priority, tpch_q9_profit, tpch_q11_important_parts,
-        tpch_q16_supplier_counts, tpch_q20_promotion_suppliers,
-        train_shard_manifest, vocab_coverage_report.
-      - Then the first 38 alphabetically of the 44 r08-latest holders
-        (the same deterministic, documentable cut rule r10 used for its
-        r07 backfill). The remaining 6 (tpch_q22_idle_rich,
-        tpch_q3_shipping, tpch_q5_regional, tpch_q6_forecast,
-        tpch_q7_nation_trade, tpch_q8_market_share) lead the r12 queue.
-      - Rotated out to 51+: the entire r10 gate block (freshest evidence)
-        and the r09 multiply-green holders.
+    * ROUND-12 ROTATION (executes the r11 write-ahead queue verbatim +
+      VERDICT r11 task 5): the union entering r12 is 151/151 green with
+      distribution r08:6 r09:46 r10:49 r11:50 — no operator source
+      changes land this round (r12 touches bench.py, tests, docs, and
+      this file only), so the gate is PURE FRESHNESS:
+      - The 6 deferred r08-latest queries first (the oldest evidence in
+        the ledger): tpch_q22_idle_rich, tpch_q3_shipping,
+        tpch_q5_regional, tpch_q6_forecast, tpch_q7_nation_trade,
+        tpch_q8_market_share.
+      - Then the first 43 alphabetically of the 46 r09-latest holders
+        (the same deterministic, documentable cut rule r10/r11 used).
+        The remaining 3 (snapshot_retention_report, tpch_q1_pricing,
+        upsert_merge) lead the r13 queue.
+      - Rotated out to 51+: the entire r11 gate block (freshest
+        evidence) and the r10 multiply-green holders.
     * Historical green rounds per family are tracked in PARITY.md §gate.
     * Entries 51+ keep full local coverage every round via
       tests/test_oracle_parity.py (stricter than the driver: dtype-class +
       unhashable-cell checks).
-    * R12 ROTATION QUEUE (write-ahead note): after r11 no latest row
-      predates r08; the r12 gate is freshness + any r12 source change:
-      the 6 deferred r08-latest queries first (tpch_q22_idle_rich,
-      tpch_q3_shipping, tpch_q5_regional, tpch_q6_forecast,
-      tpch_q7_nation_trade, tpch_q8_market_share), then the oldest ~43
-      of the 46 r09-latest holders (alphabetical cut, same rule).
+    * R13 ROTATION QUEUE (write-ahead note): after r12 no latest row
+      predates r09; the r13 gate is freshness + any r13 source change:
+      the 3 deferred r09-latest queries first (snapshot_retention_report,
+      tpch_q1_pricing, upsert_merge), then the oldest 46 of the 49
+      r10-latest holders (alphabetical cut, same rule; the last 3 —
+      streaming_hourly_counts, token_counts, vacuum_report — lead r14).
     """
     return {
-        # ---- r11 gate block (first 50) ------------------------------
+        # ---- r12 gate block (first 50) ------------------------------
         # flagship (kept first every round)
         "knn_topk": knn.knn_topk,
-        # ---- freshness block A: the 11 deferred r07-latest queries
-        # (head of the r10 write-ahead queue; oldest evidence in the
-        # ledger entering r11) ------------------------------------------
-        "skew_salted_join": advanced.skew_salted_join,
-        "stratified_sample_docs": pipeline.stratified_sample_docs,
-        "streaming_click_attribution": events_stream.streaming_click_attribution,
-        "streaming_dedup_counts": events_stream.streaming_dedup_counts,
-        "tpch_q11_important_parts": relational3.tpch_q11_important_parts,
-        "tpch_q16_supplier_counts": relational3.tpch_q16_supplier_counts,
-        "tpch_q20_promotion_suppliers": relational3.tpch_q20_promotion_suppliers,
-        "tpch_q4_priority": relational3.tpch_q4_priority,
-        "tpch_q9_profit": relational3.tpch_q9_profit,
-        "train_shard_manifest": pipeline.train_shard_manifest,
-        "vocab_coverage_report": pipeline.vocab_coverage_report,
-        # ---- freshness block B: first 38 alphabetically of the 44
-        # r08-latest holders (deterministic, documentable cut; the
-        # remaining 6 lead the r12 queue) --------------------------------
-        "compaction_plan": pipeline.compaction_plan,
-        "customer_balance_quartiles": relational2.customer_balance_quartiles,
-        "customer_set_ops": advanced.customer_set_ops,
-        "customers_without_orders": advanced.customers_without_orders,
-        "dedup_funnel_report": dedup.dedup_funnel_report,
-        "dedup_pair_recall": dedup.dedup_pair_recall,
-        "events_scd2_state": events.events_scd2_state,
-        "ivf_cell_health": similarity.ivf_cell_health,
-        "join_skew_advisor": advanced.join_skew_advisor,
-        "jsonl_export_roundtrip": lifecycle.jsonl_export_roundtrip,
-        "lineitem_stats": relational2.lineitem_stats,
-        "minhash_index_probe": dedup.minhash_index_probe,
-        "orc_export_roundtrip": lifecycle.orc_export_roundtrip,
-        "order_priority_counts": relational.order_priority_counts,
-        "order_value_quantiles": advanced.order_value_quantiles,
-        "orders_cumulative": advanced.orders_cumulative,
-        "orders_pivot": relational2.orders_pivot,
-        "part_supplier_diversity": advanced.part_supplier_diversity,
-        "parts_brand_stats": relational.parts_brand_stats,
-        "parts_cube": relational2.parts_cube,
-        "region_rollup": relational.region_rollup,
-        "sales_rollup": relational2.sales_rollup,
-        "streaming_sessionize_custom": events_stream.streaming_sessionize_custom,
-        "supplier_nation_rank": advanced.supplier_nation_rank,
-        "supplier_percent_rank": relational2.supplier_percent_rank,
-        "supplier_trailing_revenue": relational2.supplier_trailing_revenue,
-        "table_profile": pipeline.table_profile,
-        "tokenizer_fertility": textops.tokenizer_fertility,
-        "top_customers": relational.top_customers,
-        "tpch_q10_returned": advanced.tpch_q10_returned,
-        "tpch_q12_latecount": advanced.tpch_q12_latecount,
-        "tpch_q13_order_dist": relational2.tpch_q13_order_dist,
-        "tpch_q14_promo": advanced.tpch_q14_promo,
-        "tpch_q15_top_supplier": relational2.tpch_q15_top_supplier,
-        "tpch_q17_small_qty": relational2.tpch_q17_small_qty,
-        "tpch_q18_big_orders": advanced.tpch_q18_big_orders,
-        "tpch_q19_disjunctive": relational2.tpch_q19_disjunctive,
-        "tpch_q21_waiting_supplier": relational2.tpch_q21_waiting_supplier,
-        # ---------------- entry 51+ (full local coverage every round
-        # via test_oracle_parity) ---------------------------------------
-        # the 6 deferred r08s — they lead the r12 queue:
+        # ---- freshness block A: the 6 deferred r08-latest queries
+        # (head of the r11 write-ahead queue; oldest evidence in the
+        # ledger entering r12) ------------------------------------------
         "tpch_q22_idle_rich": relational2.tpch_q22_idle_rich,
         "tpch_q3_shipping": relational.tpch_q3_shipping,
         "tpch_q5_regional": relational.tpch_q5_regional,
         "tpch_q6_forecast": advanced.tpch_q6_forecast,
         "tpch_q7_nation_trade": advanced.tpch_q7_nation_trade,
         "tpch_q8_market_share": relational2.tpch_q8_market_share,
-        # r09-latest holders:
+        # ---- freshness block B: first 43 alphabetically of the 46
+        # r09-latest holders (deterministic, documentable cut; the
+        # remaining 3 lead the r13 queue) --------------------------------
         "ann_ivf_pq_topk": similarity.ann_ivf_pq_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "compact_roundtrip_stats": lifecycle.compact_roundtrip_stats,
@@ -193,10 +137,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_search_docs": similarity.semantic_search_docs,
         "simhash_docs": dedup.simhash_docs,
         "snapshot_diff_report": lifecycle.snapshot_diff_report,
+        # ---------------- entry 51+ (full local coverage every round
+        # via test_oracle_parity) ---------------------------------------
+        # the 3 deferred r09s — they lead the r13 queue:
         "snapshot_retention_report": lifecycle.snapshot_retention_report,
         "tpch_q1_pricing": relational.tpch_q1_pricing,
         "upsert_merge": crud.upsert_merge,
-        # r10-latest holders (freshest evidence; rotated out):
+        # r10-latest holders:
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "ann_pq_codes_topk": similarity.ann_pq_codes_topk,
         "ann_pq_topk": similarity.ann_pq_topk,
@@ -246,6 +193,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hourly_counts": events_stream.streaming_hourly_counts,
         "token_counts": textops.token_counts,
         "vacuum_report": lifecycle.vacuum_report,
+        # r11-latest holders (freshest evidence; rotated out):
+        "skew_salted_join": advanced.skew_salted_join,
+        "stratified_sample_docs": pipeline.stratified_sample_docs,
+        "streaming_click_attribution": events_stream.streaming_click_attribution,
+        "streaming_dedup_counts": events_stream.streaming_dedup_counts,
+        "tpch_q11_important_parts": relational3.tpch_q11_important_parts,
+        "tpch_q16_supplier_counts": relational3.tpch_q16_supplier_counts,
+        "tpch_q20_promotion_suppliers": relational3.tpch_q20_promotion_suppliers,
+        "tpch_q4_priority": relational3.tpch_q4_priority,
+        "tpch_q9_profit": relational3.tpch_q9_profit,
+        "train_shard_manifest": pipeline.train_shard_manifest,
+        "vocab_coverage_report": pipeline.vocab_coverage_report,
+        "compaction_plan": pipeline.compaction_plan,
+        "customer_balance_quartiles": relational2.customer_balance_quartiles,
+        "customer_set_ops": advanced.customer_set_ops,
+        "customers_without_orders": advanced.customers_without_orders,
+        "dedup_funnel_report": dedup.dedup_funnel_report,
+        "dedup_pair_recall": dedup.dedup_pair_recall,
+        "events_scd2_state": events.events_scd2_state,
+        "ivf_cell_health": similarity.ivf_cell_health,
+        "join_skew_advisor": advanced.join_skew_advisor,
+        "jsonl_export_roundtrip": lifecycle.jsonl_export_roundtrip,
+        "lineitem_stats": relational2.lineitem_stats,
+        "minhash_index_probe": dedup.minhash_index_probe,
+        "orc_export_roundtrip": lifecycle.orc_export_roundtrip,
+        "order_priority_counts": relational.order_priority_counts,
+        "order_value_quantiles": advanced.order_value_quantiles,
+        "orders_cumulative": advanced.orders_cumulative,
+        "orders_pivot": relational2.orders_pivot,
+        "part_supplier_diversity": advanced.part_supplier_diversity,
+        "parts_brand_stats": relational.parts_brand_stats,
+        "parts_cube": relational2.parts_cube,
+        "region_rollup": relational.region_rollup,
+        "sales_rollup": relational2.sales_rollup,
+        "streaming_sessionize_custom": events_stream.streaming_sessionize_custom,
+        "supplier_nation_rank": advanced.supplier_nation_rank,
+        "supplier_percent_rank": relational2.supplier_percent_rank,
+        "supplier_trailing_revenue": relational2.supplier_trailing_revenue,
+        "table_profile": pipeline.table_profile,
+        "tokenizer_fertility": textops.tokenizer_fertility,
+        "top_customers": relational.top_customers,
+        "tpch_q10_returned": advanced.tpch_q10_returned,
+        "tpch_q12_latecount": advanced.tpch_q12_latecount,
+        "tpch_q13_order_dist": relational2.tpch_q13_order_dist,
+        "tpch_q14_promo": advanced.tpch_q14_promo,
+        "tpch_q15_top_supplier": relational2.tpch_q15_top_supplier,
+        "tpch_q17_small_qty": relational2.tpch_q17_small_qty,
+        "tpch_q18_big_orders": advanced.tpch_q18_big_orders,
+        "tpch_q19_disjunctive": relational2.tpch_q19_disjunctive,
+        "tpch_q21_waiting_supplier": relational2.tpch_q21_waiting_supplier,
     }
 
 

@@ -82,6 +82,39 @@ RUNS = int(os.environ.get("BENCH_RUNS", "2"))
 MICRO_RUNS = int(os.environ.get("BENCH_MICRO_RUNS", "5"))
 MICRO_ROWS = int(os.environ.get("BENCH_MICRO_ROWS", "100000"))
 MICRO_DIM = int(os.environ.get("BENCH_MICRO_DIM", "1024"))
+# r12: kept micro runs must also be QUIET by measurement — a run whose
+# sampled hypervisor steal exceeds this percentage is rejected and retried
+# (bounded), so "quiet-window" is a recorded property of the committed
+# array, not a claim about when it was taken. r11 observed clean-looking
+# windows turning 8-21% steal mid-pass and a 10.2 s spike at 0.86% steal —
+# the 3x-min rule catches the latter, this gate catches the former.
+MICRO_STEAL_MAX = float(os.environ.get("BENCH_MICRO_STEAL_MAX", "1.5"))
+
+
+def resolve_modes(env=None) -> tuple[bool, set[str], str]:
+    """Partial-run switches (r12, VERDICT r11 task 3): adjudicating one
+    stormy micro used to cost a full ~150 s headline pass (r11 burned six
+    full runs between builder and judge chasing quiet windows).
+
+    - ``BENCH_MICRO_ONLY=1``: run ONLY the reference-shaped 100k x 1024
+      micros (scan floor / insert / save / query) with full steal sampling.
+    - ``BENCH_ONLY=name1,name2``: run ONLY the named headline queries
+      (``knn_topk_numpy`` / ``pq_build_codes`` / ``minhash_index_build``
+      are addressable too).
+
+    Either switch makes the run PARTIAL: output goes to MICRO_RETIME.json
+    (override: ``BENCH_OUT``) so the driver-contract BENCH.json is never
+    clobbered with a subset record, and the payload carries a ``mode``
+    field so a partial artifact can't be mistaken for a full snapshot.
+    """
+    env = os.environ if env is None else env
+    micro_only = env.get("BENCH_MICRO_ONLY", "") == "1"
+    only = {n.strip() for n in env.get("BENCH_ONLY", "").split(",") if n.strip()}
+    partial = micro_only or bool(only)
+    out = env.get("BENCH_OUT") or (
+        "MICRO_RETIME.json" if partial else "BENCH.json"
+    )
+    return micro_only, only, out
 
 # every declared query except:
 # - ann_recall: a driver-side composition of three other timed plans —
@@ -162,6 +195,12 @@ def guard_contention() -> None:
     print("[bench] contention probe: timeout, proceeding", file=sys.stderr)
 
 
+# set True when tripwire priors had to come from the working tree (no git)
+# — surfaced as "weak_priors" in the emitted JSON so a contaminated
+# tripwire baseline is visible in the committed record (r12, ADVICE).
+_PRIOR_SOURCE = {"weak": False}
+
+
 def load_prior_times(
     valid_names: set[str], sf: str | None = None
 ) -> dict[str, float]:
@@ -190,6 +229,7 @@ def load_prior_times(
     import glob
     import re
 
+    _PRIOR_SOURCE["weak"] = False
     prior: dict[str, float] = {}
 
     def rec_sf(rec: dict) -> str | None:
@@ -234,8 +274,12 @@ def load_prior_times(
         if pfx_res.returncode != 0:
             raise RuntimeError(pfx_res.stderr.strip() or "rev-parse failed")
         pfx = pfx_res.stdout.strip()  # "" at repo root, "sub/dir/" below
-        ls = _git("ls-tree", "--name-only", "HEAD", "--",
-                  pfx if pfx else ".")
+        # --full-name + cwd-relative "." pathspec (r12, ADVICE): `-C here`
+        # makes git's cwd the bench dir, so a pfx pathspec would resolve to
+        # pfx/pfx and plain output would be cwd-relative — names that never
+        # match the pfx-prefixed regex below. --full-name emits
+        # root-relative names that both match and resolve via `show HEAD:`.
+        ls = _git("ls-tree", "--full-name", "--name-only", "HEAD", "--", ".")
         tracked = [
             n for n in ls.stdout.splitlines()
             if re.fullmatch(re.escape(pfx) + r"BENCH_r\d+\.json", n)
@@ -253,10 +297,12 @@ def load_prior_times(
                 continue
     except Exception as exc:  # noqa: BLE001 — no git / not a repo
         print(f"[bench] committed priors unavailable ({exc}) — falling "
-              "back to working-tree BENCH*.json (weaker: same-session "
-              "self-ratification possible)", file=sys.stderr)
+              "back to working-tree BENCH_r*.json (weaker; BENCH.json "
+              "itself is EXCLUDED: this script overwrites it every run, so "
+              "including it would let a storm-inflated output self-ratify "
+              "— the exact r10 incident)", file=sys.stderr)
+        _PRIOR_SOURCE["weak"] = True
         paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
-        paths.append(os.path.join(here, "BENCH.json"))
         for p in paths:
             try:
                 with open(p) as fh:
@@ -346,18 +392,36 @@ def micro_timed(fn, stats: dict, name: str) -> float:
     nothing is hidden, they just don't contaminate the summary stats.
     r11: every run also records the hypervisor steal%% over its window
     (parallel arrays steal_pct / discarded_steal_pct), so a committed
-    storm carries its attribution."""
+    storm carries its attribution.
+
+    Steal gate (r12, VERDICT r11 task 4): a run whose sampled steal
+    exceeds MICRO_STEAL_MAX%% is rejected outright (recorded under
+    steal_rejected_runs/_pct) even if its wall time looks clean — r11
+    showed clean-looking windows turning 8-21%% steal mid-pass, where a
+    kept "fast" run still understates quiet-box speed. Rejections are
+    bounded (2x MICRO_RUNS): if the box never goes quiet the gate
+    disarms, the remaining runs are kept WITH their steal recorded, and
+    steal_gate_exhausted=true marks the array as storm-crossed."""
     times: list[float] = []
     steals: list[float] = []
     discarded: list[float] = []
     discarded_steals: list[float] = []
+    steal_rejected: list[float] = []
+    steal_rejected_pct: list[float] = []
     attempts = 0
-    while len(times) < MICRO_RUNS and attempts < 3 * MICRO_RUNS:
+    max_steal_rejects = 2 * MICRO_RUNS
+    while len(times) < MICRO_RUNS and attempts < 3 * MICRO_RUNS + max_steal_rejects:
         attempts += 1
         s0, tot0 = _cpu_ticks()
         t = timed_all(fn, 1)[0]
         s1, tot1 = _cpu_ticks()
         steal = round(100.0 * (s1 - s0) / max(1, tot1 - tot0), 2)
+        if steal > MICRO_STEAL_MAX and len(steal_rejected) < max_steal_rejects:
+            steal_rejected.append(t)
+            steal_rejected_pct.append(steal)
+            time.sleep(3)  # storms run minutes; a short backoff beats an
+            # immediate re-hit without stalling a full pass on loadavg
+            continue
         if times and t > 3 * min(times):
             discarded.append(t)
             discarded_steals.append(steal)
@@ -374,6 +438,15 @@ def micro_timed(fn, stats: dict, name: str) -> float:
             steals = [steals[i] for i in keep]
         times.append(t)
         steals.append(steal)
+    if not times:
+        # box never went quiet within the rejection budget: keep the
+        # lowest-steal rejected runs so the record is never empty —
+        # steal_gate_exhausted below marks the array storm-crossed.
+        order = sorted(
+            range(len(steal_rejected)), key=lambda i: steal_rejected_pct[i]
+        )[:MICRO_RUNS]
+        times = [steal_rejected[i] for i in order]
+        steals = [steal_rejected_pct[i] for i in order]
     mean = sum(times) / len(times)
     std = (sum((t - mean) ** 2 for t in times) / len(times)) ** 0.5
     stats[name] = {
@@ -383,13 +456,63 @@ def micro_timed(fn, stats: dict, name: str) -> float:
         "discarded_storm_runs": discarded,
         "steal_pct": steals,
         "discarded_steal_pct": discarded_steals,
+        "steal_rejected_runs": steal_rejected,
+        "steal_rejected_pct": steal_rejected_pct,
+        "steal_gate_pct": MICRO_STEAL_MAX,
+        # true iff the KEPT array itself carries high-steal runs (the
+        # rejection budget ran out before the box went quiet)
+        "steal_gate_exhausted": any(s > MICRO_STEAL_MAX for s in steals),
     }
     return round(min(times), 4)
+
+
+def micro_gated(
+    name: str,
+    fn,
+    prior: dict[str, float],
+    micro_stats: dict,
+    retimed: list[str],
+) -> float:
+    """micro_timed + the same 3x-prior quiet-gate retime the headline
+    loop gets (the micros were tripwire-exempt before r10 — a storm
+    that outlasted micro_timed's in-run discard committed silently).
+    Both passes stay visible, and the PRIMARY block is always the one
+    that supplied the headline min (r11 fix: previously a winning
+    retime left the storm pass's runs/mean/std under the primary key,
+    so min(primary.runs) disagreed with the committed value). The
+    losing pass is kept under ``<name>_storm_pass`` / ``<name>_retime``
+    and the primary block carries a ``source`` field naming the pass
+    that won.
+
+    Module-level (r12, ADVICE): previously a closure over main()'s
+    locals, which forced its pinning test to re-implement the body
+    line-for-line — now main() and the test call the same function."""
+    t = micro_timed(fn, micro_stats, name)
+    if name in prior and t > 3 * prior[name]:
+        wait_for_quiet(f"retime:{name}")
+        t2 = micro_timed(fn, micro_stats, f"{name}_retime")
+        retimed.append(name)
+        if t2 < t:
+            micro_stats[f"{name}_storm_pass"] = micro_stats[name]
+            micro_stats[name] = micro_stats.pop(f"{name}_retime")
+            micro_stats[name]["source"] = "retime"
+            t = t2
+        else:
+            micro_stats[name]["source"] = "first_pass"
+    return t
 
 
 def main() -> None:
     import __spark_entry__ as entry_mod
     from nano_vectordb_rs_spark.operators.fastknn import knn_topk_fast
+
+    micro_only, only, out_name = resolve_modes()
+    partial = micro_only or bool(only)
+    # partial semantics: BENCH_MICRO_ONLY runs the micro group;
+    # BENCH_ONLY=a,b runs exactly those headline/build names; combined,
+    # both groups run. A full run (neither set) runs everything.
+    run_micros = micro_only or not partial
+    headline_names_env = only  # empty set = all (full run)
 
     spark = get_spark("nano-vectordb-rs-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -398,8 +521,13 @@ def main() -> None:
     results: dict[str, float] = {}
     errors: dict[str, str] = {}
 
-    # warmup: JVM + parquet footers
-    queries["knn_topk"](spark, SF_DIR).collect()
+    # warmup: JVM + parquet footers (skipped in micro-only mode — the
+    # micros build their own in-memory data and warm their own path)
+    if not micro_only or headline_names_env:
+        warm = next(
+            (n for n in sorted(headline_names_env) if n in queries), "knn_topk"
+        )
+        queries[warm](spark, SF_DIR).collect()
     wait_for_quiet("headline")
     calibrate_probe()
 
@@ -421,6 +549,8 @@ def main() -> None:
     for name in sorted(queries):
         if name in SKIP:
             continue
+        if partial and name not in headline_names_env:
+            continue
         q = queries[name]
         try:
             t = timed(lambda q=q: q(spark, SF_DIR).collect())
@@ -438,12 +568,13 @@ def main() -> None:
 
     # NumPy fast path vs pure-SQL path for the flagship shape (same
     # 3x-prior quiet-gate retime as the headline loop)
-    t = timed(lambda: knn_topk_fast(spark, SF_DIR).collect())
-    if "knn_topk_numpy" in prior and t > 3 * prior["knn_topk_numpy"]:
-        wait_for_quiet("retime:knn_topk_numpy")
-        t = min(t, timed(lambda: knn_topk_fast(spark, SF_DIR).collect()))
-        retimed.append("knn_topk_numpy")
-    results["knn_topk_numpy"] = t
+    if not partial or "knn_topk_numpy" in headline_names_env:
+        t = timed(lambda: knn_topk_fast(spark, SF_DIR).collect())
+        if "knn_topk_numpy" in prior and t > 3 * prior["knn_topk_numpy"]:
+            wait_for_quiet("retime:knn_topk_numpy")
+            t = min(t, timed(lambda: knn_topk_fast(spark, SF_DIR).collect()))
+            retimed.append("knn_topk_numpy")
+        results["knn_topk_numpy"] = t
 
     # PQ index build timed as WHAT IT IS — a build, not a query (the
     # ann_pq_topk SKIP above explains the split), and recorded in its OWN
@@ -452,36 +583,134 @@ def main() -> None:
     # with per-query times would misstate both). Each run writes the full
     # packed-code column to a fresh path so the content-keyed cache can't
     # hide the work.
-    from nano_vectordb_rs_spark.operators.similarity import pq_codes_df
+    builds: dict[str, float] = {}
+    if not partial or "pq_build_codes" in headline_names_env:
+        from nano_vectordb_rs_spark.operators.similarity import pq_codes_df
 
-    pq_tmp = "/tmp/nvdb_bench_pq_codes"
-    builds = {
-        "pq_build_codes": timed(
+        pq_tmp = "/tmp/nvdb_bench_pq_codes"
+        builds["pq_build_codes"] = timed(
             lambda: pq_codes_df(spark, SF_DIR)
             .write.mode("overwrite")
             .parquet(pq_tmp)
         )
-    }
-    shutil.rmtree(pq_tmp, ignore_errors=True)
+        shutil.rmtree(pq_tmp, ignore_errors=True)
 
     # same split for the incremental-dedup band index: the corpus
     # shingle -> signature -> band table is a once-per-corpus build that
     # every minhash_index_probe amortizes; each run writes to a fresh path
     # so the content-keyed cache can't hide the work.
-    from nano_vectordb_rs_spark.operators.dedup import _band_index_df
+    if not partial or "minhash_index_build" in headline_names_env:
+        from nano_vectordb_rs_spark.operators.dedup import _band_index_df
 
-    mh_tmp = "/tmp/nvdb_bench_mh_index"
-    builds["minhash_index_build"] = timed(
-        lambda: _band_index_df(spark, SF_DIR, corpus=True)
-        .write.mode("overwrite")
-        .partitionBy("band")
-        .parquet(mh_tmp)
+        mh_tmp = "/tmp/nvdb_bench_mh_index"
+        builds["minhash_index_build"] = timed(
+            lambda: _band_index_df(spark, SF_DIR, corpus=True)
+            .write.mode("overwrite")
+            .partitionBy("band")
+            .parquet(mh_tmp)
+        )
+        shutil.rmtree(mh_tmp, ignore_errors=True)
+
+    micro_stats, size_mb = (
+        run_micro_group(spark, results, prior, retimed)
+        if run_micros
+        else ({}, 0.0)
     )
-    shutil.rmtree(mh_tmp, ignore_errors=True)
 
-    # --- reference-shaped microbench (100k x 1024, like benchmark.rs) -------
-    # Protocol mirrors the reference: vector generation is OUTSIDE the timed
-    # window (benchmark.rs fills rng buffers before starting the clock).
+    total = round(sum(results.values()), 4)
+    regressions = detect_regressions(results, prior)
+    # explicit comparison to the reference's published microbench (BASELINE.md:
+    # insert ~0.175 s, query ~0.013 s, save file ~540 MB — MacBook M4, 100k x
+    # 1024 f32). Same workload shape; ours runs the full distributed stack.
+    baseline = (
+        {
+            "ref_insert_sec": 0.175,
+            "ours_insert_sec": results["micro_insert_100k_1024"],
+            "ref_query_sec": 0.013,
+            "ours_query_sec": results["micro_query_100k_1024"],
+            "ref_file_mb": 540.0,
+            "ours_file_mb": round(size_mb, 1),
+        }
+        if run_micros
+        else None
+    )
+    payload = json.dumps(
+        {
+            # a partial run reports a subset total under a DIFFERENT metric
+            # name so it can never be mistaken for (or compared against) a
+            # full headline record
+            "metric": "headline_total_sec" if not partial else "partial_total_sec",
+            "value": total,
+            "unit": "sec",
+            "mode": (
+                "full"
+                if not partial
+                else "micro_only"
+                if micro_only and not headline_names_env
+                else "only:" + ",".join(sorted(headline_names_env))
+                + (",micros" if micro_only else "")
+            ),
+            # a round where queries error would otherwise report a SMALLER
+            # (better-looking) total — flag it so totals stay comparable
+            "n_errors": len(errors),
+            "partial": bool(errors) or partial,
+            "retimed": retimed,
+            # tripwire: non-empty means some query is still 3x its best
+            # committed prior-round time AFTER the quiet-gate retime —
+            # treat the snapshot as contaminated/regressed (rc=2 below)
+            "regressions": regressions,
+            "weak_priors": _PRIOR_SOURCE["weak"],
+            "queries": results,
+            # index builds, timed but NOT in the headline total (amortized
+            # once-per-corpus costs; probes that read them are in queries)
+            "builds": builds,
+            "errors": errors,
+            "sf": SF_DIR.rstrip("/").split("sf")[-1],
+            "baseline": baseline,
+            "micro_stats": micro_stats,
+            "config": {
+                "master": spark.sparkContext.master,
+                "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+                "runs": RUNS,
+                "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+                "micro_file_mb": round(size_mb, 1),
+            },
+        }
+    )
+    # Durable copy first — BENCH_r01/r02 both recorded ``parsed: null``
+    # because Spark's async stdout chatter interleaved with the JSON line.
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), out_name)
+    with open(out_path, "w") as fh:
+        fh.write(payload + "\n")
+    # Stop Spark BEFORE printing so no executor/log output can trail or
+    # interleave; then emit the JSON alone as the true final stdout line.
+    spark.stop()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    print(payload, flush=True)
+    if regressions:
+        print(
+            f"[bench] REGRESSION TRIPWIRE: {sorted(regressions)} exceed 3x "
+            "their best committed prior-round time after retime",
+            file=sys.stderr,
+        )
+        sys.exit(2)
+
+
+def run_micro_group(
+    spark, results: dict[str, float], prior: dict[str, float], retimed: list[str]
+) -> tuple[dict, float]:
+    """The reference-shaped microbench (100k x 1024, like benchmark.rs).
+    Protocol mirrors the reference: vector generation is OUTSIDE the timed
+    window (benchmark.rs fills rng buffers before starting the clock).
+    Fills ``results`` with the four micro entries; returns
+    (micro_stats, persisted_size_mb)."""
+    from nano_vectordb_rs_spark.functions.vector import deterministic_vector
+    from nano_vectordb_rs_spark.operators.fastknn import (
+        normalize_ml,
+        topk_over,
+    )
+
     raw_path = "/tmp/nvdb_bench_raw"
     tmp = "/tmp/nvdb_bench_collection"
     shutil.rmtree(raw_path, ignore_errors=True)
@@ -504,11 +733,6 @@ def main() -> None:
     # in-memory upsert only, README.md:120). Normalization runs fully
     # JVM-side (fastknn.normalize_ml — the same path collection.upsert
     # takes), so the timed step never crosses the Python worker channel.
-    from nano_vectordb_rs_spark.operators.fastknn import (
-        normalize_ml,
-        topk_over,
-    )
-
     # the reference generates the matrix in RAM before its timing window
     # (src/bin/benchmark.rs:84-96); cache the raw vectors so the timed insert
     # is in-memory like the reference's, not a parquet decode.
@@ -536,38 +760,17 @@ def main() -> None:
 
     micro_stats: dict = {}
 
-    def micro_gated(name: str, fn) -> float:
-        """micro_timed + the same 3x-prior quiet-gate retime the headline
-        loop gets (the micros were tripwire-exempt before r10 — a storm
-        that outlasted micro_timed's in-run discard committed silently).
-        Both passes stay visible, and the PRIMARY block is always the one
-        that supplied the headline min (r11 fix: previously a winning
-        retime left the storm pass's runs/mean/std under the primary key,
-        so min(primary.runs) disagreed with the committed value). The
-        losing pass is kept under ``<name>_storm_pass`` / ``<name>_retime``
-        and the primary block carries a ``source`` field naming the pass
-        that won."""
-        t = micro_timed(fn, micro_stats, name)
-        if name in prior and t > 3 * prior[name]:
-            wait_for_quiet(f"retime:{name}")
-            t2 = micro_timed(fn, micro_stats, f"{name}_retime")
-            retimed.append(name)
-            if t2 < t:
-                micro_stats[f"{name}_storm_pass"] = micro_stats[name]
-                micro_stats[name] = micro_stats.pop(f"{name}_retime")
-                micro_stats[name]["source"] = "retime"
-                t = t2
-            else:
-                micro_stats[name]["source"] = "first_pass"
-        return t
-
     wait_for_quiet("micro_insert")
     # live scan-floor measurement: the cached-raw pass with NO normalize.
     # micro_insert minus this is the normalize path's true compute cost; the
     # floor alone ~= the reference's entire 0.175 s in-process insert (see
     # the decomposition in the module docstring).
     results["micro_insert_scan_floor"] = micro_gated(
-        "micro_insert_scan_floor", lambda: raw.agg(elem1).collect()
+        "micro_insert_scan_floor",
+        lambda: raw.agg(elem1).collect(),
+        prior,
+        micro_stats,
+        retimed,
     )
     micro_stats["floor_components_sec"] = {
         # isolated offline best-of-5 (see module docstring for method);
@@ -580,7 +783,7 @@ def main() -> None:
         "identity_arrow_roundtrip": 0.545,
     }
     results["micro_insert_100k_1024"] = micro_gated(
-        "micro_insert_100k_1024", micro_insert
+        "micro_insert_100k_1024", micro_insert, prior, micro_stats, retimed
     )
     ins = results["micro_insert_100k_1024"]
     floor = results["micro_insert_scan_floor"]
@@ -616,6 +819,9 @@ def main() -> None:
     results["micro_save_100k_1024"] = micro_gated(
         "micro_save_100k_1024",
         lambda: normalized.write.mode("overwrite").parquet(tmp),
+        prior,
+        micro_stats,
+        retimed,
     )
     size_mb = sum(
         os.path.getsize(os.path.join(tmp, f)) for f in os.listdir(tmp)
@@ -623,8 +829,6 @@ def main() -> None:
 
     # query = top-10 cosine over the in-memory collection, NumPy/Arrow path
     # (the reference's 13 ms query is in-memory brute force over 100k x 1024)
-    from nano_vectordb_rs_spark.functions.vector import deterministic_vector
-
     qvec = deterministic_vector(MICRO_DIM, seed=7)
 
     def micro_query():
@@ -632,74 +836,12 @@ def main() -> None:
 
     wait_for_quiet("micro_query")
     results["micro_query_100k_1024"] = micro_gated(
-        "micro_query_100k_1024", micro_query
+        "micro_query_100k_1024", micro_query, prior, micro_stats, retimed
     )
     normalized.unpersist()
     raw.unpersist()
     shutil.rmtree(raw_path, ignore_errors=True)
-
-    total = round(sum(results.values()), 4)
-    regressions = detect_regressions(results, prior)
-    # explicit comparison to the reference's published microbench (BASELINE.md:
-    # insert ~0.175 s, query ~0.013 s, save file ~540 MB — MacBook M4, 100k x
-    # 1024 f32). Same workload shape; ours runs the full distributed stack.
-    baseline = {
-        "ref_insert_sec": 0.175,
-        "ours_insert_sec": results["micro_insert_100k_1024"],
-        "ref_query_sec": 0.013,
-        "ours_query_sec": results["micro_query_100k_1024"],
-        "ref_file_mb": 540.0,
-        "ours_file_mb": round(size_mb, 1),
-    }
-    payload = json.dumps(
-        {
-            "metric": "headline_total_sec",
-            "value": total,
-            "unit": "sec",
-            # a round where queries error would otherwise report a SMALLER
-            # (better-looking) total — flag it so totals stay comparable
-            "n_errors": len(errors),
-            "partial": bool(errors),
-            "retimed": retimed,
-            # tripwire: non-empty means some query is still 3x its best
-            # committed prior-round time AFTER the quiet-gate retime —
-            # treat the snapshot as contaminated/regressed (rc=2 below)
-            "regressions": regressions,
-            "queries": results,
-            # index builds, timed but NOT in the headline total (amortized
-            # once-per-corpus costs; probes that read them are in queries)
-            "builds": builds,
-            "errors": errors,
-            "sf": SF_DIR.rstrip("/").split("sf")[-1],
-            "baseline": baseline,
-            "micro_stats": micro_stats,
-            "config": {
-                "master": spark.sparkContext.master,
-                "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
-                "runs": RUNS,
-                "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
-                "micro_file_mb": round(size_mb, 1),
-            },
-        }
-    )
-    # Durable copy first — BENCH_r01/r02 both recorded ``parsed: null``
-    # because Spark's async stdout chatter interleaved with the JSON line.
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json")
-    with open(out_path, "w") as fh:
-        fh.write(payload + "\n")
-    # Stop Spark BEFORE printing so no executor/log output can trail or
-    # interleave; then emit the JSON alone as the true final stdout line.
-    spark.stop()
-    sys.stdout.flush()
-    sys.stderr.flush()
-    print(payload, flush=True)
-    if regressions:
-        print(
-            f"[bench] REGRESSION TRIPWIRE: {sorted(regressions)} exceed 3x "
-            "their best committed prior-round time after retime",
-            file=sys.stderr,
-        )
-        sys.exit(2)
+    return micro_stats, size_mb
 
 
 if __name__ == "__main__":

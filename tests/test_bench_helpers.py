@@ -79,6 +79,7 @@ def test_micro_timed_discards_storm_runs(monkeypatch):
     seq = iter([1.0, 1.01, 30.0, 0.99, 1.02, 1.0])
     monkeypatch.setattr(bench, "timed_all", lambda fn, n: [next(seq)])
     monkeypatch.setattr(bench, "wait_for_quiet", lambda tag: None)
+    monkeypatch.setattr(bench, "_cpu_ticks", lambda: (0, 0))  # steal 0%
     monkeypatch.setattr(bench, "MICRO_RUNS", 5)
     stats: dict = {}
     best = bench.micro_timed(lambda: None, stats, "m")
@@ -97,6 +98,7 @@ def test_micro_timed_retroactively_discards_inflated_head(monkeypatch):
     seq = iter([10.0, 9.5, 1.0, 1.01, 0.99, 1.02, 1.0])
     monkeypatch.setattr(bench, "timed_all", lambda fn, n: [next(seq)])
     monkeypatch.setattr(bench, "wait_for_quiet", lambda tag: None)
+    monkeypatch.setattr(bench, "_cpu_ticks", lambda: (0, 0))  # steal 0%
     monkeypatch.setattr(bench, "MICRO_RUNS", 5)
     stats: dict = {}
     best = bench.micro_timed(lambda: None, stats, "m")
@@ -147,6 +149,7 @@ def test_load_prior_times_prefers_committed_bench_over_working_tree(
         bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
     )
     assert bench.load_prior_times({"q_a"}, sf="0.1") == {"q_a": 0.5}
+    assert bench._PRIOR_SOURCE["weak"] is False  # HEAD priors = strong
 
 
 def test_load_prior_times_ignores_untracked_round_files(tmp_path, monkeypatch):
@@ -196,7 +199,10 @@ def test_load_prior_times_ignores_untracked_round_files(tmp_path, monkeypatch):
 def test_micro_gated_primary_block_matches_headline(monkeypatch):
     # r11 fix: when the quiet-gate retime WINS, the primary micro_stats
     # block must be the retime's (min(primary.runs) == headline); the storm
-    # pass stays visible under <name>_storm_pass.
+    # pass stays visible under <name>_storm_pass. r12: micro_gated is a
+    # module-level function, so this exercises bench.py's ACTUAL body
+    # (pre-r12 the test re-implemented the closure line-for-line and a
+    # bench.py regression could not fail it).
     calls = {"n": 0}
 
     def fake_micro_timed(fn, stats, name):
@@ -211,28 +217,118 @@ def test_micro_gated_primary_block_matches_headline(monkeypatch):
     monkeypatch.setattr(bench, "wait_for_quiet", lambda tag: None)
     micro_stats: dict = {}
     retimed: list = []
-    prior = {"m": 1.0}
 
-    # reproduce micro_gated's logic standalone (it closes over main()'s
-    # locals); this mirrors bench.py's micro_gated body line-for-line
-    def micro_gated(name, fn):
-        t = bench.micro_timed(fn, micro_stats, name)
-        if name in prior and t > 3 * prior[name]:
-            bench.wait_for_quiet(f"retime:{name}")
-            t2 = bench.micro_timed(fn, micro_stats, f"{name}_retime")
-            retimed.append(name)
-            if t2 < t:
-                micro_stats[f"{name}_storm_pass"] = micro_stats[name]
-                micro_stats[name] = micro_stats.pop(f"{name}_retime")
-                micro_stats[name]["source"] = "retime"
-                t = t2
-            else:
-                micro_stats[name]["source"] = "first_pass"
-        return t
-
-    headline = micro_gated("m", lambda: None)
+    headline = bench.micro_gated(
+        "m", lambda: None, {"m": 1.0}, micro_stats, retimed
+    )
     assert headline == 1.0
     assert min(micro_stats["m"]["runs"]) == headline
     assert micro_stats["m"]["source"] == "retime"
     assert micro_stats["m_storm_pass"]["runs"] == [10.0, 10.2]
     assert "m_retime" not in micro_stats
+    assert retimed == ["m"]
+
+
+def test_micro_gated_keeps_first_pass_when_retime_loses(monkeypatch):
+    calls = {"n": 0}
+
+    def fake_micro_timed(fn, stats, name):
+        calls["n"] += 1
+        t = 4.0 if calls["n"] == 1 else 5.0  # retime is WORSE
+        stats[name] = {"runs": [t], "mean": t, "std": 0.0}
+        return t
+
+    monkeypatch.setattr(bench, "micro_timed", fake_micro_timed)
+    monkeypatch.setattr(bench, "wait_for_quiet", lambda tag: None)
+    micro_stats: dict = {}
+    retimed: list = []
+    headline = bench.micro_gated(
+        "m", lambda: None, {"m": 1.0}, micro_stats, retimed
+    )
+    assert headline == 4.0
+    assert micro_stats["m"]["source"] == "first_pass"
+    assert micro_stats["m_retime"]["runs"] == [5.0]
+
+
+def test_micro_timed_rejects_high_steal_runs(monkeypatch):
+    # r12 steal gate: a clean-looking wall time taken under high hypervisor
+    # steal must not enter the kept array — it understates quiet-box speed.
+    seq = iter([0.5, 1.0, 1.01, 0.99])
+    monkeypatch.setattr(bench, "timed_all", lambda fn, n: [next(seq)])
+    monkeypatch.setattr(bench, "wait_for_quiet", lambda tag: None)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setattr(bench, "MICRO_RUNS", 3)
+    monkeypatch.setattr(bench, "MICRO_STEAL_MAX", 1.5)
+    # per attempt _cpu_ticks is read twice: (start, end). First attempt
+    # samples 8% steal, the rest 0%.
+    ticks = iter([(0, 0), (8, 100), (0, 0), (0, 100), (0, 0), (0, 100),
+                  (0, 0), (0, 100)])
+    monkeypatch.setattr(bench, "_cpu_ticks", lambda: next(ticks))
+    stats: dict = {}
+    best = bench.micro_timed(lambda: None, stats, "m")
+    rec = stats["m"]
+    assert best == 0.99
+    assert rec["steal_rejected_runs"] == [0.5]  # fast but stolen: rejected
+    assert rec["steal_rejected_pct"] == [8.0]
+    assert rec["runs"] == [1.0, 1.01, 0.99]
+    assert rec["steal_gate_pct"] == 1.5
+    assert rec["steal_gate_exhausted"] is False
+
+
+def test_micro_timed_disarms_steal_gate_when_box_never_quiets(monkeypatch):
+    # rejection budget = 2x MICRO_RUNS; past it, runs are KEPT with their
+    # steal recorded and the record is flagged storm-crossed — the bench
+    # must terminate with a non-empty array even on an all-storm box.
+    monkeypatch.setattr(bench, "timed_all", lambda fn, n: [1.0])
+    monkeypatch.setattr(bench, "wait_for_quiet", lambda tag: None)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setattr(bench, "MICRO_RUNS", 2)
+    monkeypatch.setattr(bench, "MICRO_STEAL_MAX", 1.5)
+    monkeypatch.setattr(bench, "_cpu_ticks", lambda: (0, 0))
+
+    # fake constant 9% steal by patching the tick reader pairwise
+    ticks = iter([(0, 0), (9, 100)] * 20)
+    monkeypatch.setattr(bench, "_cpu_ticks", lambda: next(ticks))
+    stats: dict = {}
+    best = bench.micro_timed(lambda: None, stats, "m")
+    rec = stats["m"]
+    assert best == 1.0
+    assert len(rec["runs"]) == 2
+    assert len(rec["steal_rejected_runs"]) == 4  # 2x MICRO_RUNS budget
+    assert rec["steal_gate_exhausted"] is True
+    assert all(s == 9.0 for s in rec["steal_pct"])
+
+
+def test_resolve_modes_partial_output_never_clobbers_bench_json():
+    # full run -> BENCH.json; any partial mode -> MICRO_RETIME.json (the
+    # driver-contract BENCH.json must never hold a subset record)
+    assert bench.resolve_modes({}) == (False, set(), "BENCH.json")
+    assert bench.resolve_modes({"BENCH_MICRO_ONLY": "1"}) == (
+        True, set(), "MICRO_RETIME.json",
+    )
+    micro_only, only, out = bench.resolve_modes(
+        {"BENCH_ONLY": "ann_ivf_pq_topk, ivf_cell_health"}
+    )
+    assert (micro_only, out) == (False, "MICRO_RETIME.json")
+    assert only == {"ann_ivf_pq_topk", "ivf_cell_health"}
+    assert bench.resolve_modes(
+        {"BENCH_MICRO_ONLY": "1", "BENCH_OUT": "X.json"}
+    )[2] == "X.json"
+
+
+def test_load_prior_times_fallback_excludes_bench_json(tmp_path, monkeypatch):
+    # r12 (ADVICE): the no-git fallback must NOT read the working-tree
+    # BENCH.json — this script overwrites it every run, so including it
+    # reintroduces the r10 self-ratification hole for non-git checkouts.
+    (tmp_path / "BENCH_r01.json").write_text(
+        json.dumps({"queries": {"q_a": 0.5}, "sf": "0.1"})
+    )
+    (tmp_path / "BENCH.json").write_text(
+        json.dumps({"queries": {"q_a": 0.01, "q_b": 0.01}, "sf": "0.1"})
+    )
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    prior = bench.load_prior_times({"q_a", "q_b"}, sf="0.1")
+    assert prior == {"q_a": 0.5}  # BENCH.json contributed nothing
+    assert bench._PRIOR_SOURCE["weak"] is True  # surfaced as weak_priors
