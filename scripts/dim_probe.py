@@ -9,7 +9,11 @@ both hot kernels —
   - the ingest normalize (MLlib Normalizer path, fastknn.normalize_ml —
     the same kernel collection.upsert and the insert micro time), and
   - the query-side dot product (functions/vector.py aggregate(zip_with)
-    HOF fold — the kernel under every KNN query).
+    HOF fold — the kernel under every KNN query), and
+  - (r12, VERDICT r11 task 7) the Arrow/BLAS top-k kernel
+    (fastknn.topk_over — the numpy flagship twin the bench times as
+    knn_topk_numpy/micro_query: Arrow batches -> one BLAS matvec per
+    batch -> per-batch top-k pre-reduction).
 
 Protocol mirrors the insert micro (row count fixed at N_ROWS, dims swept
 256→4096 = 16x), per-dim best-of-N with the same 3x-min storm discard as
@@ -33,7 +37,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from nano_vectordb_rs_spark.session import get_spark  # noqa: E402
-from nano_vectordb_rs_spark.operators.fastknn import normalize_ml  # noqa: E402
+from nano_vectordb_rs_spark.operators.fastknn import (  # noqa: E402
+    normalize_ml,
+    topk_over,
+)
 from nano_vectordb_rs_spark.functions.vector import (  # noqa: E402
     array_lit,
     as_double_array,
@@ -107,8 +114,18 @@ def main() -> None:
                 ).alias("s")
             ).collect()
 
+        def run_topk_arrow():
+            # the bench's numpy flagship twin: Arrow-batched BLAS scoring
+            # with per-batch top-k pre-reduction (assume_normalized skips
+            # the query-side renorm, matching the micro_query protocol)
+            topk_over(raw, q, k=10, assume_normalized=True).collect()
+
         rec: dict = {}
-        for label, fn in (("normalize", run_normalize), ("dot", run_dot)):
+        for label, fn in (
+            ("normalize", run_normalize),
+            ("dot", run_dot),
+            ("topk_arrow", run_topk_arrow),
+        ):
             fn()  # warm JIT/code cache
             best, kept, disc = best_of(fn)
             rec[label] = {"best": best, "runs": kept, "discarded": disc}
@@ -122,7 +139,7 @@ def main() -> None:
             / math.log(DIMS[-1] / DIMS[0]),
             2,
         )
-        for k in ("normalize", "dot")
+        for k in ("normalize", "dot", "topk_arrow")
     }
     print(
         json.dumps(
