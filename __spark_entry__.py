@@ -45,105 +45,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle in ``oracle_sql()`` (zero rows-only checks since round 5).
 
     GATE-ROTATION POLICY: the driver's correctness gate checks the FIRST 50
-    entries only (observed in CORRECTNESS_r01-r08, 50 rows each), so
+    entries only (observed in CORRECTNESS_r01-r12, 50 rows each), so
     ordering is a coverage decision:
 
     * Queries that have NEVER had a driver CORRECTNESS row gate from birth;
       queries whose SOURCE changed since their last green row re-gate; and
       once nothing is unverified, the STALEST greens rotate back through
       (evidence freshness), displacing multiply-green entries to 51+.
-    * ROUND-12 ROTATION (executes the r11 write-ahead queue verbatim +
-      VERDICT r11 task 5): the union entering r12 is 151/151 green with
-      distribution r08:6 r09:46 r10:49 r11:50 — no operator source
-      changes land this round (r12 touches bench.py, tests, docs, and
-      this file only), so the gate is PURE FRESHNESS:
-      - The 6 deferred r08-latest queries first (the oldest evidence in
-        the ledger): tpch_q22_idle_rich, tpch_q3_shipping,
-        tpch_q5_regional, tpch_q6_forecast, tpch_q7_nation_trade,
-        tpch_q8_market_share.
-      - Then the first 43 alphabetically of the 46 r09-latest holders
-        (the same deterministic, documentable cut rule r10/r11 used).
-        The remaining 3 (snapshot_retention_report, tpch_q1_pricing,
-        upsert_merge) lead the r13 queue.
-      - Rotated out to 51+: the entire r11 gate block (freshest
-        evidence) and the r10 multiply-green holders.
+    * ROUND-13 ROTATION (executes the r12 write-ahead queue verbatim +
+      VERDICT r12 task 1): the union entering r13 is 151/151 green with
+      distribution r09:3 r10:49 r11:49 r12:50 — pure freshness again:
+      - The 3 deferred r09-latest queries first (the oldest evidence in
+        the ledger): snapshot_retention_report, tpch_q1_pricing,
+        upsert_merge.
+      - Then the first 46 alphabetically of the 49 r10-latest holders
+        (the same deterministic cut rule r10/r11/r12 used). The
+        remaining 3 (streaming_hourly_counts, token_counts,
+        vacuum_report) lead the r14 queue.
+      - Rotated out to 51+: the entire r12 gate block (freshest
+        evidence) and the r11 multiply-green holders.
     * Historical green rounds per family are tracked in PARITY.md §gate.
     * Entries 51+ keep full local coverage every round via
       tests/test_oracle_parity.py (stricter than the driver: dtype-class +
       unhashable-cell checks).
-    * R13 ROTATION QUEUE (write-ahead note): after r12 no latest row
-      predates r09; the r13 gate is freshness + any r13 source change:
-      the 3 deferred r09-latest queries first (snapshot_retention_report,
-      tpch_q1_pricing, upsert_merge), then the oldest 46 of the 49
-      r10-latest holders (alphabetical cut, same rule; the last 3 —
-      streaming_hourly_counts, token_counts, vacuum_report — lead r14).
+    * R14 ROTATION QUEUE (write-ahead note): after r13 no latest row
+      predates r10; the r14 gate is freshness + any r14 source change:
+      the 3 deferred r10-latest queries first (streaming_hourly_counts,
+      token_counts, vacuum_report), then the oldest 46 of the 49
+      r11-latest holders (alphabetical cut, same rule; the last 3 —
+      tpch_q9_profit, train_shard_manifest, vocab_coverage_report
+      — lead r15).
     """
     return {
-        # ---- r12 gate block (first 50) ------------------------------
+        # ---- r13 gate block (first 50) ------------------------------
         # flagship (kept first every round)
         "knn_topk": knn.knn_topk,
-        # ---- freshness block A: the 6 deferred r08-latest queries
-        # (head of the r11 write-ahead queue; oldest evidence in the
-        # ledger entering r12) ------------------------------------------
-        "tpch_q22_idle_rich": relational2.tpch_q22_idle_rich,
-        "tpch_q3_shipping": relational.tpch_q3_shipping,
-        "tpch_q5_regional": relational.tpch_q5_regional,
-        "tpch_q6_forecast": advanced.tpch_q6_forecast,
-        "tpch_q7_nation_trade": advanced.tpch_q7_nation_trade,
-        "tpch_q8_market_share": relational2.tpch_q8_market_share,
-        # ---- freshness block B: first 43 alphabetically of the 46
-        # r09-latest holders (deterministic, documentable cut; the
-        # remaining 3 lead the r13 queue) --------------------------------
-        "ann_ivf_pq_topk": similarity.ann_ivf_pq_topk,
-        "ann_ivf_topk": similarity.ann_ivf_topk,
-        "compact_roundtrip_stats": lifecycle.compact_roundtrip_stats,
-        "corpus_budget_report": textops.corpus_budget_report,
-        "count_stats": crud.count_stats,
-        "delete_by_ids": crud.delete_by_ids,
-        "doc_fingerprints": textops.doc_fingerprints,
-        "docs_length_histogram": textops.docs_length_histogram,
-        "docs_split_assignment": textops.docs_split_assignment,
-        "domain_mixture_weights": textops.domain_mixture_weights,
-        "embedding_quantize_stats": pipeline.embedding_quantize_stats,
-        "events_asof_join": advanced.events_asof_join,
-        "events_funnel": events.events_funnel,
-        "events_hourly": events.events_hourly,
-        "events_retention": events.events_retention,
-        "events_sessionized": events.events_sessionized,
-        "events_sliding_windows": events.events_sliding_windows,
-        "events_user_seq": events.events_user_seq,
-        "exact_dedup_docs": dedup.exact_dedup_docs,
-        "get_by_ids": crud.get_by_ids,
-        "hybrid_search_rrf": retrieval.hybrid_search_rrf,
-        "idf_top_terms": textops.idf_top_terms,
-        "kmeans_embeddings": pipeline.kmeans_embeddings,
-        "knn_filtered": knn.knn_filtered,
-        "knn_join": similarity.knn_join,
-        "knn_threshold": knn.knn_threshold,
-        "label_centroids": similarity.label_centroids,
-        "lang_id": textops.lang_id,
-        "lexical_search_docs": retrieval.lexical_search_docs,
-        "media_fingerprints": multimodal.media_fingerprints,
-        "minhash_index_merge_stats": dedup.minhash_index_merge_stats,
-        "minhash_near_dup_docs": dedup.minhash_near_dup_docs,
-        "near_dup_embeddings": similarity.near_dup_embeddings,
-        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
-        "normalize_all": crud.normalize_all,
-        "normalized_dedup_docs": dedup.normalized_dedup_docs,
-        "pack_sequences": pipeline.pack_sequences,
-        "pii_scrub_report": textops.pii_scrub_report,
-        "quality_scores": textops.quality_scores,
-        "save_roundtrip_stats": lifecycle.save_roundtrip_stats,
-        "semantic_search_docs": similarity.semantic_search_docs,
-        "simhash_docs": dedup.simhash_docs,
-        "snapshot_diff_report": lifecycle.snapshot_diff_report,
-        # ---------------- entry 51+ (full local coverage every round
-        # via test_oracle_parity) ---------------------------------------
-        # the 3 deferred r09s — they lead the r13 queue:
+        # ---- freshness block A: the 3 deferred r09-latest queries
+        # (head of the r12 write-ahead queue; oldest evidence in the
+        # ledger entering r13) ------------------------------------------
         "snapshot_retention_report": lifecycle.snapshot_retention_report,
         "tpch_q1_pricing": relational.tpch_q1_pricing,
         "upsert_merge": crud.upsert_merge,
-        # r10-latest holders:
+        # ---- freshness block B: first 46 alphabetically of the 49
+        # r10-latest holders (deterministic, documentable cut; the
+        # remaining 3 lead the r14 queue) --------------------------------
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "ann_pq_codes_topk": similarity.ann_pq_codes_topk,
         "ann_pq_topk": similarity.ann_pq_topk,
@@ -190,21 +135,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_time_travel": lifecycle.snapshot_time_travel,
         "streaming_cdc_apply": collection_stream.streaming_cdc_apply,
         "streaming_collection_upsert": collection_stream.streaming_collection_upsert,
+        # ---------------- entry 51+ (full local coverage every round
+        # via test_oracle_parity) ---------------------------------------
+        # the 3 deferred r10s — they lead the r14 queue:
         "streaming_hourly_counts": events_stream.streaming_hourly_counts,
         "token_counts": textops.token_counts,
         "vacuum_report": lifecycle.vacuum_report,
-        # r11-latest holders (freshest evidence; rotated out):
-        "skew_salted_join": advanced.skew_salted_join,
-        "stratified_sample_docs": pipeline.stratified_sample_docs,
-        "streaming_click_attribution": events_stream.streaming_click_attribution,
-        "streaming_dedup_counts": events_stream.streaming_dedup_counts,
-        "tpch_q11_important_parts": relational3.tpch_q11_important_parts,
-        "tpch_q16_supplier_counts": relational3.tpch_q16_supplier_counts,
-        "tpch_q20_promotion_suppliers": relational3.tpch_q20_promotion_suppliers,
-        "tpch_q4_priority": relational3.tpch_q4_priority,
-        "tpch_q9_profit": relational3.tpch_q9_profit,
-        "train_shard_manifest": pipeline.train_shard_manifest,
-        "vocab_coverage_report": pipeline.vocab_coverage_report,
+        # r11-latest holders:
         "compaction_plan": pipeline.compaction_plan,
         "customer_balance_quartiles": relational2.customer_balance_quartiles,
         "customer_set_ops": advanced.customer_set_ops,
@@ -227,6 +164,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_cube": relational2.parts_cube,
         "region_rollup": relational.region_rollup,
         "sales_rollup": relational2.sales_rollup,
+        "skew_salted_join": advanced.skew_salted_join,
+        "stratified_sample_docs": pipeline.stratified_sample_docs,
+        "streaming_click_attribution": events_stream.streaming_click_attribution,
+        "streaming_dedup_counts": events_stream.streaming_dedup_counts,
         "streaming_sessionize_custom": events_stream.streaming_sessionize_custom,
         "supplier_nation_rank": advanced.supplier_nation_rank,
         "supplier_percent_rank": relational2.supplier_percent_rank,
@@ -235,14 +176,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": textops.tokenizer_fertility,
         "top_customers": relational.top_customers,
         "tpch_q10_returned": advanced.tpch_q10_returned,
+        "tpch_q11_important_parts": relational3.tpch_q11_important_parts,
         "tpch_q12_latecount": advanced.tpch_q12_latecount,
         "tpch_q13_order_dist": relational2.tpch_q13_order_dist,
         "tpch_q14_promo": advanced.tpch_q14_promo,
         "tpch_q15_top_supplier": relational2.tpch_q15_top_supplier,
+        "tpch_q16_supplier_counts": relational3.tpch_q16_supplier_counts,
         "tpch_q17_small_qty": relational2.tpch_q17_small_qty,
         "tpch_q18_big_orders": advanced.tpch_q18_big_orders,
         "tpch_q19_disjunctive": relational2.tpch_q19_disjunctive,
+        "tpch_q20_promotion_suppliers": relational3.tpch_q20_promotion_suppliers,
         "tpch_q21_waiting_supplier": relational2.tpch_q21_waiting_supplier,
+        "tpch_q4_priority": relational3.tpch_q4_priority,
+        "tpch_q9_profit": relational3.tpch_q9_profit,
+        "train_shard_manifest": pipeline.train_shard_manifest,
+        "vocab_coverage_report": pipeline.vocab_coverage_report,
+        # r12-latest holders (freshest evidence; rotated out):
+        "ann_ivf_pq_topk": similarity.ann_ivf_pq_topk,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
+        "compact_roundtrip_stats": lifecycle.compact_roundtrip_stats,
+        "corpus_budget_report": textops.corpus_budget_report,
+        "count_stats": crud.count_stats,
+        "delete_by_ids": crud.delete_by_ids,
+        "doc_fingerprints": textops.doc_fingerprints,
+        "docs_length_histogram": textops.docs_length_histogram,
+        "docs_split_assignment": textops.docs_split_assignment,
+        "domain_mixture_weights": textops.domain_mixture_weights,
+        "embedding_quantize_stats": pipeline.embedding_quantize_stats,
+        "events_asof_join": advanced.events_asof_join,
+        "events_funnel": events.events_funnel,
+        "events_hourly": events.events_hourly,
+        "events_retention": events.events_retention,
+        "events_sessionized": events.events_sessionized,
+        "events_sliding_windows": events.events_sliding_windows,
+        "events_user_seq": events.events_user_seq,
+        "exact_dedup_docs": dedup.exact_dedup_docs,
+        "get_by_ids": crud.get_by_ids,
+        "hybrid_search_rrf": retrieval.hybrid_search_rrf,
+        "idf_top_terms": textops.idf_top_terms,
+        "kmeans_embeddings": pipeline.kmeans_embeddings,
+        "knn_filtered": knn.knn_filtered,
+        "knn_join": similarity.knn_join,
+        "knn_threshold": knn.knn_threshold,
+        "label_centroids": similarity.label_centroids,
+        "lang_id": textops.lang_id,
+        "lexical_search_docs": retrieval.lexical_search_docs,
+        "media_fingerprints": multimodal.media_fingerprints,
+        "minhash_index_merge_stats": dedup.minhash_index_merge_stats,
+        "minhash_near_dup_docs": dedup.minhash_near_dup_docs,
+        "near_dup_embeddings": similarity.near_dup_embeddings,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "normalize_all": crud.normalize_all,
+        "normalized_dedup_docs": dedup.normalized_dedup_docs,
+        "pack_sequences": pipeline.pack_sequences,
+        "pii_scrub_report": textops.pii_scrub_report,
+        "quality_scores": textops.quality_scores,
+        "save_roundtrip_stats": lifecycle.save_roundtrip_stats,
+        "semantic_search_docs": similarity.semantic_search_docs,
+        "simhash_docs": dedup.simhash_docs,
+        "snapshot_diff_report": lifecycle.snapshot_diff_report,
+        "tpch_q22_idle_rich": relational2.tpch_q22_idle_rich,
+        "tpch_q3_shipping": relational.tpch_q3_shipping,
+        "tpch_q5_regional": relational.tpch_q5_regional,
+        "tpch_q6_forecast": advanced.tpch_q6_forecast,
+        "tpch_q7_nation_trade": advanced.tpch_q7_nation_trade,
+        "tpch_q8_market_share": relational2.tpch_q8_market_share,
     }
 
 
