@@ -102,19 +102,42 @@ def resolve_modes(env=None) -> tuple[bool, set[str], str]:
       (``knn_topk_numpy`` / ``pq_build_codes`` / ``minhash_index_build``
       are addressable too).
 
-    Either switch makes the run PARTIAL: output goes to MICRO_RETIME.json
-    (override: ``BENCH_OUT``) so the driver-contract BENCH.json is never
-    clobbered with a subset record, and the payload carries a ``mode``
-    field so a partial artifact can't be mistaken for a full snapshot.
+    Either switch makes the run PARTIAL: output goes to a MODE-DERIVED
+    default (override: ``BENCH_OUT``) so the driver-contract BENCH.json is
+    never clobbered with a subset record, and the payload carries a
+    ``mode`` field so a partial artifact can't be mistaken for a full
+    snapshot. r13 (ADVICE r12): the two partial modes no longer share one
+    default — MICRO_RETIME.json is a committed evidence artifact cited by
+    BASELINE.md, and a BENCH_ONLY query retime run without BENCH_OUT used
+    to silently overwrite it with an unrelated subset. Now only the pure
+    micro-only mode writes MICRO_RETIME.json; any BENCH_ONLY run defaults
+    to RETIME_QUERIES.json.
     """
     env = os.environ if env is None else env
     micro_only = env.get("BENCH_MICRO_ONLY", "") == "1"
     only = {n.strip() for n in env.get("BENCH_ONLY", "").split(",") if n.strip()}
     partial = micro_only or bool(only)
     out = env.get("BENCH_OUT") or (
-        "MICRO_RETIME.json" if partial else "BENCH.json"
+        "RETIME_QUERIES.json"
+        if only
+        else "MICRO_RETIME.json"
+        if micro_only
+        else "BENCH.json"
     )
     return micro_only, only, out
+
+
+def validate_only_names(only: set[str], queries: dict) -> list[str]:
+    """r13 (ADVICE r12): a misspelled or SKIP-listed BENCH_ONLY name used
+    to time nothing yet still exit 0 with a well-formed empty partial
+    record — an adjudication artifact that looks valid but holds no
+    evidence. Returns the unaddressable names (caller exits non-zero)."""
+    addressable = (set(queries) - SKIP) | {
+        "knn_topk_numpy",
+        "pq_build_codes",
+        "minhash_index_build",
+    }
+    return sorted(only - addressable)
 
 # every declared query except:
 # - ann_recall: a driver-side composition of three other timed plans —
@@ -362,6 +385,25 @@ def timed_all(fn, runs: int) -> list[float]:
     return times
 
 
+def timed_all_steal(fn, runs: int) -> tuple[list[float], list[float]]:
+    """timed_all + per-run hypervisor-steal%% sampling. r13 (ADVICE r12):
+    BENCH_ONLY retime artifacts used to claim quietness only in prose —
+    headline timings went through timed(), which samples no steal. Partial
+    runs now record per-run steal so the artifact itself carries the
+    quietness measurement."""
+    times: list[float] = []
+    steals: list[float] = []
+    for _ in range(runs):
+        guard_contention()
+        s0, tot0 = _cpu_ticks()
+        t0 = time.perf_counter()
+        fn()
+        times.append(round(time.perf_counter() - t0, 4))
+        s1, tot1 = _cpu_ticks()
+        steals.append(round(100.0 * (s1 - s0) / max(1, tot1 - tot0), 2))
+    return times, steals
+
+
 def timed(fn, runs: int | None = None) -> float:
     return round(min(timed_all(fn, runs or RUNS)), 4)
 
@@ -438,15 +480,28 @@ def micro_timed(fn, stats: dict, name: str) -> float:
             steals = [steals[i] for i in keep]
         times.append(t)
         steals.append(steal)
+    salvaged = False
     if not times:
-        # box never went quiet within the rejection budget: keep the
-        # lowest-steal rejected runs so the record is never empty —
-        # steal_gate_exhausted below marks the array storm-crossed.
+        # Defensive only — post-budget attempts are always kept, so this
+        # is unreachable with the current budgets (3*MICRO_RUNS attempts
+        # remain after the gate disarms; the first non-3x one lands).
+        # If it ever fires: keep the lowest-steal rejected runs so the
+        # record is never empty, REMOVE them from the rejected arrays so
+        # kept/rejected stay disjoint for downstream consumers (r13,
+        # ADVICE r12), and mark the salvage.
+        salvaged = True
         order = sorted(
             range(len(steal_rejected)), key=lambda i: steal_rejected_pct[i]
         )[:MICRO_RUNS]
         times = [steal_rejected[i] for i in order]
         steals = [steal_rejected_pct[i] for i in order]
+        keep_idx = set(order)
+        steal_rejected = [
+            t for i, t in enumerate(steal_rejected) if i not in keep_idx
+        ]
+        steal_rejected_pct = [
+            s for i, s in enumerate(steal_rejected_pct) if i not in keep_idx
+        ]
     mean = sum(times) / len(times)
     std = (sum((t - mean) ** 2 for t in times) / len(times)) ** 0.5
     stats[name] = {
@@ -462,6 +517,7 @@ def micro_timed(fn, stats: dict, name: str) -> float:
         # true iff the KEPT array itself carries high-steal runs (the
         # rejection budget ran out before the box went quiet)
         "steal_gate_exhausted": any(s > MICRO_STEAL_MAX for s in steals),
+        "steal_salvaged": salvaged,
     }
     return round(min(times), 4)
 
@@ -514,9 +570,18 @@ def main() -> None:
     run_micros = micro_only or not partial
     headline_names_env = only  # empty set = all (full run)
 
+    queries = entry_mod.queries()
+    bad = validate_only_names(only, queries)
+    if bad:
+        print(
+            f"[bench] BENCH_ONLY names not addressable (unknown or "
+            f"SKIP-listed): {bad}",
+            file=sys.stderr,
+        )
+        sys.exit(3)
+
     spark = get_spark("nano-vectordb-rs-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    queries = entry_mod.queries()
 
     results: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -546,6 +611,20 @@ def main() -> None:
         set(queries) | extra_timed, sf=SF_DIR.rstrip("/").split("sf")[-1]
     )
     retimed: list[str] = []
+    # partial-run quietness evidence: per-run wall times + sampled steal%%
+    # for every BENCH_ONLY headline timing (r13, ADVICE r12 — retime
+    # artifacts must carry the measurement, not a prose claim)
+    headline_steal: dict[str, dict] = {}
+
+    def timed_headline(name: str, fn) -> float:
+        if not partial:
+            return timed(fn)
+        runs, steals = timed_all_steal(fn, RUNS)
+        rec = headline_steal.setdefault(name, {"runs": [], "steal_pct": []})
+        rec["runs"] += runs
+        rec["steal_pct"] += steals
+        return round(min(runs), 4)
+
     for name in sorted(queries):
         if name in SKIP:
             continue
@@ -553,12 +632,17 @@ def main() -> None:
             continue
         q = queries[name]
         try:
-            t = timed(lambda q=q: q(spark, SF_DIR).collect())
+            t = timed_headline(name, lambda q=q: q(spark, SF_DIR).collect())
             if name in prior and t > 3 * prior[name]:
                 # best-of-N still 3x the best any prior round saw: assume a
                 # storm slipped past the probe, quiet-gate and re-time once
                 wait_for_quiet(f"retime:{name}")
-                t = min(t, timed(lambda q=q: q(spark, SF_DIR).collect()))
+                t = min(
+                    t,
+                    timed_headline(
+                        name, lambda q=q: q(spark, SF_DIR).collect()
+                    ),
+                )
                 retimed.append(name)
             results[name] = t
         except Exception as exc:  # noqa: BLE001 — one bad query must not
@@ -569,10 +653,18 @@ def main() -> None:
     # NumPy fast path vs pure-SQL path for the flagship shape (same
     # 3x-prior quiet-gate retime as the headline loop)
     if not partial or "knn_topk_numpy" in headline_names_env:
-        t = timed(lambda: knn_topk_fast(spark, SF_DIR).collect())
+        t = timed_headline(
+            "knn_topk_numpy", lambda: knn_topk_fast(spark, SF_DIR).collect()
+        )
         if "knn_topk_numpy" in prior and t > 3 * prior["knn_topk_numpy"]:
             wait_for_quiet("retime:knn_topk_numpy")
-            t = min(t, timed(lambda: knn_topk_fast(spark, SF_DIR).collect()))
+            t = min(
+                t,
+                timed_headline(
+                    "knn_topk_numpy",
+                    lambda: knn_topk_fast(spark, SF_DIR).collect(),
+                ),
+            )
             retimed.append("knn_topk_numpy")
         results["knn_topk_numpy"] = t
 
@@ -588,10 +680,11 @@ def main() -> None:
         from nano_vectordb_rs_spark.operators.similarity import pq_codes_df
 
         pq_tmp = "/tmp/nvdb_bench_pq_codes"
-        builds["pq_build_codes"] = timed(
+        builds["pq_build_codes"] = timed_headline(
+            "pq_build_codes",
             lambda: pq_codes_df(spark, SF_DIR)
             .write.mode("overwrite")
-            .parquet(pq_tmp)
+            .parquet(pq_tmp),
         )
         shutil.rmtree(pq_tmp, ignore_errors=True)
 
@@ -603,11 +696,12 @@ def main() -> None:
         from nano_vectordb_rs_spark.operators.dedup import _band_index_df
 
         mh_tmp = "/tmp/nvdb_bench_mh_index"
-        builds["minhash_index_build"] = timed(
+        builds["minhash_index_build"] = timed_headline(
+            "minhash_index_build",
             lambda: _band_index_df(spark, SF_DIR, corpus=True)
             .write.mode("overwrite")
             .partitionBy("band")
-            .parquet(mh_tmp)
+            .parquet(mh_tmp),
         )
         shutil.rmtree(mh_tmp, ignore_errors=True)
 
@@ -667,6 +761,10 @@ def main() -> None:
             "errors": errors,
             "sf": SF_DIR.rstrip("/").split("sf")[-1],
             "baseline": baseline,
+            # non-empty only on partial runs: per-run wall time + sampled
+            # hypervisor steal%% for each BENCH_ONLY headline/build timing,
+            # so retime artifacts carry their own quietness evidence
+            "headline_steal": headline_steal,
             "micro_stats": micro_stats,
             "config": {
                 "master": spark.sparkContext.master,

@@ -300,8 +300,11 @@ def test_micro_timed_disarms_steal_gate_when_box_never_quiets(monkeypatch):
 
 
 def test_resolve_modes_partial_output_never_clobbers_bench_json():
-    # full run -> BENCH.json; any partial mode -> MICRO_RETIME.json (the
-    # driver-contract BENCH.json must never hold a subset record)
+    # full run -> BENCH.json; pure micro-only -> MICRO_RETIME.json; any
+    # BENCH_ONLY run -> RETIME_QUERIES.json (r13, ADVICE r12: the two
+    # partial modes must not share a default — MICRO_RETIME.json is a
+    # committed evidence artifact cited by BASELINE.md, and a query retime
+    # without BENCH_OUT used to silently overwrite it)
     assert bench.resolve_modes({}) == (False, set(), "BENCH.json")
     assert bench.resolve_modes({"BENCH_MICRO_ONLY": "1"}) == (
         True, set(), "MICRO_RETIME.json",
@@ -309,11 +312,61 @@ def test_resolve_modes_partial_output_never_clobbers_bench_json():
     micro_only, only, out = bench.resolve_modes(
         {"BENCH_ONLY": "ann_ivf_pq_topk, ivf_cell_health"}
     )
-    assert (micro_only, out) == (False, "MICRO_RETIME.json")
+    assert (micro_only, out) == (False, "RETIME_QUERIES.json")
     assert only == {"ann_ivf_pq_topk", "ivf_cell_health"}
+    # combined mode: BENCH_ONLY wins the default (micros ride along)
+    assert bench.resolve_modes(
+        {"BENCH_MICRO_ONLY": "1", "BENCH_ONLY": "knn_topk"}
+    )[2] == "RETIME_QUERIES.json"
     assert bench.resolve_modes(
         {"BENCH_MICRO_ONLY": "1", "BENCH_OUT": "X.json"}
     )[2] == "X.json"
+
+
+def test_validate_only_names_flags_unknown_and_skip_listed():
+    queries = {"knn_topk": None, "ann_recall": None, "events_hourly": None}
+    # ann_recall is SKIP-listed (composition of other timed plans) — naming
+    # it must be rejected, not silently timed-as-nothing; the three
+    # addressable extras pass
+    assert bench.validate_only_names(set(), queries) == []
+    assert bench.validate_only_names(
+        {"knn_topk", "knn_topk_numpy", "pq_build_codes", "minhash_index_build"},
+        queries,
+    ) == []
+    assert bench.validate_only_names(
+        {"ann_recall", "knn_topkk", "events_hourly"}, queries
+    ) == ["ann_recall", "knn_topkk"]
+
+
+def test_timed_all_steal_records_parallel_arrays(monkeypatch):
+    monkeypatch.setattr(bench, "guard_contention", lambda: None)
+    ticks = iter([(0, 0), (2, 100), (0, 0), (0, 100)])
+    monkeypatch.setattr(bench, "_cpu_ticks", lambda: next(ticks))
+    times, steals = bench.timed_all_steal(lambda: None, 2)
+    assert len(times) == 2 and steals == [2.0, 0.0]
+
+
+def test_micro_timed_salvage_keeps_arrays_disjoint(monkeypatch):
+    # force the (normally unreachable) all-rejected salvage branch by
+    # shrinking the attempt budget via MICRO_RUNS and constant high steal
+    # with attempts exhausted before any keep: patch the attempt loop's
+    # inputs so every attempt is steal-rejected until attempts run out.
+    monkeypatch.setattr(bench, "timed_all", lambda fn, n: [1.0])
+    monkeypatch.setattr(bench, "wait_for_quiet", lambda tag: None)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setattr(bench, "MICRO_RUNS", 2)
+    monkeypatch.setattr(bench, "MICRO_STEAL_MAX", 1.5)
+    ticks = iter([(0, 0), (9, 100)] * 50)
+    monkeypatch.setattr(bench, "_cpu_ticks", lambda: next(ticks))
+    stats: dict = {}
+    bench.micro_timed(lambda: None, stats, "m")
+    rec = stats["m"]
+    # normal disarm path: gate exhausts, later runs kept — no salvage
+    # needed, and every measurement lives in exactly one array (4 rejected
+    # attempts + 2 kept runs = 6 attempts total, none double-counted)
+    assert rec["steal_salvaged"] is False
+    assert len(rec["steal_rejected_runs"]) == 4  # 2x MICRO_RUNS budget
+    assert len(rec["runs"]) == 2
 
 
 def test_load_prior_times_fallback_excludes_bench_json(tmp_path, monkeypatch):
