@@ -58,10 +58,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       - The 3 deferred r09-latest queries first (the oldest evidence in
         the ledger): snapshot_retention_report, tpch_q1_pricing,
         upsert_merge.
-      - Then the first 46 alphabetically of the 49 r10-latest holders
-        (the same deterministic cut rule r10/r11/r12 used). The
-        remaining 3 (streaming_hourly_counts, token_counts,
-        vacuum_report) lead the r14 queue.
+      - Then the first 45 alphabetically of the 49 r10-latest holders
+        (the same deterministic cut rule r10/r11/r12 used), because the
+        round's ONE new query (tpch_q2_min_cost_supplier, the synthetic-
+        partsupp q2 completing 22/22 TPC-H shapes) gates from birth and
+        takes the last slot. The remaining 4 r10 holders
+        (streaming_collection_upsert, streaming_hourly_counts,
+        token_counts, vacuum_report) lead the r14 queue.
       - Rotated out to 51+: the entire r12 gate block (freshest
         evidence) and the r11 multiply-green holders.
     * Historical green rounds per family are tracked in PARITY.md §gate.
@@ -70,8 +73,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       unhashable-cell checks).
     * R14 ROTATION QUEUE (write-ahead note): after r13 no latest row
       predates r10; the r14 gate is freshness + any r14 source change:
-      the 3 deferred r10-latest queries first (streaming_hourly_counts,
-      token_counts, vacuum_report), then the oldest 46 of the 49
+      the 4 deferred r10-latest queries first
+      (streaming_collection_upsert, streaming_hourly_counts,
+      token_counts, vacuum_report), then the oldest 45 of the 49
       r11-latest holders (alphabetical cut, same rule; the last 3 —
       tpch_q9_profit, train_shard_manifest, vocab_coverage_report
       — lead r15).
@@ -134,10 +138,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reservoir_per_key": pipeline.reservoir_per_key,
         "snapshot_time_travel": lifecycle.snapshot_time_travel,
         "streaming_cdc_apply": collection_stream.streaming_cdc_apply,
-        "streaming_collection_upsert": collection_stream.streaming_collection_upsert,
+        # ---- NEW r13 (gated from birth — born-gating outranks the last
+        # marginal freshness slot, same precedence call as r09): TPC-H q2
+        # over the deterministic synthetic partsupp, completing 22/22
+        # TPC-H shapes (VERDICT r12 task 6). Displaces the alphabetical
+        # tail of the r10 freshness block (streaming_collection_upsert)
+        # to the head of the r14 queue. --------------------------------
+        "tpch_q2_min_cost_supplier": relational3.tpch_q2_min_cost_supplier,
         # ---------------- entry 51+ (full local coverage every round
         # via test_oracle_parity) ---------------------------------------
-        # the 3 deferred r10s — they lead the r14 queue:
+        # the 4 deferred r10s — they lead the r14 queue:
+        "streaming_collection_upsert": collection_stream.streaming_collection_upsert,
         "streaming_hourly_counts": events_stream.streaming_hourly_counts,
         "token_counts": textops.token_counts,
         "vacuum_report": lifecycle.vacuum_report,
@@ -273,6 +284,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q17_small_qty": relational2.TPCH_Q17_SQL,
         "tpch_q19_disjunctive": relational2.TPCH_Q19_SQL,
         "tpch_q21_waiting_supplier": relational2.TPCH_Q21_SQL,
+        "tpch_q2_min_cost_supplier": relational3.TPCH_Q2_SQL,
         "tpch_q22_idle_rich": relational2.TPCH_Q22_SQL,
         "sales_rollup": relational2.SALES_ROLLUP_SQL,
         "orders_pivot": relational2.ORDERS_PIVOT_SQL,

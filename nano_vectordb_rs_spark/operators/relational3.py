@@ -1,8 +1,9 @@
 """Third wave of TPC-H-shaped relational queries — q4/q9/q11/q16/q20
-adaptations, completing the 22-query shape catalogue (q2 alone has no
-faithful adaptation: its minimum-cost-supplier core is inseparable from the
-partsupp table the fixture lacks; every OTHER partsupp query's distinctive
-SHAPE survives adaptation and is exercised here).
+adaptations plus (r13) q2 itself, completing the 22-query shape catalogue.
+q2's minimum-cost-supplier core is inseparable from the partsupp table the
+fixture lacks, so it runs over a DETERMINISTIC SYNTHETIC partsupp built
+from key arithmetic alone — the same integer expressions on the Spark side
+and in the DuckDB oracle (see `_synthetic_partsupp`).
 
 Shapes covered (none of which waves 1-2 exercise):
 - q4:  EXISTS subquery → aggregated semi join
@@ -326,4 +327,158 @@ FROM supplier
 JOIN nation ON s_nationkey = n_nationkey
 WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
 ORDER BY s_suppkey
+"""
+
+
+# --- q2: minimum-cost supplier (synthetic partsupp) ---------------------------
+
+Q2_REGION = "EUROPE"
+Q2_SIZE = 15
+Q2_SUPPLIERS_PER_PART = 4
+Q2_LIMIT = 100
+
+
+def _synthetic_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic partsupp (r13, VERDICT r12 task 6): the
+    fixture ships no partsupp table, so q2's minimum-cost-supplier core —
+    the last unexpressed TPC-H shape — was blocked on data, not on the
+    engine. Build the relation from key arithmetic alone, with the SAME
+    integer expressions on both engines so the DuckDB oracle constructs an
+    identical table:
+
+      for each part p, i in 0..3:
+        ps_suppkey    = (p_partkey + i*17) % |supplier|   (keys 0-based
+                        contiguous per TESTDATA.md; offsets {0,17,34,51}
+                        stay distinct mod 10/100/1000, so no duplicate
+                        (part, supplier) pairs at any fixture SF)
+        ps_supplycost = round((p_partkey*7 + i*13) % 9000 / 10.0 + 100.0, 4)
+
+    All inputs are nonnegative integers, so Spark's % matches DuckDB's %,
+    and the /10.0 + 100.0 double arithmetic is the same IEEE op on both
+    sides. Scale: the relation derives from one part scan (no shuffle —
+    explode of a 4-element literal array); |supplier| is a 1-row aggregate
+    broadcast in via crossJoin, never a collected driver constant."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    s_count = (
+        load_table(spark, sf_dir, "supplier")
+        .agg(F.count("*").alias("s_count"))
+    )
+    return (
+        part.crossJoin(F.broadcast(s_count))
+        .select(
+            "p_partkey",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(Q2_SUPPLIERS_PER_PART)])
+            ).alias("i"),
+            "s_count",
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            ((F.col("p_partkey") + F.col("i") * 17) % F.col("s_count")).alias(
+                "ps_suppkey"
+            ),
+            F.round(
+                ((F.col("p_partkey") * 7 + F.col("i") * 13) % 9000).cast(
+                    "double"
+                )
+                / 10.0
+                + 100.0,
+                4,
+            ).alias("ps_supplycost"),
+        )
+    )
+
+
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q2: for every size-{Q2_SIZE} part, the supplier(s) in one
+    region offering it at that part's minimum supply cost — the classic
+    correlated-MIN subquery, over the synthetic partsupp above.
+
+    Spark-first plan: the correlated `ps_supplycost = (SELECT min(...))`
+    becomes a window MIN over the candidate frame partitioned by part —
+    never a per-part rescan and never a self-join. supplier⋈nation⋈region
+    is a filtered dim (|suppliers|/5 rows) joined broadcast; part carries
+    the p_size filter to the scan; the window's partkey repartition is the
+    plan's ONE data shuffle; ORDER BY + LIMIT contracts via
+    TakeOrderedAndProject. At 100 TB: partsupp is the big side and it is
+    touched once, pre-filtered by the broadcast semi-shaped region join
+    before the window shuffle.
+
+    Ties (two region suppliers at the same min cost for one part) keep
+    every minimum row, exactly like q2 proper; (s_name, p_partkey) makes
+    the ORDER BY total so LIMIT {Q2_LIMIT} is deterministic."""
+    ps = _synthetic_partsupp(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size") == Q2_SIZE
+    )
+    region_sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "region").filter(
+                    F.col("r_name") == Q2_REGION
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    from pyspark.sql.window import Window
+
+    cand = (
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .join(
+            F.broadcast(region_sup),
+            ps.ps_suppkey == region_sup.s_suppkey,
+        )
+        .withColumn(
+            "min_cost",
+            F.min("ps_supplycost").over(Window.partitionBy("ps_partkey")),
+        )
+    )
+    return (
+        cand.filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.round(F.col("ps_supplycost"), 4).alias("supplycost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(Q2_LIMIT)
+    )
+
+
+TPCH_Q2_SQL = f"""
+WITH ps AS (
+  SELECT p_partkey AS ps_partkey,
+         (p_partkey + i * 17) % (SELECT count(*) FROM supplier) AS ps_suppkey,
+         round(CAST((p_partkey * 7 + i * 13) % 9000 AS DOUBLE) / 10.0
+               + 100.0, 4) AS ps_supplycost
+  FROM part CROSS JOIN (SELECT unnest([0,1,2,3]) AS i)
+),
+cand AS (
+  SELECT p_partkey, p_type, s_acctbal, s_name, n_name, ps_supplycost,
+         min(ps_supplycost) OVER (PARTITION BY p_partkey) AS min_cost
+  FROM part, ps, supplier, nation, region
+  WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+    AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+    AND r_name = '{Q2_REGION}' AND p_size = {Q2_SIZE}
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+       round(ps_supplycost, 4) AS supplycost
+FROM cand WHERE ps_supplycost = min_cost
+ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+LIMIT {Q2_LIMIT}
 """

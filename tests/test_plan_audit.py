@@ -566,3 +566,18 @@ def test_cdc_changes_and_apply_plans_are_id_keyed_joins(spark, tmp_path):
     assert "LeftAnti" in ap
     assert "Union" in ap
     assert "CartesianProduct" not in ap and "BroadcastNestedLoopJoin" not in ap
+
+
+def test_tpch_q2_one_window_shuffle_broadcast_dims(spark, queries):
+    a = audit_plan(queries["tpch_q2_min_cost_supplier"](spark, SF_DIR))
+    # synthetic partsupp derives from one part scan; part (size-filtered)
+    # and the supplier⋈nation⋈region chain join broadcast; the correlated
+    # MIN is a partkey window — its hash Exchange is the plan's one DATA
+    # shuffle (the other Exchange is the |supplier| count contracting to
+    # a single row, one partial row per partition); ORDER BY + LIMIT
+    # contracts via TakeOrderedAndProject
+    assert a["n_broadcast_joins"] >= 3
+    assert a["n_sort_merge_joins"] == 0
+    assert a["n_shuffles"] <= 2
+    assert a["has_take_ordered"]
+    assert any("p_size" in p for p in a["pushed_filters"])
