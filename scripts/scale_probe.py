@@ -39,6 +39,7 @@ from nano_vectordb_rs_spark.operators import (  # noqa: E402
     knn,
     lifecycle,
     pipeline,
+    relational3,
     similarity,
     textops,
 )
@@ -136,6 +137,13 @@ PROBES = [
     # snapshot writes are the data term, expect well under 1.
     ("streaming_collection_upsert", collection_stream.streaming_collection_upsert, ("embeddings",)),
     ("snapshot_time_travel", lifecycle.snapshot_time_travel, ("embeddings",)),
+    # r13 addition: q2 over the synthetic partsupp. The data term is the
+    # partsupp derivation (4 rows per part — part is the scaled table) and
+    # the partkey window shuffle; supplier/nation/region stay base-size by
+    # design, matching the 100-TB shape (facts grow, dims don't). Expect
+    # ≈ linear-or-below; a slope drifting up would mean the window or the
+    # broadcast region join stopped scaling with parts alone.
+    ("tpch_q2_min_cost_supplier", relational3.tpch_q2_min_cost_supplier, ("part",)),
 ]
 
 ALL_TABLES = [
@@ -166,20 +174,25 @@ def materialize(spark: SparkSession, mult: int) -> str:
     # early-return on a pre-change x{mult} dir would silently probe the
     # unscaled base table for any table added later. Bump the suffix
     # whenever scaled_keys changes; stale unversioned dirs are swept.
-    stale = os.path.join(WORK, f"x{mult}")
-    if os.path.isdir(stale):
-        shutil.rmtree(stale)
-    out = os.path.join(WORK, f"x{mult}.v2")
+    for suffix in (f"x{mult}", f"x{mult}.v2"):
+        stale = os.path.join(WORK, suffix)
+        if os.path.isdir(stale):
+            shutil.rmtree(stale)
+    out = os.path.join(WORK, f"x{mult}.v3")
     if os.path.isdir(out):
         return out
     os.makedirs(out, exist_ok=True)
     # tables the probes scale, with their offset key; lineitem (r08,
     # table_profile) gets the key offset but no content perturbation — the
     # profile has no similarity semantics, the cost driver is row count
+    # r13 added part (tpch_q2's synthetic-partsupp data term); no content
+    # perturbation — q2 has no similarity semantics, the cost driver is
+    # row count (cache suffix bumped v2 -> v3 for the set change)
     scaled_keys = {
         "documents": "doc_id",
         "embeddings": "vec_id",
         "lineitem": "l_orderkey",
+        "part": "p_partkey",
     }
     for table in ALL_TABLES:
         src = os.path.join(BASE_SF, f"{table}.parquet")
