@@ -76,9 +76,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       the 4 deferred r10-latest queries first
       (streaming_collection_upsert, streaming_hourly_counts,
       token_counts, vacuum_report), then the oldest 45 of the 49
-      r11-latest holders (alphabetical cut, same rule; the last 3 —
-      tpch_q9_profit, train_shard_manifest, vocab_coverage_report
-      — lead r15).
+      r11-latest holders (alphabetical cut, same rule; the last 4 —
+      tpch_q4_priority, tpch_q9_profit, train_shard_manifest,
+      vocab_coverage_report — lead r15).
     """
     return {
         # ---- r13 gate block (first 50) ------------------------------
@@ -90,9 +90,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_retention_report": lifecycle.snapshot_retention_report,
         "tpch_q1_pricing": relational.tpch_q1_pricing,
         "upsert_merge": crud.upsert_merge,
-        # ---- freshness block B: first 46 alphabetically of the 49
+        # ---- freshness block B: first 45 alphabetically of the 49
         # r10-latest holders (deterministic, documentable cut; the
-        # remaining 3 lead the r14 queue) --------------------------------
+        # remaining 4 lead the r14 queue, because the born-gated
+        # tpch_q2_min_cost_supplier below takes the 50th slot) -----------
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "ann_pq_codes_topk": similarity.ann_pq_codes_topk,
         "ann_pq_topk": similarity.ann_pq_topk,

@@ -408,6 +408,22 @@ def timed(fn, runs: int | None = None) -> float:
     return round(min(timed_all(fn, runs or RUNS)), 4)
 
 
+def record_headline_steal(
+    headline_steal: dict, name: str, fn, runs_n: int, retime: bool = False
+) -> float:
+    """Partial-mode headline timing with in-artifact evidence: per-run wall
+    times + sampled steal%% accumulate under ``name``; a quiet-gate retime
+    marks where its pass begins (``retime_start_idx``) so an adjudicator
+    can tell which pass supplied the committed min. Returns best-of-N."""
+    rec = headline_steal.setdefault(name, {"runs": [], "steal_pct": []})
+    if retime:
+        rec["retime_start_idx"] = len(rec["runs"])
+    runs, steals = timed_all_steal(fn, runs_n)
+    rec["runs"] += runs
+    rec["steal_pct"] += steals
+    return round(min(runs), 4)
+
+
 def _cpu_ticks() -> tuple[int, int]:
     """(steal_ticks, total_ticks) from /proc/stat's aggregate cpu line —
     storm ATTRIBUTION: a discarded run with high steal%% is the hypervisor
@@ -419,6 +435,26 @@ def _cpu_ticks() -> tuple[int, int]:
         return vals[7], sum(vals)
     except Exception:  # noqa: BLE001 — diagnostics must never break timing
         return 0, 0
+
+
+def _salvage_rejected(
+    steal_rejected: list[float], steal_rejected_pct: list[float], n: int
+) -> tuple[list[float], list[float], list[float], list[float]]:
+    """All-rejected salvage (r13, ADVICE r12): keep the n lowest-steal
+    rejected runs so the record is never empty, and REMOVE them from the
+    rejected arrays so kept/rejected stay disjoint for downstream
+    consumers. Returns (times, steals, remaining_rejected,
+    remaining_rejected_pct)."""
+    order = sorted(
+        range(len(steal_rejected)), key=lambda i: steal_rejected_pct[i]
+    )[:n]
+    keep_idx = set(order)
+    return (
+        [steal_rejected[i] for i in order],
+        [steal_rejected_pct[i] for i in order],
+        [t for i, t in enumerate(steal_rejected) if i not in keep_idx],
+        [s for i, s in enumerate(steal_rejected_pct) if i not in keep_idx],
+    )
 
 
 def micro_timed(fn, stats: dict, name: str) -> float:
@@ -485,23 +521,10 @@ def micro_timed(fn, stats: dict, name: str) -> float:
         # Defensive only — post-budget attempts are always kept, so this
         # is unreachable with the current budgets (3*MICRO_RUNS attempts
         # remain after the gate disarms; the first non-3x one lands).
-        # If it ever fires: keep the lowest-steal rejected runs so the
-        # record is never empty, REMOVE them from the rejected arrays so
-        # kept/rejected stay disjoint for downstream consumers (r13,
-        # ADVICE r12), and mark the salvage.
         salvaged = True
-        order = sorted(
-            range(len(steal_rejected)), key=lambda i: steal_rejected_pct[i]
-        )[:MICRO_RUNS]
-        times = [steal_rejected[i] for i in order]
-        steals = [steal_rejected_pct[i] for i in order]
-        keep_idx = set(order)
-        steal_rejected = [
-            t for i, t in enumerate(steal_rejected) if i not in keep_idx
-        ]
-        steal_rejected_pct = [
-            s for i, s in enumerate(steal_rejected_pct) if i not in keep_idx
-        ]
+        times, steals, steal_rejected, steal_rejected_pct = _salvage_rejected(
+            steal_rejected, steal_rejected_pct, MICRO_RUNS
+        )
     mean = sum(times) / len(times)
     std = (sum((t - mean) ** 2 for t in times) / len(times)) ** 0.5
     stats[name] = {
@@ -616,14 +639,10 @@ def main() -> None:
     # artifacts must carry the measurement, not a prose claim)
     headline_steal: dict[str, dict] = {}
 
-    def timed_headline(name: str, fn) -> float:
+    def timed_headline(name: str, fn, retime: bool = False) -> float:
         if not partial:
             return timed(fn)
-        runs, steals = timed_all_steal(fn, RUNS)
-        rec = headline_steal.setdefault(name, {"runs": [], "steal_pct": []})
-        rec["runs"] += runs
-        rec["steal_pct"] += steals
-        return round(min(runs), 4)
+        return record_headline_steal(headline_steal, name, fn, RUNS, retime)
 
     for name in sorted(queries):
         if name in SKIP:
@@ -640,7 +659,9 @@ def main() -> None:
                 t = min(
                     t,
                     timed_headline(
-                        name, lambda q=q: q(spark, SF_DIR).collect()
+                        name,
+                        lambda q=q: q(spark, SF_DIR).collect(),
+                        retime=True,
                     ),
                 )
                 retimed.append(name)
@@ -663,6 +684,7 @@ def main() -> None:
                 timed_headline(
                     "knn_topk_numpy",
                     lambda: knn_topk_fast(spark, SF_DIR).collect(),
+                    retime=True,
                 ),
             )
             retimed.append("knn_topk_numpy")

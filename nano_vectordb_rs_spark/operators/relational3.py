@@ -466,7 +466,9 @@ WITH ps AS (
          (p_partkey + i * 17) % (SELECT count(*) FROM supplier) AS ps_suppkey,
          round(CAST((p_partkey * 7 + i * 13) % 9000 AS DOUBLE) / 10.0
                + 100.0, 4) AS ps_supplycost
-  FROM part CROSS JOIN (SELECT unnest([0,1,2,3]) AS i)
+  FROM part CROSS JOIN
+       (SELECT unnest([{", ".join(map(str, range(Q2_SUPPLIERS_PER_PART)))}])
+        AS i)
 ),
 cand AS (
   SELECT p_partkey, p_type, s_acctbal, s_name, n_name, ps_supplycost,

@@ -174,11 +174,18 @@ def materialize(spark: SparkSession, mult: int) -> str:
     # early-return on a pre-change x{mult} dir would silently probe the
     # unscaled base table for any table added later. Bump the suffix
     # whenever scaled_keys changes; stale unversioned dirs are swept.
-    for suffix in (f"x{mult}", f"x{mult}.v2"):
-        stale = os.path.join(WORK, suffix)
-        if os.path.isdir(stale):
-            shutil.rmtree(stale)
+    # generic stale sweep: remove every x{mult}* materialization except the
+    # current version, so future scaled_keys bumps stay self-maintaining
     out = os.path.join(WORK, f"x{mult}.v3")
+    if os.path.isdir(WORK):
+        for entry in os.listdir(WORK):
+            full = os.path.join(WORK, entry)
+            if (
+                (entry == f"x{mult}" or entry.startswith(f"x{mult}."))
+                and full != out
+                and os.path.isdir(full)
+            ):
+                shutil.rmtree(full)
     if os.path.isdir(out):
         return out
     os.makedirs(out, exist_ok=True)

@@ -346,11 +346,10 @@ def test_timed_all_steal_records_parallel_arrays(monkeypatch):
     assert len(times) == 2 and steals == [2.0, 0.0]
 
 
-def test_micro_timed_salvage_keeps_arrays_disjoint(monkeypatch):
-    # force the (normally unreachable) all-rejected salvage branch by
-    # shrinking the attempt budget via MICRO_RUNS and constant high steal
-    # with attempts exhausted before any keep: patch the attempt loop's
-    # inputs so every attempt is steal-rejected until attempts run out.
+def test_micro_timed_disarm_path_never_salvages(monkeypatch):
+    # the gate-disarm path (budget exhausts, later runs kept) must not
+    # trigger the salvage: every measurement lives in exactly one array
+    # (4 rejected attempts + 2 kept runs = 6 attempts, none double-counted)
     monkeypatch.setattr(bench, "timed_all", lambda fn, n: [1.0])
     monkeypatch.setattr(bench, "wait_for_quiet", lambda tag: None)
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
@@ -361,12 +360,41 @@ def test_micro_timed_salvage_keeps_arrays_disjoint(monkeypatch):
     stats: dict = {}
     bench.micro_timed(lambda: None, stats, "m")
     rec = stats["m"]
-    # normal disarm path: gate exhausts, later runs kept — no salvage
-    # needed, and every measurement lives in exactly one array (4 rejected
-    # attempts + 2 kept runs = 6 attempts total, none double-counted)
     assert rec["steal_salvaged"] is False
     assert len(rec["steal_rejected_runs"]) == 4  # 2x MICRO_RUNS budget
     assert len(rec["runs"]) == 2
+
+
+def test_salvage_rejected_keeps_arrays_disjoint():
+    # the salvage branch itself is unreachable through micro_timed under
+    # current budgets (post-disarm attempts are always kept), so its
+    # disjointness contract is pinned on the extracted helper directly:
+    # the n lowest-steal runs move to kept and LEAVE the rejected arrays.
+    times, steals, rej, rej_pct = bench._salvage_rejected(
+        [0.9, 0.5, 0.7, 0.6], [12.0, 3.0, 9.0, 5.0], 2
+    )
+    assert times == [0.5, 0.6] and steals == [3.0, 5.0]
+    assert rej == [0.9, 0.7] and rej_pct == [12.0, 9.0]
+    # nothing double-counted, nothing lost
+    assert sorted(times + rej) == sorted([0.9, 0.5, 0.7, 0.6])
+
+
+def test_record_headline_steal_marks_retime_pass_boundary(monkeypatch):
+    # partial-mode retime arrays must carry the pass boundary so an
+    # adjudicator can tell which pass supplied the committed min; this
+    # drives bench.py's ACTUAL module-level body (main's timed_headline is
+    # a thin partial-check wrapper around it)
+    monkeypatch.setattr(bench, "guard_contention", lambda: None)
+    monkeypatch.setattr(bench, "_cpu_ticks", lambda: (0, 0))
+    headline_steal: dict = {}
+    bench.record_headline_steal(headline_steal, "q", lambda: None, 2)
+    best = bench.record_headline_steal(
+        headline_steal, "q", lambda: None, 2, retime=True
+    )
+    rec = headline_steal["q"]
+    assert rec["retime_start_idx"] == 2
+    assert len(rec["runs"]) == 4 and len(rec["steal_pct"]) == 4
+    assert best == round(min(rec["runs"][2:]), 4)
 
 
 def test_load_prior_times_fallback_excludes_bench_json(tmp_path, monkeypatch):
