@@ -61,6 +61,7 @@ a healthy machine, ~0.08 s above the compute-only number).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -111,20 +112,35 @@ def resolve_modes(env=None) -> tuple[bool, set[str], str]:
     BASELINE.md, and a BENCH_ONLY query retime run without BENCH_OUT used
     to silently overwrite it with an unrelated subset. Now only the pure
     micro-only mode writes MICRO_RETIME.json; any BENCH_ONLY run defaults
-    to RETIME_QUERIES.json.
+    to RETIME_QUERIES.json. r14 (ADVICE r13): that fix recreated the same
+    hazard one level down — RETIME_QUERIES.json itself became a committed
+    evidence artifact (cited by BASELINE.md/PARITY.md), so a shared
+    BENCH_ONLY default would let an unrelated future retime silently
+    overwrite it. The default is now DERIVED FROM THE QUERY SET
+    (``RETIME_QUERIES_<sha1-prefix>.json``): re-running the same set
+    refreshes its own artifact; a different set can never collide with a
+    committed one.
     """
     env = os.environ if env is None else env
     micro_only = env.get("BENCH_MICRO_ONLY", "") == "1"
     only = {n.strip() for n in env.get("BENCH_ONLY", "").split(",") if n.strip()}
     partial = micro_only or bool(only)
     out = env.get("BENCH_OUT") or (
-        "RETIME_QUERIES.json"
+        retime_default_out(only)
         if only
         else "MICRO_RETIME.json"
         if micro_only
         else "BENCH.json"
     )
     return micro_only, only, out
+
+
+def retime_default_out(only: set[str]) -> str:
+    """Mode-derived default filename for a BENCH_ONLY retime artifact:
+    stable for a given query set (re-runs refresh in place), distinct for
+    any other set (no silent overwrite of committed evidence)."""
+    digest = hashlib.sha1(",".join(sorted(only)).encode()).hexdigest()[:10]
+    return f"RETIME_QUERIES_{digest}.json"
 
 
 def validate_only_names(only: set[str], queries: dict) -> list[str]:
@@ -521,6 +537,16 @@ def micro_timed(fn, stats: dict, name: str) -> float:
         # Defensive only — post-budget attempts are always kept, so this
         # is unreachable with the current budgets (3*MICRO_RUNS attempts
         # remain after the gate disarms; the first non-3x one lands).
+        # r14 (ADVICE r13): if BOTH arrays are empty the salvage itself
+        # would return empty lists and the mean below would divide by
+        # zero — fail loud with the budget diagnosis instead of letting a
+        # future budget tweak turn the safety net into a bare crash.
+        if not steal_rejected:
+            raise RuntimeError(
+                f"micro_timed({name}): zero runs kept AND zero runs "
+                "steal-rejected — the attempt budget produced no timings "
+                "at all; check MICRO_RUNS/max_steal_rejects wiring"
+            )
         salvaged = True
         times, steals, steal_rejected, steal_rejected_pct = _salvage_rejected(
             steal_rejected, steal_rejected_pct, MICRO_RUNS

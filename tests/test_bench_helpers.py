@@ -10,6 +10,8 @@ from __future__ import annotations
 import json
 import sys
 
+import pytest
+
 sys.path.insert(0, "/root/repo")
 
 import bench  # noqa: E402
@@ -301,10 +303,12 @@ def test_micro_timed_disarms_steal_gate_when_box_never_quiets(monkeypatch):
 
 def test_resolve_modes_partial_output_never_clobbers_bench_json():
     # full run -> BENCH.json; pure micro-only -> MICRO_RETIME.json; any
-    # BENCH_ONLY run -> RETIME_QUERIES.json (r13, ADVICE r12: the two
-    # partial modes must not share a default — MICRO_RETIME.json is a
-    # committed evidence artifact cited by BASELINE.md, and a query retime
-    # without BENCH_OUT used to silently overwrite it)
+    # BENCH_ONLY run -> a QUERY-SET-DERIVED RETIME_QUERIES_<hash>.json
+    # (r14, ADVICE r13: a single shared BENCH_ONLY default let an
+    # unrelated future retime silently overwrite the committed
+    # RETIME_QUERIES.json evidence artifact; deriving the name from the
+    # set makes same-set re-runs refresh in place and cross-set collisions
+    # impossible)
     assert bench.resolve_modes({}) == (False, set(), "BENCH.json")
     assert bench.resolve_modes({"BENCH_MICRO_ONLY": "1"}) == (
         True, set(), "MICRO_RETIME.json",
@@ -312,12 +316,20 @@ def test_resolve_modes_partial_output_never_clobbers_bench_json():
     micro_only, only, out = bench.resolve_modes(
         {"BENCH_ONLY": "ann_ivf_pq_topk, ivf_cell_health"}
     )
-    assert (micro_only, out) == (False, "RETIME_QUERIES.json")
+    assert micro_only is False
     assert only == {"ann_ivf_pq_topk", "ivf_cell_health"}
+    assert out.startswith("RETIME_QUERIES_") and out.endswith(".json")
+    # stable for the set regardless of spelling order; distinct otherwise;
+    # and never the bare committed-artifact name
+    assert out == bench.resolve_modes(
+        {"BENCH_ONLY": "ivf_cell_health,ann_ivf_pq_topk"}
+    )[2]
+    assert out != bench.retime_default_out({"knn_topk"})
+    assert bench.retime_default_out({"knn_topk"}) != "RETIME_QUERIES.json"
     # combined mode: BENCH_ONLY wins the default (micros ride along)
     assert bench.resolve_modes(
         {"BENCH_MICRO_ONLY": "1", "BENCH_ONLY": "knn_topk"}
-    )[2] == "RETIME_QUERIES.json"
+    )[2] == bench.retime_default_out({"knn_topk"})
     assert bench.resolve_modes(
         {"BENCH_MICRO_ONLY": "1", "BENCH_OUT": "X.json"}
     )[2] == "X.json"
@@ -377,6 +389,22 @@ def test_salvage_rejected_keeps_arrays_disjoint():
     assert rej == [0.9, 0.7] and rej_pct == [12.0, 9.0]
     # nothing double-counted, nothing lost
     assert sorted(times + rej) == sorted([0.9, 0.5, 0.7, 0.6])
+
+
+def test_micro_timed_fails_loud_when_no_timings_at_all(monkeypatch):
+    # r14 (ADVICE r13): if the attempt budget yields ZERO kept and ZERO
+    # rejected runs (reachable only through a future budget misconfig,
+    # simulated here with MICRO_RUNS=0), the salvage would hand empty
+    # arrays to the mean and crash with a bare ZeroDivisionError; the
+    # guard must instead raise a diagnosis that names the budget wiring.
+    monkeypatch.setattr(bench, "timed_all", lambda fn, n: [1.0])
+    monkeypatch.setattr(bench, "wait_for_quiet", lambda tag: None)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setattr(bench, "MICRO_RUNS", 0)
+    monkeypatch.setattr(bench, "_cpu_ticks", lambda: (0, 0))
+    stats: dict = {}
+    with pytest.raises(RuntimeError, match="zero runs kept"):
+        bench.micro_timed(lambda: None, stats, "m")
 
 
 def test_record_headline_steal_marks_retime_pass_boundary(monkeypatch):
