@@ -350,12 +350,19 @@ def _synthetic_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
         ps_suppkey    = (p_partkey + i*17) % |supplier|   (keys 0-based
                         contiguous per TESTDATA.md; offsets {0,17,34,51}
                         stay distinct mod 10/100/1000, so no duplicate
-                        (part, supplier) pairs at any fixture SF)
-        ps_supplycost = round((p_partkey*7 + i*13) % 9000 / 10.0 + 100.0, 4)
+                        (part, supplier) pairs at any fixture SF — pinned
+                        by tests/test_q2_fixture_guard.py against the
+                        ACTUAL fixture supplier counts)
+        ps_supplycost_tenths = (p_partkey*7 + i*13) % 9000 + 1000
 
-    All inputs are nonnegative integers, so Spark's % matches DuckDB's %,
-    and the /10.0 + 100.0 double arithmetic is the same IEEE op on both
-    sides. Scale: the relation derives from one part scan (no shuffle —
+    All inputs are nonnegative integers, so Spark's % matches DuckDB's %.
+    r14 (ADVICE r13): the cost is generated and COMPARED as an exact
+    integer number of tenths — the correlated MIN and the min-equality
+    filter in q2 are integer operations on both engines, so cross-engine
+    parity no longer leans on Spark's BigDecimal HALF_UP round() and
+    DuckDB's round() agreeing bit-for-bit on doubles; the single /10.0
+    happens once in q2's final projection (the same IEEE divide on both
+    sides). Scale: the relation derives from one part scan (no shuffle —
     explode of a 4-element literal array); |supplier| is a 1-row aggregate
     broadcast in via crossJoin, never a collected driver constant."""
     part = load_table(spark, sf_dir, "part").select("p_partkey")
@@ -377,14 +384,9 @@ def _synthetic_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("p_partkey") + F.col("i") * 17) % F.col("s_count")).alias(
                 "ps_suppkey"
             ),
-            F.round(
-                ((F.col("p_partkey") * 7 + F.col("i") * 13) % 9000).cast(
-                    "double"
-                )
-                / 10.0
-                + 100.0,
-                4,
-            ).alias("ps_supplycost"),
+            (
+                (F.col("p_partkey") * 7 + F.col("i") * 13) % 9000 + 1000
+            ).alias("ps_supplycost_tenths"),
         )
     )
 
@@ -436,19 +438,26 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ps.ps_suppkey == region_sup.s_suppkey,
         )
         .withColumn(
-            "min_cost",
-            F.min("ps_supplycost").over(Window.partitionBy("ps_partkey")),
+            "min_cost_tenths",
+            F.min("ps_supplycost_tenths").over(
+                Window.partitionBy("ps_partkey")
+            ),
         )
     )
     return (
-        cand.filter(F.col("ps_supplycost") == F.col("min_cost"))
+        # integer == integer: exact on both engines by construction
+        cand.filter(
+            F.col("ps_supplycost_tenths") == F.col("min_cost_tenths")
+        )
         .select(
             "s_acctbal",
             "s_name",
             "n_name",
             "p_partkey",
             "p_type",
-            F.round(F.col("ps_supplycost"), 4).alias("supplycost"),
+            (F.col("ps_supplycost_tenths") / F.lit(10.0)).alias(
+                "supplycost"
+            ),
         )
         .orderBy(
             F.col("s_acctbal").desc(),
@@ -464,23 +473,23 @@ TPCH_Q2_SQL = f"""
 WITH ps AS (
   SELECT p_partkey AS ps_partkey,
          (p_partkey + i * 17) % (SELECT count(*) FROM supplier) AS ps_suppkey,
-         round(CAST((p_partkey * 7 + i * 13) % 9000 AS DOUBLE) / 10.0
-               + 100.0, 4) AS ps_supplycost
+         (p_partkey * 7 + i * 13) % 9000 + 1000 AS ps_supplycost_tenths
   FROM part CROSS JOIN
        (SELECT unnest([{", ".join(map(str, range(Q2_SUPPLIERS_PER_PART)))}])
         AS i)
 ),
 cand AS (
-  SELECT p_partkey, p_type, s_acctbal, s_name, n_name, ps_supplycost,
-         min(ps_supplycost) OVER (PARTITION BY p_partkey) AS min_cost
+  SELECT p_partkey, p_type, s_acctbal, s_name, n_name, ps_supplycost_tenths,
+         min(ps_supplycost_tenths) OVER (PARTITION BY p_partkey)
+           AS min_cost_tenths
   FROM part, ps, supplier, nation, region
   WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
     AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
     AND r_name = '{Q2_REGION}' AND p_size = {Q2_SIZE}
 )
 SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
-       round(ps_supplycost, 4) AS supplycost
-FROM cand WHERE ps_supplycost = min_cost
+       ps_supplycost_tenths / 10.0 AS supplycost
+FROM cand WHERE ps_supplycost_tenths = min_cost_tenths
 ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
 LIMIT {Q2_LIMIT}
 """
