@@ -34,7 +34,9 @@ Scale design (100 TB):
   second scan); supplier resolution is broadcast.
 
 Determinism: DECIMAL(28,10) partial sums, round(…, 4) on every double
-output, explicit ORDER BY with tie-breaks (SURVEY.md §7.4).
+output (except q2's supplycost, which is exact by construction — integer
+tenths divided once by 10.0), explicit ORDER BY with tie-breaks
+(SURVEY.md §7.4).
 
 Reference parity note: the reference engine (/root/reference/src/lib.rs)
 has no relational surface at all — this whole module is north-star
