@@ -44,6 +44,14 @@ def load(path: str) -> dict:
             f"{path} is a driver wrapper without a full queries map; "
             "adjudicate against the driver-written BENCH.json instead"
         )
+    # any other shape missing the two decision inputs would otherwise die
+    # later with a bare KeyError in main() (ADVICE r14)
+    missing = [k for k in ("queries", "value") if k not in d]
+    if missing:
+        raise SystemExit(
+            f"{path} lacks {missing} — not a bench record this script can "
+            "adjudicate (expected bench.py's one-line JSON shape)"
+        )
     return d
 
 
@@ -52,6 +60,14 @@ def micro_summary(d: dict, name: str) -> str:
     if not ms:
         return "no micro_stats"
     kept = ms.get("steal_pct", [])
+    # a degenerate record (all runs steal-rejected) has empty arrays;
+    # diagnose instead of crashing in min() (ADVICE r14)
+    if not ms.get("runs") or not kept:
+        return (
+            "empty kept-run arrays (every run rejected?) — "
+            f"{len(ms.get('steal_rejected_runs', []))} rejected"
+            f"{', GATE EXHAUSTED' if ms.get('steal_gate_exhausted') else ''}"
+        )
     return (
         f"best {min(ms['runs']):.4f}s, kept-run steal "
         f"{min(kept):.2f}-{max(kept):.2f}%"
@@ -99,9 +115,25 @@ def main() -> None:
         s > 1.5 for s in cms.get("steal_pct", [])
     )
     slow = (cf / bf > 1.3) if (cf and bf) else False
+    heavy = [k for k, r in movers if bq[k] >= 1.0]
     if headline <= 1.0 and not stormy:
+        # the floor tell and heavy movers still qualify an otherwise-adoptable
+        # candidate (ADVICE r14): a floor-elevated window can hand a faster
+        # headline to a record whose per-query values shouldn't become priors
+        caveats = []
+        if slow:
+            caveats.append(
+                f"scan floor {cf / bf:.2f}x the committed pass — "
+                "floor-elevated window; re-check sub-second priors"
+            )
+        if heavy:
+            caveats.append(
+                f"HEAVY movers >1.4x despite faster headline: {heavy} — "
+                "retime before trusting those rows"
+            )
         print("VERDICT: ADOPT — candidate is not slower and its own "
-              "micro evidence is quiet")
+              "micro evidence is quiet"
+              + ("".join(f"\n  CAVEAT: {c}" for c in caveats)))
     else:
         why = []
         if stormy:
