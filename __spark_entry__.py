@@ -45,162 +45,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle in ``oracle_sql()`` (zero rows-only checks since round 5).
 
     GATE-ROTATION POLICY: the driver's correctness gate checks the FIRST 50
-    entries only (observed in CORRECTNESS_r01-r13, 50 rows each), so
+    entries only (observed in CORRECTNESS_r01-r14, 50 rows each), so
     ordering is a coverage decision:
 
     * Queries that have NEVER had a driver CORRECTNESS row gate from birth;
       queries whose SOURCE changed since their last green row re-gate; and
       once nothing is unverified, the STALEST greens rotate back through
       (evidence freshness), displacing multiply-green entries to 51+.
-    * ROUND-14 ROTATION (executes the r13 write-ahead queue + VERDICT r13
-      task 2): the union entering r14 is 152/152 green with distribution
-      r10:4 r11:49 r12:49 r13:50 — freshness plus ONE source-change
-      re-gate:
-      - The 4 deferred r10-latest queries first (the oldest evidence in
-        the ledger): streaming_collection_upsert, streaming_hourly_counts,
-        token_counts, vacuum_report.
-      - tpch_q2_min_cost_supplier RE-GATES: its source changed this round
-        (ADVICE r13 — the synthetic supplycost is now generated and
-        compared as exact integer tenths instead of round()-ed doubles),
-        and source change outranks pure freshness.
-      - Then the first 44 alphabetically of the 49 r11-latest holders
-        (the same deterministic cut rule r10-r13 used). The remaining 5
-        (tpch_q21_waiting_supplier, tpch_q4_priority, tpch_q9_profit,
-        train_shard_manifest, vocab_coverage_report) lead the r15 queue.
-      - Rotated out to 51+: the entire r13 gate block (freshest
-        evidence) and the r12 multiply-green holders.
-    * Historical green rounds per family are tracked in PARITY.md §gate.
+    * ROUND-15 ROTATION (executes the r14 write-ahead queue + VERDICT r14
+      task 2): the union entering r15 is 152/152 green with distribution
+      r11:5 r12:49 r13:48 r14:50 — pure freshness, no source-change
+      re-gates (zero operator-source edits in r15):
+      - The 5 deferred r11-latest queries first (the oldest evidence in
+        the ledger): tpch_q21_waiting_supplier, tpch_q4_priority,
+        tpch_q9_profit, train_shard_manifest, vocab_coverage_report.
+      - Then the first 44 alphabetically of the 49 r12-latest holders
+        (the same deterministic cut rule r10-r14 used). The remaining 5
+        (tpch_q3_shipping, tpch_q5_regional, tpch_q6_forecast,
+        tpch_q7_nation_trade, tpch_q8_market_share) lead the r16 queue.
+      - Rotated out to 51+: the entire r14 gate block (freshest
+        evidence) and the r13 holders.
+    * Rotation history for rounds <= r14 (which blocks gated when, with
+      per-query detail) lives in PARITY.md §gate — this docstring keeps
+      only the CURRENT rotation and the NEXT queue.
     * Entries 51+ keep full local coverage every round via
       tests/test_oracle_parity.py (stricter than the driver: dtype-class +
       unhashable-cell checks).
-    * R15 ROTATION QUEUE (write-ahead note): after r14 no latest row
-      predates r11; the r15 gate is freshness + any r15 source change:
-      the 5 deferred r11-latest queries first (tpch_q21_waiting_supplier,
-      tpch_q4_priority, tpch_q9_profit, train_shard_manifest,
-      vocab_coverage_report), then the oldest 44 of the 49 r12-latest
-      holders (alphabetical cut, same rule).
+    * R16 ROTATION QUEUE (write-ahead note): after r15 no latest row
+      predates r12; the r16 gate is freshness + any r16 source change:
+      the 5 remaining r12-latest queries first (tpch_q3_shipping,
+      tpch_q5_regional, tpch_q6_forecast, tpch_q7_nation_trade,
+      tpch_q8_market_share), then the oldest 44 of the 48 r13-latest
+      holders (alphabetical cut, same rule — leaving the last 4 r13s
+      to lead the r17 queue).
     """
     return {
-        # ---- r14 gate block (first 50) ------------------------------
+        # ---- r15 gate block (first 50) ------------------------------
         # flagship (kept first every round)
         "knn_topk": knn.knn_topk,
-        # ---- freshness block A: the 4 deferred r10-latest queries
-        # (head of the r13 write-ahead queue; oldest evidence in the
-        # ledger entering r14) ------------------------------------------
-        "streaming_collection_upsert": collection_stream.streaming_collection_upsert,
-        "streaming_hourly_counts": events_stream.streaming_hourly_counts,
-        "token_counts": textops.token_counts,
-        "vacuum_report": lifecycle.vacuum_report,
-        # ---- SOURCE-CHANGE re-gate (outranks pure freshness, same
-        # precedence call as born-gating): q2's synthetic supplycost
-        # switched to exact integer-tenths comparison this round ---------
-        "tpch_q2_min_cost_supplier": relational3.tpch_q2_min_cost_supplier,
-        # ---- freshness block B: first 44 alphabetically of the 49
-        # r11-latest holders (deterministic, documentable cut; the
-        # remaining 5 lead the r15 queue, because the re-gated q2 above
-        # takes one slot) -------------------------------------------------
-        "compaction_plan": pipeline.compaction_plan,
-        "customer_balance_quartiles": relational2.customer_balance_quartiles,
-        "customer_set_ops": advanced.customer_set_ops,
-        "customers_without_orders": advanced.customers_without_orders,
-        "dedup_funnel_report": dedup.dedup_funnel_report,
-        "dedup_pair_recall": dedup.dedup_pair_recall,
-        "events_scd2_state": events.events_scd2_state,
-        "ivf_cell_health": similarity.ivf_cell_health,
-        "join_skew_advisor": advanced.join_skew_advisor,
-        "jsonl_export_roundtrip": lifecycle.jsonl_export_roundtrip,
-        "lineitem_stats": relational2.lineitem_stats,
-        "minhash_index_probe": dedup.minhash_index_probe,
-        "orc_export_roundtrip": lifecycle.orc_export_roundtrip,
-        "order_priority_counts": relational.order_priority_counts,
-        "order_value_quantiles": advanced.order_value_quantiles,
-        "orders_cumulative": advanced.orders_cumulative,
-        "orders_pivot": relational2.orders_pivot,
-        "part_supplier_diversity": advanced.part_supplier_diversity,
-        "parts_brand_stats": relational.parts_brand_stats,
-        "parts_cube": relational2.parts_cube,
-        "region_rollup": relational.region_rollup,
-        "sales_rollup": relational2.sales_rollup,
-        "skew_salted_join": advanced.skew_salted_join,
-        "stratified_sample_docs": pipeline.stratified_sample_docs,
-        "streaming_click_attribution": events_stream.streaming_click_attribution,
-        "streaming_dedup_counts": events_stream.streaming_dedup_counts,
-        "streaming_sessionize_custom": events_stream.streaming_sessionize_custom,
-        "supplier_nation_rank": advanced.supplier_nation_rank,
-        "supplier_percent_rank": relational2.supplier_percent_rank,
-        "supplier_trailing_revenue": relational2.supplier_trailing_revenue,
-        "table_profile": pipeline.table_profile,
-        "tokenizer_fertility": textops.tokenizer_fertility,
-        "top_customers": relational.top_customers,
-        "tpch_q10_returned": advanced.tpch_q10_returned,
-        "tpch_q11_important_parts": relational3.tpch_q11_important_parts,
-        "tpch_q12_latecount": advanced.tpch_q12_latecount,
-        "tpch_q13_order_dist": relational2.tpch_q13_order_dist,
-        "tpch_q14_promo": advanced.tpch_q14_promo,
-        "tpch_q15_top_supplier": relational2.tpch_q15_top_supplier,
-        "tpch_q16_supplier_counts": relational3.tpch_q16_supplier_counts,
-        "tpch_q17_small_qty": relational2.tpch_q17_small_qty,
-        "tpch_q18_big_orders": advanced.tpch_q18_big_orders,
-        "tpch_q19_disjunctive": relational2.tpch_q19_disjunctive,
-        "tpch_q20_promotion_suppliers": relational3.tpch_q20_promotion_suppliers,
-        # ---------------- entry 51+ (full local coverage every round
-        # via test_oracle_parity) ---------------------------------------
-        # the 5 deferred r11s — they lead the r15 queue:
+        # ---- freshness block A: the 5 deferred r11-latest queries
+        # (head of the r14 write-ahead queue; the oldest evidence in
+        # the ledger entering r15) ---------------------------------------
         "tpch_q21_waiting_supplier": relational2.tpch_q21_waiting_supplier,
         "tpch_q4_priority": relational3.tpch_q4_priority,
         "tpch_q9_profit": relational3.tpch_q9_profit,
         "train_shard_manifest": pipeline.train_shard_manifest,
         "vocab_coverage_report": pipeline.vocab_coverage_report,
-        # r13 gate block (freshest evidence; rotated out):
-        "snapshot_retention_report": lifecycle.snapshot_retention_report,
-        "tpch_q1_pricing": relational.tpch_q1_pricing,
-        "upsert_merge": crud.upsert_merge,
-        "ann_lsh_topk": similarity.ann_lsh_topk,
-        "ann_pq_codes_topk": similarity.ann_pq_codes_topk,
-        "ann_pq_topk": similarity.ann_pq_topk,
-        "ann_recall": similarity.ann_recall,
-        "bigram_stats": pipeline.bigram_stats,
-        "cdc_apply_report": lifecycle.cdc_apply_report,
-        "cluster_topic_report": pipeline.cluster_topic_report,
-        "contamination_check": dedup.contamination_check,
-        "cross_source_overlap": dedup.cross_source_overlap,
-        "crossmodal_dup_check": similarity.crossmodal_dup_check,
-        "customer_balance_quartiles_approx": relational2.customer_balance_quartiles_approx,
-        "dedup_keep_best": dedup.dedup_keep_best,
-        "doc_chunk_report": pipeline.doc_chunk_report,
-        "dup_clusters": dedup.dup_clusters,
-        "embedding_outlier_report": pipeline.embedding_outlier_report,
-        "embedding_top_component": pipeline.embedding_top_component,
-        "events_anomaly_report": events.events_anomaly_report,
-        "events_daily_full_outer": events.events_daily_full_outer,
-        "events_distinct_sketch": events.events_distinct_sketch,
-        "events_json_stats": events.events_json_stats,
-        "events_next_transition": events.events_next_transition,
-        "events_props_scrub": events.events_props_scrub,
-        "events_session_window": events.events_session_window,
-        "events_top_users": events.events_top_users,
-        "events_union_slices": events.events_union_slices,
-        "events_value_bands": advanced.events_value_bands,
-        "events_value_drift": events.events_value_drift,
-        "events_value_percentiles_approx": events.events_value_percentiles_approx,
-        "exact_substring_contamination": dedup.exact_substring_contamination,
-        "label_centroids_mergeable": similarity.label_centroids_mergeable,
-        "length_filter_report": pipeline.length_filter_report,
-        "media_feature_stats": multimodal.media_feature_stats,
-        "media_frame_sample": multimodal.media_frame_sample,
-        "media_inventory": multimodal.media_inventory,
-        "media_resize_summary": multimodal.media_resize_summary,
-        "mixture_temperature_weights": textops.mixture_temperature_weights,
-        "nation_supplier_lists": relational2.nation_supplier_lists,
-        "ngram_novelty_scores": dedup.ngram_novelty_scores,
-        "phrase_collocations": textops.phrase_collocations,
-        "quality_weighted_sample": pipeline.quality_weighted_sample,
-        "reference_json_roundtrip": lifecycle.reference_json_roundtrip,
-        "repetition_scores": textops.repetition_scores,
-        "reservoir_per_key": pipeline.reservoir_per_key,
-        "snapshot_time_travel": lifecycle.snapshot_time_travel,
-        "streaming_cdc_apply": collection_stream.streaming_cdc_apply,
-        # r12-latest holders (multiply-green; rotated out):
+        # ---- freshness block B: first 44 alphabetically of the 49
+        # r12-latest holders (deterministic cut, same rule as r10-r14;
+        # the remaining 5 lead the r16 queue). No source-change re-gates
+        # this round: zero operator-source edits in r15. -----------------
         "ann_ivf_pq_topk": similarity.ann_ivf_pq_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "compact_roundtrip_stats": lifecycle.compact_roundtrip_stats,
@@ -245,11 +139,113 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": dedup.simhash_docs,
         "snapshot_diff_report": lifecycle.snapshot_diff_report,
         "tpch_q22_idle_rich": relational2.tpch_q22_idle_rich,
+        # ---------------- entry 51+ (full local coverage every round
+        # via test_oracle_parity) ---------------------------------------
+        # the 5 remaining r12-latest holders — they lead the r16 queue:
         "tpch_q3_shipping": relational.tpch_q3_shipping,
         "tpch_q5_regional": relational.tpch_q5_regional,
         "tpch_q6_forecast": advanced.tpch_q6_forecast,
         "tpch_q7_nation_trade": advanced.tpch_q7_nation_trade,
         "tpch_q8_market_share": relational2.tpch_q8_market_share,
+        # r13-latest holders (rotated out; next after the r16 queue):
+        "ann_lsh_topk": similarity.ann_lsh_topk,
+        "ann_pq_codes_topk": similarity.ann_pq_codes_topk,
+        "ann_pq_topk": similarity.ann_pq_topk,
+        "ann_recall": similarity.ann_recall,
+        "bigram_stats": pipeline.bigram_stats,
+        "cdc_apply_report": lifecycle.cdc_apply_report,
+        "cluster_topic_report": pipeline.cluster_topic_report,
+        "contamination_check": dedup.contamination_check,
+        "cross_source_overlap": dedup.cross_source_overlap,
+        "crossmodal_dup_check": similarity.crossmodal_dup_check,
+        "customer_balance_quartiles_approx": relational2.customer_balance_quartiles_approx,
+        "dedup_keep_best": dedup.dedup_keep_best,
+        "doc_chunk_report": pipeline.doc_chunk_report,
+        "dup_clusters": dedup.dup_clusters,
+        "embedding_outlier_report": pipeline.embedding_outlier_report,
+        "embedding_top_component": pipeline.embedding_top_component,
+        "events_anomaly_report": events.events_anomaly_report,
+        "events_daily_full_outer": events.events_daily_full_outer,
+        "events_distinct_sketch": events.events_distinct_sketch,
+        "events_json_stats": events.events_json_stats,
+        "events_next_transition": events.events_next_transition,
+        "events_props_scrub": events.events_props_scrub,
+        "events_session_window": events.events_session_window,
+        "events_top_users": events.events_top_users,
+        "events_union_slices": events.events_union_slices,
+        "events_value_bands": advanced.events_value_bands,
+        "events_value_drift": events.events_value_drift,
+        "events_value_percentiles_approx": events.events_value_percentiles_approx,
+        "exact_substring_contamination": dedup.exact_substring_contamination,
+        "label_centroids_mergeable": similarity.label_centroids_mergeable,
+        "length_filter_report": pipeline.length_filter_report,
+        "media_feature_stats": multimodal.media_feature_stats,
+        "media_frame_sample": multimodal.media_frame_sample,
+        "media_inventory": multimodal.media_inventory,
+        "media_resize_summary": multimodal.media_resize_summary,
+        "mixture_temperature_weights": textops.mixture_temperature_weights,
+        "nation_supplier_lists": relational2.nation_supplier_lists,
+        "ngram_novelty_scores": dedup.ngram_novelty_scores,
+        "phrase_collocations": textops.phrase_collocations,
+        "quality_weighted_sample": pipeline.quality_weighted_sample,
+        "reference_json_roundtrip": lifecycle.reference_json_roundtrip,
+        "repetition_scores": textops.repetition_scores,
+        "reservoir_per_key": pipeline.reservoir_per_key,
+        "snapshot_retention_report": lifecycle.snapshot_retention_report,
+        "snapshot_time_travel": lifecycle.snapshot_time_travel,
+        "streaming_cdc_apply": collection_stream.streaming_cdc_apply,
+        "tpch_q1_pricing": relational.tpch_q1_pricing,
+        "upsert_merge": crud.upsert_merge,
+        # r14 gate block (freshest evidence; rotated out):
+        "compaction_plan": pipeline.compaction_plan,
+        "customer_balance_quartiles": relational2.customer_balance_quartiles,
+        "customer_set_ops": advanced.customer_set_ops,
+        "customers_without_orders": advanced.customers_without_orders,
+        "dedup_funnel_report": dedup.dedup_funnel_report,
+        "dedup_pair_recall": dedup.dedup_pair_recall,
+        "events_scd2_state": events.events_scd2_state,
+        "ivf_cell_health": similarity.ivf_cell_health,
+        "join_skew_advisor": advanced.join_skew_advisor,
+        "jsonl_export_roundtrip": lifecycle.jsonl_export_roundtrip,
+        "lineitem_stats": relational2.lineitem_stats,
+        "minhash_index_probe": dedup.minhash_index_probe,
+        "orc_export_roundtrip": lifecycle.orc_export_roundtrip,
+        "order_priority_counts": relational.order_priority_counts,
+        "order_value_quantiles": advanced.order_value_quantiles,
+        "orders_cumulative": advanced.orders_cumulative,
+        "orders_pivot": relational2.orders_pivot,
+        "part_supplier_diversity": advanced.part_supplier_diversity,
+        "parts_brand_stats": relational.parts_brand_stats,
+        "parts_cube": relational2.parts_cube,
+        "region_rollup": relational.region_rollup,
+        "sales_rollup": relational2.sales_rollup,
+        "skew_salted_join": advanced.skew_salted_join,
+        "stratified_sample_docs": pipeline.stratified_sample_docs,
+        "streaming_click_attribution": events_stream.streaming_click_attribution,
+        "streaming_collection_upsert": collection_stream.streaming_collection_upsert,
+        "streaming_dedup_counts": events_stream.streaming_dedup_counts,
+        "streaming_hourly_counts": events_stream.streaming_hourly_counts,
+        "streaming_sessionize_custom": events_stream.streaming_sessionize_custom,
+        "supplier_nation_rank": advanced.supplier_nation_rank,
+        "supplier_percent_rank": relational2.supplier_percent_rank,
+        "supplier_trailing_revenue": relational2.supplier_trailing_revenue,
+        "table_profile": pipeline.table_profile,
+        "token_counts": textops.token_counts,
+        "tokenizer_fertility": textops.tokenizer_fertility,
+        "top_customers": relational.top_customers,
+        "tpch_q10_returned": advanced.tpch_q10_returned,
+        "tpch_q11_important_parts": relational3.tpch_q11_important_parts,
+        "tpch_q12_latecount": advanced.tpch_q12_latecount,
+        "tpch_q13_order_dist": relational2.tpch_q13_order_dist,
+        "tpch_q14_promo": advanced.tpch_q14_promo,
+        "tpch_q15_top_supplier": relational2.tpch_q15_top_supplier,
+        "tpch_q16_supplier_counts": relational3.tpch_q16_supplier_counts,
+        "tpch_q17_small_qty": relational2.tpch_q17_small_qty,
+        "tpch_q18_big_orders": advanced.tpch_q18_big_orders,
+        "tpch_q19_disjunctive": relational2.tpch_q19_disjunctive,
+        "tpch_q20_promotion_suppliers": relational3.tpch_q20_promotion_suppliers,
+        "tpch_q2_min_cost_supplier": relational3.tpch_q2_min_cost_supplier,
+        "vacuum_report": lifecycle.vacuum_report,
     }
 
 
