@@ -174,45 +174,105 @@ class VectorCollection:
         the small side of the merge, so collecting its ids is O(|batch|),
         never O(|collection|).  The batch is broadcast; the base collection
         does not shuffle.
-        """
+
+        One pass over the batch (r15): the strict Q4/Q5 validation and the
+        id report used to be two separate full scans of the batch (a
+        ``limit(1)`` bad-row probe plus a post-dedup id collect); both now
+        ride the SAME job — per-row ``(id, pos, dim, norm)`` is collected
+        once (O(|batch|) driver rows, the size the id report already pays
+        by contract) and validation, the LWW winner set and the batch-order
+        report are derived from it driver-side.  The same driver knowledge
+        also elides the in-batch dedup shuffle entirely when the batch has
+        no duplicate ids (the common ingest shape — the optimizer cannot
+        know this, the collected report proves it), and replaces the merge
+        plan's batch-side broadcast subtree with a local id relation, so
+        the anti join never re-traverses the batch lineage."""
         from pyspark.sql.window import Window
 
-        batch = self._validate_and_normalize(batch)
-        batch = batch.withColumn(
-            "__batch_pos__", F.monotonically_increasing_id()
-        )
-        w = Window.partitionBy(ID_COL).orderBy(F.col("__batch_pos__").desc())
-        batch = (
-            batch.withColumn("__rn__", F.row_number().over(w))
-            .filter(F.col("__rn__") == 1)
-        )
-        batch = batch.cache()
+        from nano_vectordb_rs_spark.operators.fastknn import normalize_ml
+
+        norm = F.expr(norm_expr(as_double_array(VECTOR_COL)))
+        # normalize BEFORE the cache so every later consumer (probe-side
+        # lineage, dedup, merge, post-merge queries) reads finished rows —
+        # the raw norm/dim validation columns are computed off the raw
+        # vector in the same projection, so nothing needs a second pass
+        annotated = normalize_ml(
+            batch.withColumn("__batch_pos__", F.monotonically_increasing_id())
+            .withColumn("__dim__", F.size(VECTOR_COL))
+            .withColumn("__norm__", norm)
+        ).cache()
+        # ONE report job: materializes the cache every later consumer
+        # reads, and carries validation + the id report
+        info = annotated.select(
+            ID_COL, "__batch_pos__", "__dim__", "__norm__"
+        ).collect()
+        import math
+
+        for r in info:
+            # same per-row predicate the old limit(1) probe used:
+            # ~dim_ok | (norm <= 0) | isnan(norm), first offender raises
+            if r["__dim__"] != self.embedding_dim:
+                raise DimensionError(
+                    f"vector for id={r[ID_COL]!r} has dim {r['__dim__']}, "
+                    f"expected {self.embedding_dim}"
+                )
+            n = r["__norm__"]
+            if n is None or not (n > 0) or math.isnan(n):
+                raise ZeroVectorError(
+                    f"zero/invalid-norm vector for id={r[ID_COL]!r}"
+                )
+        # LWW winners + batch-order report, derived driver-side
+        last_pos: dict[str, int] = {}
+        for r in info:
+            p = r["__batch_pos__"]
+            i = r[ID_COL]
+            if i not in last_pos or p > last_pos[i]:
+                last_pos[i] = p
         batch_ids = [
-            r[ID_COL]
-            for r in batch.select(ID_COL, "__batch_pos__")
-            .orderBy("__batch_pos__")
-            .collect()
+            i for i, _ in sorted(last_pos.items(), key=lambda kv: kv[1])
         ]
-        batch = batch.drop("__rn__", "__batch_pos__")
+        if len(last_pos) == len(info):
+            # no duplicate ids in the batch (proved by the report rows):
+            # the LWW dedup is a no-op — skip its shuffle outright
+            deduped = annotated
+        else:
+            w = Window.partitionBy(ID_COL).orderBy(
+                F.col("__batch_pos__").desc()
+            )
+            deduped = (
+                annotated.withColumn("__rn__", F.row_number().over(w))
+                .filter(F.col("__rn__") == 1)
+                .drop("__rn__")
+            )
+        batch_clean = deduped.filter(
+            (F.col("__dim__") == self.embedding_dim)
+            & (F.col("__norm__") > 0)
+        ).drop("__batch_pos__", "__dim__", "__norm__")
+        # local id relation (typed like the batch id column): broadcasting
+        # it costs no batch re-traversal in the probe or the merge plan
+        id_field = batch.schema[ID_COL]
+        ids_df = self.spark.createDataFrame(
+            [(i,) for i in batch_ids],
+            T.StructType(
+                [T.StructField(ID_COL, id_field.dataType, id_field.nullable)]
+            ),
+        )
         if self._known_empty:
             # provably-empty collection (fresh create, nothing upserted yet):
             # every id is an insert — skip the probe job entirely
             existing: set[str] = set()
         else:
-            # broadcast ONLY the id column: the probe needs no vectors, and
-            # a full-row broadcast ships the whole normalized matrix to
-            # every executor for nothing
+            # probe ships ONLY ids: the collection scan reads just the id
+            # column (column-pruned), nothing of the batch is recomputed
             existing = {
                 r[ID_COL]
-                for r in self._df.join(
-                    F.broadcast(batch.select(ID_COL)), ID_COL, "left_semi"
-                )
+                for r in self._df.join(F.broadcast(ids_df), ID_COL, "left_semi")
                 .select(ID_COL)
                 .collect()
             }
         merged = self._df.join(
-            F.broadcast(batch.select(ID_COL)), ID_COL, "left_anti"
-        ).unionByName(batch, allowMissingColumns=True)
+            F.broadcast(ids_df), ID_COL, "left_anti"
+        ).unionByName(batch_clean, allowMissingColumns=True)
         self._df = merged
         self._known_empty = False
         return {
