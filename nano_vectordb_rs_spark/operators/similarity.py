@@ -317,6 +317,16 @@ def _blocked_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a pair sharing several probed cells (or matching in several
         # bands) appears once per match
         .distinct()
+        # the exact-verify stage below does O(dim) work per PAIR; its input
+        # here is only int triples, so AQE's byte-targeted coalescing folds
+        # the sub-MB shuffle to ~1 partition and serializes the verify onto
+        # one core (measured 6 tasks total / 2.1 s for this query on 32
+        # cores). An explicit pair-keyed exchange of the lightweight rows
+        # pins the verify's parallelism to the cluster's cores; the heavy
+        # vectors attach AFTER, via the broadcast joins, so no payload is
+        # re-shuffled. Per-pair scores are row-local math — partitioning
+        # cannot change any result.
+        .repartition(spark.sparkContext.defaultParallelism, "id1", "id2")
     )
     # exact verify: fetch each side's vector once per surviving pair; the
     # O(dim) cast + norm are computed once per ROW in this projection, not
