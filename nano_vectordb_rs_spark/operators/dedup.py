@@ -283,11 +283,21 @@ def dedup_pair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    hits = exact.join(cand, ["doc1", "doc2"])
-    counted = (
-        exact.agg(F.count("*").alias("n_exact"))
-        .join(cand.agg(F.count("*").alias("n_candidates")))
-        .join(hits.agg(F.count("*").alias("n_hits")))
+    # All three counts come from ONE full-outer join of the two (already
+    # distinct) pair sets: n_exact = rows with an exact-side marker,
+    # n_candidates = rows with a cand-side marker, n_hits = rows with both.
+    # The previous three-aggregate crossJoin evaluated the exact subtree
+    # (the block's all-pairs join) and the cand subtree twice each — once
+    # standalone and once again inside the hits join.
+    merged = exact.withColumn("is_exact", F.lit(1)).join(
+        cand.withColumn("is_cand", F.lit(1)), ["doc1", "doc2"], "full_outer"
+    )
+    counted = merged.agg(
+        F.count("is_exact").alias("n_exact"),
+        F.count("is_cand").alias("n_candidates"),
+        F.count(
+            F.when(F.col("is_exact").isNotNull() & F.col("is_cand").isNotNull(), 1)
+        ).alias("n_hits"),
     )
     return counted.select(
         "n_exact",
@@ -388,19 +398,38 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("df") <= CONTAM_MAX_DF
     )
     tagged = sh.join(rare.select("shingle"), "shingle").join(splits, "doc_id")
-    tr = tagged.filter(F.col("split") == "train").select(
-        F.col("doc_id").alias("train_doc"), "shingle"
-    )
-    te = tagged.filter(F.col("split") == "test").select(
-        F.col("doc_id").alias("test_doc"), "shingle"
+    # One shingle-keyed aggregate replaces the train⋈test shingle equi-join:
+    # the rare filter above bounds every per-shingle doc set at CONTAM_MAX_DF,
+    # so collecting the train/test doc sets per shingle is bounded work, and
+    # the tagged subtree is traversed ONCE instead of twice (the old tr/te
+    # filter branches each re-ran the explode + both joins). The pair fan-out
+    # the join produced is reproduced losslessly from the bounded arrays.
+    per_sh = (
+        tagged.groupBy("shingle")
+        .agg(
+            F.collect_set(
+                F.when(F.col("split") == "train", F.col("doc_id"))
+            ).alias("train_docs"),
+            F.collect_set(
+                F.when(F.col("split") == "test", F.col("doc_id"))
+            ).alias("test_docs"),
+        )
+        .filter((F.size("train_docs") > 0) & (F.size("test_docs") > 0))
     )
     hits = (
-        tr.join(te, "shingle")
+        per_sh.select(F.explode("train_docs").alias("train_doc"), "test_docs")
         .groupBy("train_doc")
         .agg(
-            F.countDistinct("shingle").alias("n_shared"),
-            F.countDistinct("test_doc").alias("n_test_docs"),
-            F.min("test_doc").alias("first_test_doc"),
+            # rows are unique (shingle, train_doc) pairs, so a plain count
+            # IS the distinct-shingle count the old countDistinct computed
+            F.count("*").alias("n_shared"),
+            F.flatten(F.collect_list("test_docs")).alias("td"),
+        )
+        .select(
+            "train_doc",
+            "n_shared",
+            F.size(F.array_distinct("td")).cast("bigint").alias("n_test_docs"),
+            F.array_min("td").alias("first_test_doc"),
         )
         .filter(F.col("n_shared") >= CONTAM_MIN_SHARED)
     )
@@ -547,14 +576,22 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     ss = sh.join(docs, "doc_id").select("shingle", "source").distinct()
-    totals = ss.groupBy("source").agg(F.count("*").alias("n"))
+    # Collapse each shingle to its (bounded: ≤ #sources) source set in one
+    # shingle-keyed aggregate, then derive BOTH the per-source totals and
+    # the pairwise shared counts from that tiny frame. The old formulation
+    # self-equi-joined ss on shingle (re-deriving the explode subtree for
+    # each side) and traversed ss a third time for the totals.
+    per_sh = ss.groupBy("shingle").agg(F.collect_set("source").alias("srcs"))
+    totals = (
+        per_sh.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+    )
     shared = (
-        ss.alias("a")
-        .join(ss.alias("b"), "shingle")
-        .filter(F.col("a.source") < F.col("b.source"))
-        .groupBy(
-            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
-        )
+        per_sh.select(F.explode("srcs").alias("src_a"), "srcs")
+        .select("src_a", F.explode("srcs").alias("src_b"))
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
         .agg(F.count("*").alias("n_shared"))
     )
     t_a = F.broadcast(
