@@ -841,14 +841,23 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     previous formulation equi-joined ALL tokens inside (lang, source)
     blocks; block count is constant in the data, so its pair space grew
     quadratically with the corpus. Candidates then get the exact
-    intersection count and threshold; results are provably identical."""
+    intersection count and threshold; results are provably identical.
+
+    r15 subtree discipline: the token explode feeds FIVE consumers (sizes,
+    vocab, the prefix rank, and both sides of the verify join), and the old
+    frame re-derived it per reference — 20 parquet scans / 38 Exchanges in
+    one plan. The narrow (lang, source, doc_id, tok) frame is
+    localCheckpointed once (the dedup_funnel shingle-checkpoint rationale);
+    doc sizes ride THROUGH the prefix frame into the candidate pairs (the
+    minhash_near_dup_docs n_shingles pattern), which deletes both
+    post-aggregation size joins — each of which re-ran explode+groupBy."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "lang",
         "source",
         "doc_id",
         F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
-    )
+    ).localCheckpoint()
     sizes = toks.groupBy("lang", "source", "doc_id").agg(F.count("*").alias("n"))
     # global rarity: corpus-wide token frequency; (cnt, tok) is a unique,
     # engine-stable ordering — no dense global rank materialized
@@ -862,7 +871,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pos")
             <= F.col("n") - F.ceil(F.lit(NGRAM_JACCARD_MIN) * F.col("n")) + 1
         )
-        .select("lang", "source", "doc_id", "tok")
+        .select("lang", "source", "doc_id", "tok", "n")
     )
     p1, p2 = pref.alias("p1"), pref.alias("p2")
     cand = (
@@ -877,6 +886,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p1.lang").alias("lang"),
             F.col("p1.doc_id").alias("doc1"),
             F.col("p2.doc_id").alias("doc2"),
+            F.col("p1.n").alias("n1"),
+            F.col("p2.n").alias("n2"),
         )
         .distinct()
     )
@@ -889,19 +900,14 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc2") == F.col("t2.doc_id"))
             & (F.col("t1.tok") == F.col("t2.tok")),
         )
-        .groupBy("lang", "doc1", "doc2")
+        .groupBy("lang", "doc1", "doc2", "n1", "n2")
         .agg(F.count("*").alias("n_inter"))
     )
-    nsz = sizes.select("doc_id", "n")
-    s1, s2 = nsz.alias("s1"), nsz.alias("s2")
-    joined = inter.join(s1, F.col("doc1") == F.col("s1.doc_id")).join(
-        s2, F.col("doc2") == F.col("s2.doc_id")
-    )
     jac = F.round(
-        F.col("n_inter") / (F.col("s1.n") + F.col("s2.n") - F.col("n_inter")), 6
+        F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")), 6
     )
     return (
-        joined.select("lang", "doc1", "doc2", jac.alias("jaccard"))
+        inter.select("lang", "doc1", "doc2", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= NGRAM_JACCARD_MIN)
         .orderBy(F.col("jaccard").desc(), "doc1", "doc2")
         .limit(100)

@@ -705,18 +705,23 @@ def _assign(
     DuckDB ``trunc``), and |term| < 1e16 ⇒ |per-vector sum| < 6.4e17 never
     overflows int64. Tie-break: ``array_position`` returns the FIRST index
     equal to ``array_max``, i.e. the lowest cell — exactly the oracle's
-    ``row_number() OVER (ORDER BY dot DESC, cell ASC)``."""
+    ``row_number() OVER (ORDER BY dot DESC, cell ASC)``.
+
+    r15 boundary note: the fold is built as ONE SQL string per centroid
+    (array_lit + aggregate/zip_with text), not as K×dim ``F.lit`` Column
+    objects — each ``F.lit`` is a py4j round-trip, and the old form spent
+    ~0.7 s per iteration in the DRIVER constructing the expression tree
+    before any job ran (guide §4's JVM↔Python boundary, on the plan-build
+    side). The parsed expression is operation-identical: same literals
+    (repr round-trip), same cast/multiply order, same bigint fold."""
+    from nano_vectordb_rs_spark.functions.vector import array_lit
 
     def dot_col(vec: list[float]):
-        cent = F.array(*[F.lit(float(v)) for v in vec])
-        return F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                cent,
-                lambda x, y: (x.cast("double") * y * F.lit(1e15)).cast("bigint"),
-            ),
-            F.lit(0).cast("bigint"),
-            lambda a, x: a + x,
+        arr = array_lit([float(v) for v in vec])
+        return F.expr(
+            f"aggregate(zip_with(embedding, {arr}, "
+            "(x, y) -> CAST(CAST(x AS DOUBLE) * y * CAST(1E15 AS DOUBLE) AS BIGINT)), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
         )
 
     carry = ["embedding"] if keep_embedding else []
@@ -743,7 +748,14 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     declarative rounds); per-dimension means use DECIMAL partial sums and a
     single double division, so the refined centroids — and therefore every
     downstream assignment — are bit-identical to the oracle's unrolled CTE
-    chain. Empty clusters keep their previous centroid."""
+    chain. Empty clusters keep their previous centroid.
+
+    r15 probe note: the old 3.5 s wall was DRIVER-side expression
+    construction (K×dim per-element ``F.lit`` py4j round-trips per
+    iteration — see _assign), not executor starvation: at dim=64 the
+    per-iteration executor work is ~128k decimal partials, and an
+    explicit pre-exchange measured SLOWER (2.3–2.6 s vs 1.8–1.9 s) than
+    leaving the single-split scan alone, so none is added."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cents = _init_centroids()
     for _ in range(KMEANS_ITERS):
@@ -891,8 +903,17 @@ def cluster_topic_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     assign = _assign(spark, emb, _init_centroids()).select("vec_id", "cell")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    joined = assign.join(docs, assign.vec_id == docs.doc_id).select(
-        "cell", "doc_id", "lang", "text"
+    # r15: BOTH report branches (the per-cell stats aggregate and the token
+    # explode) consume this join, and each reference re-derived the whole
+    # assign subtree — the K×dim dot projection over every embedding ran
+    # twice, and both base tables were scanned twice (8 scans in the plan).
+    # Checkpoint the joined frame once; the branches then read the
+    # materialized partitions. Same multi-consumer rationale as the
+    # dedup_funnel shingle checkpoint.
+    joined = (
+        assign.join(docs, assign.vec_id == docs.doc_id)
+        .select("cell", "doc_id", "lang", "text")
+        .localCheckpoint()
     )
     stats = joined.groupBy("cell").agg(
         F.count("*").alias("n_docs"),
@@ -976,16 +997,16 @@ def _pca_apply(emb: DataFrame, v: list[float]) -> DataFrame:
     run (CAST(bigint AS DOUBLE) / 1e15). The per-dimension accumulation
     posexplodes the embedding with multiplier d and sums
     CAST(d·x AS DECIMAL(38,20)) — map-side partial aggregation means the
-    one exchange carries dim × n_partitions partial rows, never N×dim."""
-    vec = F.array(*[F.lit(float(x)) for x in v])
-    d_int = F.aggregate(
-        F.zip_with(
-            F.col("embedding"),
-            vec,
-            lambda x, y: (x.cast("double") * y * F.lit(1e15)).cast("bigint"),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda a, x: a + x,
+    one exchange carries dim × n_partitions partial rows, never N×dim.
+
+    Built as one SQL string, not per-element ``F.lit`` Columns — the
+    k-means assignment's r15 py4j-boundary fix (see _assign)."""
+    from nano_vectordb_rs_spark.functions.vector import array_lit
+
+    d_int = F.expr(
+        f"aggregate(zip_with(embedding, {array_lit([float(x) for x in v])}, "
+        "(x, y) -> CAST(CAST(x AS DOUBLE) * y * CAST(1E15 AS DOUBLE) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
     d_dbl = (d_int.cast("double") / F.lit(1e15)).alias("d")
     return (
@@ -1032,7 +1053,12 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-free sums → decimal norm² → one double sqrt+divide. The two
     double steps are the only cross-engine wiggle (last-ulp), absorbed by
     the round(…, 6) on every output — the same tolerance discipline the
-    rest of the float surface uses."""
+    rest of the float surface uses.
+
+    r15: the projection folds are built as one SQL string per round (the
+    k-means _assign py4j-boundary fix) — the old per-element ``F.lit``
+    construction dominated this query's wall; no pre-exchange is added
+    (measured slower at dim=64, see kmeans_embeddings)."""
     from nano_vectordb_rs_spark.functions.vector import deterministic_vector
 
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -1049,16 +1075,13 @@ def embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             # empty/zero anyway) instead of dividing by a zero norm
             break
         v = _pca_normalize(w)
-    vec = F.array(*[F.lit(float(x)) for x in v])
+    from nano_vectordb_rs_spark.functions.vector import array_lit
+
     proj = (
-        F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                vec,
-                lambda x, y: (x.cast("double") * y * F.lit(1e15)).cast("bigint"),
-            ),
-            F.lit(0).cast("bigint"),
-            lambda a, x: a + x,
+        F.expr(
+            f"aggregate(zip_with(embedding, {array_lit([float(x) for x in v])}, "
+            "(x, y) -> CAST(CAST(x AS DOUBLE) * y * CAST(1E15 AS DOUBLE) AS BIGINT)), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
         ).cast("double")
         / F.lit(1e15)
     )
@@ -1322,8 +1345,18 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch, collapses the Expand) and keep the rest of the plan unchanged;
     exact is kept here because the oracle compares values."""
     li = load_table(spark, sf_dir, "lineitem")
-    nd_row = li.agg(
-        *[F.countDistinct(c).alias(f"nd_{c}") for c, _ in _PROFILE_COLS]
+    # r15: the fixture is single-row-group parquet → a 1-task scan, and the
+    # Expand (|cols|+… rows per input row) + partial distinct-aggregate ran
+    # entirely inside that one task (probe: 3.0 s, the whole query's cost).
+    # One orderkey-keyed exchange of JUST the profiled columns spreads the
+    # Expand across the cluster's cores; the distinct groups still combine
+    # map-side so the agg exchange is unchanged. Distinct counts are
+    # partition-order-free by definition. The min/max single-pass fold below
+    # stays on the raw scan — it is a cheap keyless fold with no Expand.
+    nd_row = (
+        li.select(*[c for c, _ in _PROFILE_COLS])
+        .repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
+        .agg(*[F.countDistinct(c).alias(f"nd_{c}") for c, _ in _PROFILE_COLS])
     )
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c, kind in _PROFILE_COLS:

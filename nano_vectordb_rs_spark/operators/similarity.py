@@ -951,21 +951,23 @@ def _pq_encode(emb: DataFrame, carry: list[str]) -> DataFrame:
     and reproducible by the DuckDB oracle."""
     cb = _pq_codebook()
 
+    from nano_vectordb_rs_spark.functions.vector import array_lit
+
     def sub_dot(m: int, code_vec: list[float]):
         # compact HOF fold over the pre-bound subspace slice — an unrolled
         # 8-term expression ×128 codes blows the whole-stage-codegen method
         # limit and falls back to interpreted eval (~10× slower); the
         # zip_with/aggregate form stays inside codegen like the k-means
-        # assignment it mirrors
-        code = F.array(*[F.lit(float(v)) for v in code_vec])
-        return F.aggregate(
-            F.zip_with(
-                F.col(f"_s{m}"),
-                code,
-                lambda x, y: (x.cast("double") * y * F.lit(_FP)).cast("bigint"),
-            ),
-            F.lit(0).cast("bigint"),
-            lambda a, x: a + x,
+        # assignment it mirrors. Built as ONE SQL string per codeword, not
+        # M×K×dim ``F.lit`` Columns — each F.lit is a py4j round-trip and
+        # the old form spent ~1 s of driver time building the projection
+        # (the k-means _assign r15 boundary fix); parsed text is
+        # operation-identical, so every code is unchanged.
+        arr = array_lit([float(v) for v in code_vec])
+        return F.expr(
+            f"aggregate(zip_with(_s{m}, {arr}, "
+            f"(x, y) -> CAST(CAST(x AS DOUBLE) * y * CAST({_FP!r} AS DOUBLE) AS BIGINT)), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
         )
 
     # bind each subspace slice once, then each subspace's K dots as a named

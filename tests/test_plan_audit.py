@@ -452,7 +452,10 @@ def test_table_profile_distincts_stay_hash_aggregated(spark, queries):
     # buffers live in the keyless fold, which needs no sort either way
     assert "Sort " not in plan.split("Expand")[1].split("BroadcastExchange")[0]
     a = audit_plan(df)
-    assert a["n_shuffles"] <= 3  # two agg exchanges + final 7-row sort
+    # two agg exchanges + final 7-row sort + the r15 pre-Expand spread
+    # (the single-row-group fixture scan is 1 task; the keyed exchange
+    # parallelizes the Expand/partial-distinct stage — see table_profile)
+    assert a["n_shuffles"] <= 4
     assert a["n_nested_loop_joins"] <= 1  # the 1-row x 1-row recombine
 
 
