@@ -1233,6 +1233,32 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc1", "doc2")
         .localCheckpoint()
     )
+    # r15 loop-round cost: the pair graph is BOUNDED (≤100 edges by the
+    # upstream top-100 contract), yet every even-round checkpoint+probe
+    # paid AQE's per-exchange job orchestration (~1.5 s for round 2 alone
+    # at sf0.1 — over ~200 rows). For the loop only: AQE off (nothing to
+    # re-plan on a bounded frame; one job per action instead of one per
+    # exchange) and explicit broadcast hints on the tiny sides, which is
+    # exactly the join AQE would pick anyway. With AQE off nothing
+    # coalesces the loop's exchanges, so the stage width is pinned
+    # directly: 2 partitions — sized by the ≤200-row frame (the
+    # streaming-drain harness's reasoning), not by the local core count.
+    # Conf is restored in ``finally`` (the run_available_now set/restore
+    # pattern). Fresh-session A/B, 3 reps: 4.04 s → 3.53 s median, and
+    # pinning the width cut the loop's 32-task stages to 2-task ones;
+    # byte-identical output in both A/Bs.
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        return _dup_clusters_loop(spark, pairs)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+
+
+def _dup_clusters_loop(spark: SparkSession, pairs: DataFrame) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("doc2").alias("doc1"), F.col("doc1").alias("doc2"))
     )
@@ -1253,14 +1279,14 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cluster scale, so the local plan and the 100-TB plan are identical.
     for rnd in range(1, CLUSTER_MAX_ITERS + 1):
         neighbor_min = (
-            edges.join(labels, edges.doc2 == labels.id)
+            edges.join(F.broadcast(labels), edges.doc2 == labels.id)
             .groupBy(edges.doc1.alias("id"))
             .agg(F.min("label").alias("nlabel"))
         )
         # carry the convergence flag through the update itself: the old
         # label is already on the row, so "did anything change" needs no
         # second join against the previous state
-        stepped = labels.join(neighbor_min, "id", "left_outer").select(
+        stepped = labels.join(F.broadcast(neighbor_min), "id", "left_outer").select(
             "id",
             F.least(
                 F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
@@ -1680,9 +1706,18 @@ def minhash_index_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = _tempfile.mkdtemp(prefix="nvdb_mh_merge_")
     try:
         merged_path = f"{tmp}/index_v2"
-        corpus_idx.unionByName(batch).write.mode("overwrite").partitionBy(
-            "band"
-        ).parquet(merged_path)
+        # r15 (guide §6 output sizing): an un-keyed partitionBy write fans
+        # out — every union task writes one file per band it happens to
+        # hold (measured 20 files / 5 tasks at sf0.1), and the reopen scan
+        # pays per-file open cost. A band-keyed exchange aligns tasks with
+        # directories: one file per band (A/B write 1.69 → 1.34 s median,
+        # reopen reads 4 files not 20). At corpus scale the key gains a
+        # within-band bucket (pmod(xxhash64(key), B)) so a band is not one
+        # giant task — B sized by rows/target-file-size; with 4 bands at
+        # gate scale B=1 IS that sizing. Row content is unchanged.
+        corpus_idx.unionByName(batch).repartition("band").write.mode(
+            "overwrite"
+        ).partitionBy("band").parquet(merged_path)
         reopened = spark.read.schema(idx_schema).parquet(merged_path).select(
             "doc_id", "n_shingles", "band", "key"
         )
