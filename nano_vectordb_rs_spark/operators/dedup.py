@@ -488,26 +488,36 @@ def ngram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin of memorization auditing (a near-zero-novelty doc is a recombined
     copy even when no single pair-level dup check fires).
 
-    Plan: one distinct-shingle explode (shared derivation with the MinHash
-    pipeline), a shingle-keyed min aggregate for the first-occurrence
-    table, a join back on the same shingle key (co-partitioned with the
-    aggregate — no second shuffle pattern), a per-doc contraction, and a
-    #source-keyed report. Doc ordering by id is the deterministic stand-in
-    for ingest order, so 'first' is engine-stable. Sums go through DECIMAL
-    so the per-source means are shuffle-order-exact."""
-    sh = _shingles(spark, sf_dir)
-    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    Plan (r15): the old frame joined the shingle table BACK to its own
+    shingle-keyed min-aggregate to test first_doc == doc_id per occurrence
+    — which re-derived the explode+distinct subtree a second time and
+    shuffled every (doc, shingle) row through the join. But the per-doc
+    novel count is already sitting in the aggregate itself: a shingle
+    contributes exactly one novel hit, to the doc that IS its first_doc.
+    So: checkpoint the narrow (doc_id, shingle) frame once, aggregate it
+    twice (first-occurrence per shingle → count per first_doc = n_novel;
+    count per doc_id = n_sh), and join the two doc-keyed COUNT frames
+    (docs-sized, not occurrence-sized). The corpus-sized join and the
+    doubled explode both disappear (guide §2.3/§2.4). Doc ordering by id
+    is the deterministic stand-in for ingest order, so 'first' is
+    engine-stable. Sums go through DECIMAL so the per-source means are
+    shuffle-order-exact."""
+    sh = _shingles(spark, sf_dir).localCheckpoint(eager=False)
+    n_novel = (
+        sh.groupBy("shingle")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(F.col("first_doc").alias("doc_id"))
+        .agg(F.count("*").alias("n_novel"))
+    )
     per_doc = (
-        sh.join(first, "shingle")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_sh"),
-            F.sum(
-                (F.col("first_doc") == F.col("doc_id")).cast("int")
-            ).alias("n_novel"),
-        )
+        sh.groupBy("doc_id")
+        .agg(F.count("*").alias("n_sh"))
+        .join(n_novel, "doc_id", "left")
         .select(
-            "doc_id", (F.col("n_novel") / F.col("n_sh")).alias("novelty")
+            "doc_id",
+            (
+                F.coalesce(F.col("n_novel"), F.lit(0)) / F.col("n_sh")
+            ).alias("novelty"),
         )
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
@@ -767,29 +777,55 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per word w and bit b: hex digit b of md5(w) contributes +1 if its high
     bit (8) is set, else -1; signature bit b is 1 iff the sum is positive.
     Pure integer arithmetic — bit-identical in any engine. Distinct words
-    are weighted once (set semantics) to keep the SQL oracle simple."""
+    are weighted once (set semantics) to keep the SQL oracle simple.
+
+    Plan shape (r15): the per-bit sums are SIMHASH_BITS narrow int columns
+    computed inline per word — NOT a 16× bit-explode — so the doc-keyed
+    aggregate partial-combines map-side and the shuffle carries one
+    16-int row per doc instead of 16 md5-string rows per word; the old
+    (doc, bit)-keyed shuffle disappears entirely (guide §2.3/§2.4). The
+    (doc_id, text) exchange ahead of the word explode spreads the
+    md5-per-word work across cores — the fixture's single-row-group scan
+    otherwise serializes it (table_profile rationale); at corpus scale the
+    scan splits provide that parallelism and the exchange is droppable —
+    and the downstream doc-keyed aggregate reuses its partitioning, so it
+    adds no extra shuffle locally either."""
     docs = load_table(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    n_part = spark.sparkContext.defaultParallelism
+    words = (
+        docs.select("doc_id", "text")
+        .repartition(n_part, "doc_id")
+        .select(
+            "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+        )
+        .select("doc_id", F.md5("w").alias("h"))
     )
-    bits = words.select(
-        "doc_id",
-        F.explode(F.expr(f"sequence(0, {SIMHASH_BITS - 1})")).alias("bit"),
-        F.md5("w").alias("h"),
-    ).withColumn(
-        "weight",
+    weight = [
         F.when(
-            F.expr("instr('0123456789abcdef', substring(h, bit + 1, 1)) - 1")
-            .bitwiseAND(F.lit(8)) > 0,
+            F.expr(f"instr('0123456789abcdef', substring(h, {b + 1}, 1)) - 1")
+            .bitwiseAND(F.lit(8))
+            > 0,
             1,
-        ).otherwise(-1),
+        )
+        .otherwise(-1)
+        .alias(f"w{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sums = (
+        words.select("doc_id", *weight)
+        .groupBy("doc_id")
+        .agg(*[F.sum(f"w{b}").alias(f"s{b}") for b in range(SIMHASH_BITS)])
     )
-    sums = bits.groupBy("doc_id", "bit").agg(F.sum("weight").alias("s"))
-    sig = sums.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("CAST(pow(2, bit) AS BIGINT)")).otherwise(0)
-        ).alias("simhash")
-    )
+    bit_terms = [
+        F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        for b in range(SIMHASH_BITS)
+    ]
+    simhash = bit_terms[0]
+    for t in bit_terms[1:]:
+        simhash = simhash + t
+    sig = sums.select("doc_id", simhash.alias("simhash"))
     return (
         sig.groupBy("simhash")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))

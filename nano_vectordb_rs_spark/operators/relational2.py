@@ -35,7 +35,7 @@ explicit total ordering with tie-breaks (SURVEY.md §7.4).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from nano_vectordb_rs_spark.sources.tables import load_table
@@ -287,27 +287,36 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     proxy for receipt-past-commit).
 
     The classic formulation is EXISTS(other supplier) AND NOT EXISTS(other
-    late supplier) — two correlated rescans of lineitem. Here both collapse
-    into ONE per-order profile (distinct supplier count, distinct late
-    supplier count) computed in a single groupBy and joined back: at 100 TB
-    that is one shuffle on orderkey instead of three."""
+    late supplier) — two correlated rescans of lineitem. Here lineitem is
+    read ONCE: the big join collapses to a per-(order, supplier) aggregate
+    (distinct pair + did-it-ship-late flag), the per-order profile the two
+    EXISTS tests need is a window over that already-distinct frame (count
+    of suppliers, count of late suppliers — same key as the aggregate, so
+    the window rides the aggregate's partitioning, guide §2.4), and the
+    sole-late rows fall out of the same frame with no join-back. One
+    corpus-sized shuffle on (orderkey, suppkey) instead of the old shape's
+    doubled lineitem⋈orders subtree + Expand'd dual count_distinct +
+    sort-merge join-back."""
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     li = load_table(spark, sf_dir, "lineitem")
     lines = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
         "is_late",
         (F.col("l_shipdate") > F.expr(f"o_orderdate + INTERVAL {Q21_LATE_DAYS} DAYS")).cast("int"),
     )
-    profile = lines.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
-        F.count_distinct("l_suppkey").alias("n_supps"),
-        F.count_distinct(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias("n_late_supps"),
+    # one row per (order, supplier): late iff ANY of its lines shipped late
+    per_supp = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("late")
     )
+    w = Window.partitionBy("l_orderkey")
     supplier = load_table(spark, sf_dir, "supplier")
     return (
-        lines.filter(F.col("is_late") == 1)
-        .join(profile, F.col("l_orderkey") == F.col("po_orderkey"))
-        .filter((F.col("n_supps") > 1) & (F.col("n_late_supps") == 1))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+        per_supp.withColumn("n_supps", F.count("*").over(w))
+        .withColumn("n_late_supps", F.sum("late").over(w))
+        .filter(
+            (F.col("late") == 1)
+            & (F.col("n_supps") > 1)
+            & (F.col("n_late_supps") == 1)
+        )
         .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
