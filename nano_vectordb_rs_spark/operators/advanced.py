@@ -327,9 +327,19 @@ ORDER BY n_suppliers DESC, p_brand ASC
 
 def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-operation surface: customers with returned items INTERSECT
-    big spenders, and big spenders EXCEPT returners — both counted. Spark
-    lowers INTERSECT/EXCEPT to aggregate+join; the inputs here are already
-    distinct key sets, so the shuffles carry only keys."""
+    big spenders, and big spenders EXCEPT returners — both counted.
+
+    Plan shape (r15): INTERSECT and EXCEPT each lower to a join that
+    re-derives BOTH distinct key sets, so the old two-branch union
+    evaluated the lineitem⋈orders returner subtree and the spender
+    aggregate twice each (4 corpus-sized derivations). Both segment
+    counts are functions of one full-outer join of the two key sets:
+    spender-side rows split on returner-membership. One derivation each,
+    one join, one aggregate; the two report rows are inline_outer'd from
+    the single aggregate row, so no subtree is consumed twice (guide
+    §2.4). The key sets are distinct by construction (distinct() /
+    groupBy), so INTERSECT ≡ inner match and EXCEPT ≡ anti match on the
+    joined frame."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     returners = (
@@ -337,21 +347,35 @@ def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .select("o_custkey")
         .distinct()
+        .withColumn("is_ret", F.lit(1))
     )
     spenders = (
         orders.groupBy("o_custkey")
         .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("spend"))
         .filter(F.col("spend") > 1_000_000)
         .select("o_custkey")
+        .withColumn("is_sp", F.lit(1))
     )
-    both = returners.intersect(spenders)
-    only_spend = spenders.exceptAll(returners)
+    counts = (
+        spenders.join(returners, "o_custkey", "full")
+        .agg(
+            F.count(F.when(F.col("is_sp").isNotNull() & F.col("is_ret").isNotNull(), 1)).alias("n_both"),
+            F.count(F.when(F.col("is_sp").isNotNull() & F.col("is_ret").isNull(), 1)).alias("n_only"),
+        )
+    )
     return (
-        both.agg(F.count("*").alias("n"))
-        .select(F.lit("returner_and_big_spender").alias("segment"), "n")
-        .unionByName(
-            only_spend.agg(F.count("*").alias("n")).select(
-                F.lit("big_spender_no_returns").alias("segment"), "n"
+        counts.select(
+            F.inline_outer(
+                F.array(
+                    F.struct(
+                        F.lit("big_spender_no_returns").alias("segment"),
+                        F.col("n_only").alias("n"),
+                    ),
+                    F.struct(
+                        F.lit("returner_and_big_spender").alias("segment"),
+                        F.col("n_both").alias("n"),
+                    ),
+                )
             )
         )
         .orderBy("segment")

@@ -1582,6 +1582,13 @@ def minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c.n_shingles").alias("n_corp"),
         )
         .distinct()
+        # consumed twice (corpus semi-join pushdown + the intersection
+        # join); without the checkpoint each consumer re-derives the
+        # whole new-batch banding (8 minhash aggregates) and the index
+        # scan. The frame is candidate pairs only — four ints per row,
+        # bounded by the LSH bucket matches — so truncating lineage here
+        # is the cheap side of the trade (guide §2.4).
+        .localCheckpoint(eager=False)
     )
     docs = load_table(spark, sf_dir, "documents")
     sh_new = (
