@@ -1568,7 +1568,17 @@ def minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = spark.read.schema(
         _band_index_df(spark, sf_dir, corpus=True).schema
     ).parquet(minhash_index_build(spark, sf_dir))
-    new_bands = _band_index_df(spark, sf_dir, corpus=False)
+    # the candidate frame below is consumed twice (corpus semi-join
+    # pushdown + the intersection join), and each consumer used to
+    # re-derive the whole new-batch banding (shingle explode + 8 minhash
+    # aggregates). Checkpointing the NARROW banding output (N_BANDS rows
+    # per incoming doc) runs that once (guide §2.4) while keeping the
+    # index read-back and the LeftSemi gate in live lineage — the plan
+    # properties test_plan_audit pins (a checkpoint of `cand` itself
+    # would truncate them out of the plan).
+    new_bands = _band_index_df(spark, sf_dir, corpus=False).localCheckpoint(
+        eager=False
+    )
     cand = (
         new_bands.alias("n")
         .join(
@@ -1582,13 +1592,6 @@ def minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c.n_shingles").alias("n_corp"),
         )
         .distinct()
-        # consumed twice (corpus semi-join pushdown + the intersection
-        # join); without the checkpoint each consumer re-derives the
-        # whole new-batch banding (8 minhash aggregates) and the index
-        # scan. The frame is candidate pairs only — four ints per row,
-        # bounded by the LSH bucket matches — so truncating lineage here
-        # is the cheap side of the trade (guide §2.4).
-        .localCheckpoint(eager=False)
     )
     docs = load_table(spark, sf_dir, "documents")
     sh_new = (

@@ -344,19 +344,30 @@ def idf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     TF-IDF with the log dropped in favor of a pure-rational score, because
     log() is not required to be correctly rounded and the last ulp can
     differ between libm implementations; ratios of integers in doubles are
-    bit-identical everywhere. Plan: one token explode, two small-keyed
-    aggregations (term stats are vocabulary-sized, not corpus-sized), a
-    broadcast of the 1-row corpus count, and a per-lang rank window over
-    vocabulary-sized input."""
+    bit-identical everywhere.
+
+    Plan (r15): ONE token explode feeds a chained aggregation instead of
+    two independent passes (the old tf/dfreq branches each re-derived the
+    corpus explode, and dfreq's countDistinct shuffled (tok, doc_id) pairs
+    through an Expand). groupBy(lang, tok, doc_id) collapses per-doc
+    multiplicity map-side; groupBy(lang, tok) then yields tf AND the
+    per-lang doc frequency in one row; the GLOBAL doc frequency is a
+    tok-partitioned window sum over that vocabulary-sized frame — valid
+    because every doc_id carries exactly one lang (documents is one row
+    per doc), so per-lang distinct-doc counts partition the global
+    distinct count. No join, no second explode, no Expand; everything
+    past the first aggregate is vocabulary-sized (guide §2.3/§2.4)."""
     docs = load_table(spark, sf_dir, "documents")
     from pyspark.sql.window import Window
 
     toks = docs.select("lang", "doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    tf = toks.groupBy("lang", "tok").agg(F.count("*").alias("tf"))
-    dfreq = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    per_doc = toks.groupBy("lang", "tok", "doc_id").agg(F.count("*").alias("c"))
+    tf_df = per_doc.groupBy("lang", "tok").agg(
+        F.sum("c").alias("tf"), F.count("*").alias("df_l")
+    )
     total = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(dfreq, "tok")
+        tf_df.withColumn("df", F.sum("df_l").over(Window.partitionBy("tok")))
         .join(F.broadcast(total))
         .withColumn(
             "score", F.round(F.col("tf") * F.col("n_docs") / F.col("df").cast("double"), 6)
@@ -457,6 +468,10 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("lang", n_tok.alias("t"))
         .groupBy("lang")
         .agg(F.count("*").alias("n_docs"), F.sum("t").alias("n_tokens"))
+        # #langs rows, consumed by the total aggregate AND the final join —
+        # without the checkpoint each consumer re-scans the corpus and
+        # recounts tokens (guide §2.4)
+        .localCheckpoint(eager=False)
     )
     total = per_lang.agg(F.sum("n_tokens").alias("total_tokens"))
     target = spark.createDataFrame(MIXTURE_TARGET, "lang string, target_share double")
@@ -523,6 +538,10 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("lang", n_tok.alias("t"))
         .groupBy("lang")
         .agg(F.count("*").alias("n_docs"), F.sum("t").alias("n_tokens"))
+        # #langs rows, consumed by total, z, AND the final report — the
+        # old frame re-scanned the corpus and recounted tokens for each
+        # (4 scans / 8 Exchanges in one plan; guide §2.4)
+        .localCheckpoint(eager=False)
     )
     total = per_lang.agg(F.sum("n_tokens").alias("total_tokens"))
     with_p = per_lang.join(F.broadcast(total)).withColumn(
@@ -709,17 +728,23 @@ def phrase_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    # the token projection feeds both count aggregations; deliberately NOT
-    # persisted — re-tokenizing a scan-local split is cheaper locally than
-    # block-manager churn, and keeping the plan lazy lets the plan audit
-    # (tests/test_plan_audit.py) see the join strategy. On a 100 TB corpus
-    # you would .persist(DISK_ONLY) this frame to pay the tokenize once.
+    # the CORPUS-sized token projection feeds both count aggregations;
+    # deliberately NOT persisted — re-tokenizing a scan-local split is
+    # cheaper locally than block-manager churn. On a 100 TB corpus you
+    # would .persist(DISK_ONLY) this frame to pay the tokenize once.
     toks = docs.select("lang", "doc_id", F.split("text", " ").alias("t"))
 
+    # the VOCABULARY-sized unigram counts, by contrast, feed THREE
+    # consumers (totals, u1, u2) and each used to re-derive the whole
+    # corpus explode+aggregate — checkpointing the bounded (lang, word,
+    # c_w) frame runs that pass once (guide §2.4; the idf_top_terms /
+    # ngram_jaccard subtree discipline). Join strategies stay visible to
+    # the plan audit: only the subtree BELOW the checkpoint truncates.
     uni = (
         toks.select("lang", F.explode("t").alias("word"))
         .groupBy("lang", "word")
         .agg(F.count("*").alias("c_w"))
+        .localCheckpoint(eager=False)
     )
     totals = uni.groupBy("lang").agg(F.sum("c_w").alias("n_total"))
 
