@@ -45,7 +45,13 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.size(F.split("text", " ")).alias("tok")
     )
-    docs = docs.withColumn("bucket", F.expr(f"doc_id div {PACK_BUCKET}"))
+    # three ints per doc, consumed by BOTH the bucket-total aggregate and
+    # the span join — without the checkpoint each consumer re-reads the
+    # corpus text and re-splits it just to take a size (guide §2.4; the
+    # text is the 100-TB mass, this frame is row-count-sized)
+    docs = docs.withColumn(
+        "bucket", F.expr(f"doc_id div {PACK_BUCKET}")
+    ).localCheckpoint(eager=False)
     totals = docs.groupBy("bucket").agg(F.sum("tok").alias("btot"))
     w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.withColumn(
@@ -1223,17 +1229,26 @@ def vocab_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads before fixing a vocab size (coverage of the head vs the long
     tail of out-of-vocab tokens).
 
-    Plan: one exploded-token count shuffle builds the global vocab; the
-    top-K cut is a K-row broadcast; per-language coverage is a second
-    count aggregation joined against that broadcast — the corpus never
-    shuffles on anything wider than (lang, token)."""
+    Plan (r15): ONE exploded-token count shuffle — the (lang, tok) counts
+    are checkpointed (vocabulary-sized, bounded) and every other frame
+    derives from them: the global vocab counts are their tok-keyed sums
+    (identical values — per-lang counts partition the global count), the
+    top-K cut is a K-row broadcast, and coverage/totals are #lang
+    aggregates. The old frame re-derived the corpus explode THREE times
+    (vocab branch + per_lang × its two consumers; guide §2.4); the corpus
+    never shuffles on anything wider than (lang, token) in either form."""
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+    per_lang = (
+        toks.groupBy("lang", "tok")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
     vocab = (
-        toks.groupBy("tok")
-        .agg(F.count("*").alias("c"))
+        per_lang.groupBy("tok")
+        .agg(F.sum("n").alias("c"))
         .withColumn(
             "rk",
             F.row_number().over(
@@ -1243,7 +1258,6 @@ def vocab_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= VOCAB_TOP_K)
         .select("tok")
     )
-    per_lang = toks.groupBy("lang", "tok").agg(F.count("*").alias("n"))
     covered = per_lang.join(F.broadcast(vocab), "tok", "left_semi").groupBy(
         "lang"
     ).agg(F.sum("n").alias("n_covered"))

@@ -196,15 +196,21 @@ ORDER BY revenue DESC, n_name ASC
 
 def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-priority count of orders having at least one lineitem shipped
-    after the order date — EXISTS as a LEFT SEMI join (the same physical
-    shape as the collection get(), but fact-to-fact)."""
+    after the order date — the EXISTS shape.
+
+    Plan (r15): the order's priority rides THROUGH the fact join, so the
+    qualifying orders contract to distinct (priority, orderkey) and count
+    per priority directly. The old frame materialized the distinct late
+    orderkeys and SEMI-JOINED them back against a SECOND orders scan —
+    a sort-merge join re-shuffling orders just to re-fetch the priority
+    the first join already had (guide §2.4/§3)."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    late = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
-        F.col("l_shipdate") > F.col("o_orderdate")
-    ).select("l_orderkey").distinct()
     return (
-        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .select("o_orderpriority", "l_orderkey")
+        .distinct()
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
         .orderBy("o_orderpriority")

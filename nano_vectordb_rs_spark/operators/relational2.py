@@ -168,7 +168,10 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier(s) whose quarterly shipped revenue equals the maximum —
     the scalar-subquery-on-a-derived-view shape. The 1-row max is joined
     back by equality on the ROUNDED revenue (both sides round before
-    comparing, so the float boundary is deterministic)."""
+    comparing, so the float boundary is deterministic). r15: the
+    supplier-sized revenue view is checkpointed — it feeds both the max
+    contraction and the join-back, and each used to re-scan lineitem and
+    re-run the aggregate (guide §2.4)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit(Q15_FROM).cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit(Q15_TO).cast("timestamp_ntz"))
@@ -176,6 +179,7 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = (
         li.groupBy("l_suppkey")
         .agg(F.round(_as_dbl(_dsum("l_extendedprice * (1 - l_discount)")), 4).alias("total_revenue"))
+        .localCheckpoint(eager=False)
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("_max"))
     supplier = load_table(spark, sf_dir, "supplier")
@@ -550,11 +554,17 @@ def customer_balance_quartiles_approx(spark: SparkSession, sf_dir: str) -> DataF
     from pyspark.sql.window import Window
 
     customer = load_table(spark, sf_dir, "customer")
+    # ONE keyless aggregate carries the sketch AND the exact totals (the
+    # old frame ran separate bounds/totals aggregates, each its own
+    # customer scan); checkpointed because both the bucketing join and
+    # the final report consume the 1-row frame (guide §2.4)
     bounds = customer.agg(
         F.expr(
             "approx_percentile(c_acctbal, array(0.25, 0.5, 0.75), 10000)"
-        ).alias("_b")
-    )
+        ).alias("_b"),
+        F.count("*").alias("n_total"),
+        F.round(_as_dbl(_dsum("c_acctbal")), 4).alias("sum_total"),
+    ).localCheckpoint(eager=False)
     quartile = (
         F.when(F.col("c_acctbal") <= F.col("_b")[0], 1)
         .when(F.col("c_acctbal") <= F.col("_b")[1], 2)
@@ -562,7 +572,7 @@ def customer_balance_quartiles_approx(spark: SparkSession, sf_dir: str) -> DataF
         .otherwise(4)
     )
     per_q = (
-        customer.join(F.broadcast(bounds))
+        customer.join(F.broadcast(bounds.select("_b")))
         .select(quartile.alias("quartile"), "c_acctbal")
         .groupBy("quartile")
         .agg(
@@ -581,10 +591,7 @@ def customer_balance_quartiles_approx(spark: SparkSession, sf_dir: str) -> DataF
         "_min",
         "_max",
     )
-    totals = customer.agg(
-        F.count("*").alias("n_total"),
-        F.round(_as_dbl(_dsum("c_acctbal")), 4).alias("sum_total"),
-    )
+    totals = bounds.select("n_total", "sum_total")
     wq = Window.orderBy("quartile")
     return (
         per_q.crossJoin(F.broadcast(totals))

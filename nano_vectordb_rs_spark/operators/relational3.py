@@ -185,12 +185,16 @@ def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     that scale-invariance built in.
 
     Plan: one shuffle aggregates per-part value; the global total+count is
-    a 1-row contraction of THAT frame (never a second lineitem scan),
-    cross-joined (1-row broadcast) into the HAVING filter."""
+    a 1-row contraction of THAT frame, cross-joined (1-row broadcast) into
+    the HAVING filter. r15: the per-part frame is checkpointed — without
+    it the "contraction of THAT frame" claim was only logical: physically
+    both consumers re-scanned lineitem and re-ran the aggregate (2 scans /
+    2 aggregate exchanges in the before plan, no ReusedExchange; guide
+    §2.4). The checkpoint is parts-sized, bounded far below lineitem."""
     li = load_table(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(
         _dsum("l_extendedprice * l_quantity").alias("value")
-    )
+    ).localCheckpoint(eager=False)
     total = per_part.agg(
         F.sum("value").alias("grand_total"), F.count("*").alias("n_parts")
     )
