@@ -101,7 +101,12 @@ def minhash_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: shingle explode (scan-local) → per-doc signature groupBy →
     band-key bucket self-join (only equal keys meet) → candidate pairs →
     intersection counts driven by the candidate set. The full O(n²) pair
-    space is never materialized."""
+    space is never materialized.
+
+    r15: the signature frame is checkpointed (one row per doc: count + 8
+    md5s) — both sides of the band-key self-join used to re-run the
+    8-hash min-aggregate over the shingle table (no ReusedExchange fires
+    across the differently-aliased sides; guide §2.4)."""
     sh = _shingles(spark, sf_dir).cache()
     sigs = sh.groupBy("doc_id").agg(
         F.count("*").alias("n_shingles"),
@@ -109,7 +114,7 @@ def minhash_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"h{j}")
             for j in range(N_HASHES)
         ],
-    )
+    ).localCheckpoint(eager=False)
     bands = sigs.select(
         "doc_id",
         "n_shingles",
@@ -1098,13 +1103,16 @@ def dedup_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    # checkpointed like minhash_near_dup_docs' sigs (r15): both self-join
+    # sides used to re-run the 8-hash min-aggregate over the survivor
+    # shingles
     sigs = sh.groupBy("doc_id").agg(
         F.count("*").alias("n_shingles"),
         *[
             F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"h{j}")
             for j in range(N_HASHES)
         ],
-    )
+    ).localCheckpoint(eager=False)
     bands = sigs.select(
         "doc_id",
         "n_shingles",

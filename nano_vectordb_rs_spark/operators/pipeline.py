@@ -356,14 +356,20 @@ def embedding_outlier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: peak/norm are scan-local; the moment aggregate is one
     #label shuffle; the stats table (K rows) broadcasts back for the
-    outlier count — a second #label shuffle. Two tiny shuffles total."""
+    outlier count — a second #label shuffle. Two tiny shuffles total.
+    r15: the (label, norm, peak) projection is checkpointed — the moment
+    aggregate and the outlier join-back both consume it, and each used to
+    re-read the dim-sized vectors and re-run the O(dim) folds; the
+    checkpoint holds three narrow columns per vector (guide §2.4)."""
     emb = load_table(spark, sf_dir, "embeddings")
     d = "CAST(x AS DOUBLE)"
     norm = F.expr(
         f"sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + {d} * {d}))"
     )
     peak = F.expr(f"array_max(transform(embedding, x -> abs({d})))")
-    per = emb.select("label", norm.alias("norm"), peak.alias("peak"))
+    per = emb.select("label", norm.alias("norm"), peak.alias("peak")).localCheckpoint(
+        eager=False
+    )
     stats = (
         per.groupBy("label")
         .agg(

@@ -217,11 +217,18 @@ def tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity below 50% of that part's average quantity.
 
     The correlated scalar subquery (avg per part) is decorrelated into one
-    groupBy over the SAME filtered fact slice, broadcast back — lineitem is
-    scanned once per side, never per-part."""
+    groupBy over the SAME filtered fact slice, broadcast back — and the
+    slice is checkpointed (r15): the per-part average AND the final filter
+    both consume it, and each used to re-scan the full lineitem table just
+    to re-apply the broadcast brand filter (guide §2.4). The checkpoint
+    holds only the brand's lines projected to three columns."""
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == Q17_BRAND)
-    li = load_table(spark, sf_dir, "lineitem")
-    brand_lines = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_lines = li.join(
+        F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey")
+    ).localCheckpoint(eager=False)
     part_avg = (
         brand_lines.groupBy(F.col("l_partkey").alias("pa_partkey"))
         .agg((_as_dbl(_dsum("l_quantity")) / F.count("*")).alias("avg_qty"))

@@ -72,26 +72,27 @@ def tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders in one quarter with at least one LATE lineitem (shipped >30
     days after the order date), counted per priority — TPC-H q4's EXISTS.
 
-    The correlated EXISTS becomes one semi join against the set of late
-    orderkeys: lineitem is pre-filtered scan-side (predicate pushdown on
-    l_shipdate is a no-op here since lateness needs o_orderdate, so the
-    filter runs post-join on the orderkey-shuffled pair — the one shuffle),
-    then LEFT SEMI keeps each qualifying order once regardless of how many
-    of its lines are late."""
+    The correlated EXISTS runs in ONE pass (r15): lateness needs
+    o_orderdate, so the filter runs post-join on the orderkey-shuffled
+    pair — and the order's priority rides through that same join, so the
+    qualifying orders contract to distinct (priority, orderkey) and count
+    per priority directly. The old frame semi-joined the distinct late
+    orderkeys back against a SECOND orders scan — a join-back that only
+    re-fetched the priority the first join already had (guide §2.4/§3;
+    the order_priority_counts rewrite, same shape)."""
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit(Q4_START).cast("timestamp_ntz"))
         & (F.col("o_orderdate") < F.lit(Q4_END).cast("timestamp_ntz"))
     )
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    late = orders.join(li, orders.o_orderkey == li.l_orderkey).filter(
-        F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS")
-    )
     return (
-        orders.join(
-            late.select("l_orderkey").distinct(),
-            orders.o_orderkey == F.col("l_orderkey"),
-            "left_semi",
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS")
         )
+        .select("o_orderpriority", "o_orderkey")
+        .distinct()
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
         .orderBy("o_orderpriority")
