@@ -54,8 +54,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       (evidence freshness), displacing multiply-green entries to 51+.
     * ROUND-15 ROTATION (executes the r14 write-ahead queue + VERDICT r14
       task 2): the union entering r15 is 152/152 green with distribution
-      r11:5 r12:49 r13:48 r14:50 — pure freshness, no source-change
-      re-gates (zero operator-source edits in r15):
+      r11:5 r12:49 r13:48 r14:50 — pure freshness as planned. NOTE: the
+      rotation was committed at the START of r15; the round then turned
+      out to be an OPTIMIZATION round that edited ~35 queries' operator
+      source (OPTIMIZATION_r15.md ledger). Every touched query was
+      re-proven against its DuckDB oracle locally at sf0.001 AND sf0.1
+      (tests/test_oracle_parity.py, stricter than the driver), and the
+      optimization-round driver protocol re-runs EVERY declared query's
+      oracle — so source-change coverage is total this round regardless
+      of gate position; touched queries whose latest driver row predates
+      r15 lead the r16 re-gate queue ahead of pure freshness.
       - The 5 deferred r11-latest queries first (the oldest evidence in
         the ledger): tpch_q21_waiting_supplier, tpch_q4_priority,
         tpch_q9_profit, train_shard_manifest, vocab_coverage_report.
@@ -72,12 +80,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       tests/test_oracle_parity.py (stricter than the driver: dtype-class +
       unhashable-cell checks).
     * R16 ROTATION QUEUE (write-ahead note): after r15 no latest row
-      predates r12; the r16 gate is freshness + any r16 source change:
-      the 5 remaining r12-latest queries first (tpch_q3_shipping,
-      tpch_q5_regional, tpch_q6_forecast, tpch_q7_nation_trade,
-      tpch_q8_market_share), then the oldest 44 of the 48 r13-latest
-      holders (alphabetical cut, same rule — leaving the last 4 r13s
-      to lead the r17 queue).
+      predates r12. The r16 gate order: first, any query whose source
+      r15/r16 touched whose latest driver row predates the change (the
+      OPTIMIZATION_r15.md ledger names them — unless the r15
+      optimization-round protocol already re-ran all 152 oracles, which
+      clears that debt); then the 5 remaining r12-latest queries
+      (tpch_q3_shipping, tpch_q5_regional, tpch_q6_forecast,
+      tpch_q7_nation_trade, tpch_q8_market_share), then the oldest of
+      the r13-latest holders (alphabetical cut, same rule).
     """
     return {
         # ---- r15 gate block (first 50) ------------------------------
