@@ -401,22 +401,28 @@ def timed_all(fn, runs: int) -> list[float]:
     return times
 
 
-def timed_all_steal(fn, runs: int) -> tuple[list[float], list[float]]:
+def timed_all_steal(
+    fn, runs: int, cap: "StructCapture | None" = None
+) -> tuple[list[float], list[float]]:
     """timed_all + per-run hypervisor-steal%% sampling. r13 (ADVICE r12):
     BENCH_ONLY retime artifacts used to claim quietness only in prose —
     headline timings went through timed(), which samples no steal. Partial
     runs now record per-run steal so the artifact itself carries the
-    quietness measurement."""
+    quietness measurement. r16: optional StructCapture so partial retimes
+    carry jobs/stages/tasks evidence too (snapshot outside the window)."""
     times: list[float] = []
     steals: list[float] = []
     for _ in range(runs):
         guard_contention()
+        before = cap.snapshot() if cap is not None else None
         s0, tot0 = _cpu_ticks()
         t0 = time.perf_counter()
         fn()
         times.append(round(time.perf_counter() - t0, 4))
         s1, tot1 = _cpu_ticks()
         steals.append(round(100.0 * (s1 - s0) / max(1, tot1 - tot0), 2))
+        if cap is not None:
+            cap.record(before)
     return times, steals
 
 
@@ -424,8 +430,118 @@ def timed(fn, runs: int | None = None) -> float:
     return round(min(timed_all(fn, runs or RUNS)), 4)
 
 
+class StructCapture:
+    """Per-query structural probe (r16, VERDICT r15 task 1): #jobs, #stages
+    and total #tasks a query execution launched, read from the JVM
+    SparkStatusTracker. Steal-immune: a hypervisor storm inflates wall time
+    but cannot change how many tasks a plan runs, so BENCH.json now carries
+    evidence that separates "the box was loud" from "the plan regressed".
+    The job-id snapshot before each run is one py4j call taken OUTSIDE the
+    perf_counter window; the delta walk happens after the clock stops, so
+    the timing protocol is unchanged."""
+
+    def __init__(self, spark) -> None:
+        self._st = spark.sparkContext._jsc.sc().statusTracker()
+        self.last: dict[str, int] | None = None
+
+    def snapshot(self) -> set[int]:
+        return set(list(self._st.getJobIdsForGroup(None)))
+
+    def record(self, before: set[int]) -> dict[str, int]:
+        new_jobs = sorted(self.snapshot() - before)
+        n_stages = n_tasks = 0
+        for j in new_jobs:
+            info = self._st.getJobInfo(j)
+            if info.isDefined():
+                for s in list(info.get().stageIds()):
+                    si = self._st.getStageInfo(s)
+                    if si.isDefined():
+                        n_stages += 1
+                        n_tasks += si.get().numTasks()
+        self.last = {"jobs": len(new_jobs), "stages": n_stages, "tasks": n_tasks}
+        return self.last
+
+
+def timed_structured(fn, runs: int, cap: "StructCapture | None") -> float:
+    """timed() plus a structural snapshot around every run; ``cap.last``
+    holds the FINAL run's jobs/stages/tasks (steady state: warm caches and
+    AQE make run 1 and run N differ for a few queries, and the committed
+    best-of-N min almost always comes from a warm run)."""
+    times = []
+    for _ in range(runs):
+        guard_contention()
+        before = cap.snapshot() if cap is not None else None
+        t0 = time.perf_counter()
+        fn()
+        times.append(round(time.perf_counter() - t0, 4))
+        if cap is not None:
+            cap.record(before)
+    return round(min(times), 4)
+
+
+def load_prior_structure() -> dict[str, dict]:
+    """jobs/stages/tasks per query from the COMMITTED BENCH.json (HEAD) —
+    the steal-immune half of the regression tripwire. Only full records
+    written since r16 carry ``structure``; absence means no prior and no
+    structural tripwire (never a failure)."""
+    try:
+        import subprocess
+
+        here = os.path.dirname(os.path.abspath(__file__))
+
+        def _git(*argv: str):
+            return subprocess.run(
+                ["git", "-C", here, *argv],
+                capture_output=True, text=True, timeout=30,
+            )
+
+        pfx_res = _git("rev-parse", "--show-prefix")
+        if pfx_res.returncode != 0:
+            return {}
+        pfx = pfx_res.stdout.strip()
+        shown = _git("show", f"HEAD:{pfx}BENCH.json")
+        if shown.returncode != 0:
+            return {}
+        st = json.loads(shown.stdout).get("structure")
+        return st if isinstance(st, dict) else {}
+    except Exception:  # noqa: BLE001 — no git / unparseable prior
+        return {}
+
+
+def detect_structure_regressions(
+    structure: dict[str, dict],
+    prior: dict[str, dict],
+    factor: float = 1.5,
+    slack: int = 8,
+) -> dict[str, dict]:
+    """Structural tripwire (r16, VERDICT r15 task 1): a query whose total
+    task count grew past ``factor``x its committed prior (+``slack`` tasks
+    of absolute headroom so 4-task queries can't flap on an AQE split)
+    signals a PLAN regression — a storm can never fire this, and a 3x-wall
+    flag whose structure is flat reads as ambient noise, not code."""
+    out: dict[str, dict] = {}
+    for name, s in structure.items():
+        p = prior.get(name)
+        if not isinstance(p, dict):
+            continue
+        pt = p.get("tasks") or 0
+        if pt and s.get("tasks", 0) > factor * pt + slack:
+            out[name] = {
+                "tasks": s.get("tasks"),
+                "prior_tasks": pt,
+                "jobs": s.get("jobs"),
+                "prior_jobs": p.get("jobs"),
+            }
+    return out
+
+
 def record_headline_steal(
-    headline_steal: dict, name: str, fn, runs_n: int, retime: bool = False
+    headline_steal: dict,
+    name: str,
+    fn,
+    runs_n: int,
+    retime: bool = False,
+    cap: "StructCapture | None" = None,
 ) -> float:
     """Partial-mode headline timing with in-artifact evidence: per-run wall
     times + sampled steal%% accumulate under ``name``; a quiet-gate retime
@@ -434,7 +550,7 @@ def record_headline_steal(
     rec = headline_steal.setdefault(name, {"runs": [], "steal_pct": []})
     if retime:
         rec["retime_start_idx"] = len(rec["runs"])
-    runs, steals = timed_all_steal(fn, runs_n)
+    runs, steals = timed_all_steal(fn, runs_n, cap)
     rec["runs"] += runs
     rec["steal_pct"] += steals
     return round(min(runs), 4)
@@ -664,11 +780,23 @@ def main() -> None:
     # for every BENCH_ONLY headline timing (r13, ADVICE r12 — retime
     # artifacts must carry the measurement, not a prose claim)
     headline_steal: dict[str, dict] = {}
+    # structural evidence (r16, VERDICT r15 task 1): jobs/stages/tasks per
+    # query alongside the wall time, captured around every timed run and
+    # recorded from the final (steady-state) one
+    structure: dict[str, dict] = {}
+    prior_structure = load_prior_structure()
 
     def timed_headline(name: str, fn, retime: bool = False) -> float:
+        cap = StructCapture(spark)
         if not partial:
-            return timed(fn)
-        return record_headline_steal(headline_steal, name, fn, RUNS, retime)
+            t = timed_structured(fn, RUNS, cap)
+        else:
+            t = record_headline_steal(
+                headline_steal, name, fn, RUNS, retime, cap
+            )
+        if cap.last is not None:
+            structure[name] = cap.last
+        return t
 
     for name in sorted(queries):
         if name in SKIP:
@@ -761,6 +889,17 @@ def main() -> None:
 
     total = round(sum(results.values()), 4)
     regressions = detect_regressions(results, prior)
+    structure_regressions = detect_structure_regressions(
+        structure, prior_structure
+    )
+    # the wall tripwire carries its structural context so an adjudicator
+    # can tell storm (tasks flat) from plan regression (tasks grew) without
+    # burning another full pass
+    for name, row in regressions.items():
+        if name in structure:
+            row["tasks"] = structure[name].get("tasks")
+        if name in prior_structure:
+            row["prior_tasks"] = prior_structure[name].get("tasks")
     # explicit comparison to the reference's published microbench (BASELINE.md:
     # insert ~0.175 s, query ~0.013 s, save file ~540 MB — MacBook M4, 100k x
     # 1024 f32). Same workload shape; ours runs the full distributed stack.
@@ -801,8 +940,15 @@ def main() -> None:
             # committed prior-round time AFTER the quiet-gate retime —
             # treat the snapshot as contaminated/regressed (rc=2 below)
             "regressions": regressions,
+            # steal-immune tripwire (r16): task-count growth vs the
+            # committed BENCH.json's structure — fires on plan regressions
+            # that a quiet wall could hide, and NEVER fires on a storm
+            "structure_regressions": structure_regressions,
             "weak_priors": _PRIOR_SOURCE["weak"],
             "queries": results,
+            # jobs/stages/tasks per query (final timed run) — the
+            # steal-immune evidence half of every BENCH row (r16)
+            "structure": structure,
             # index builds, timed but NOT in the headline total (amortized
             # once-per-corpus costs; probes that read them are in queries)
             "builds": builds,
@@ -840,6 +986,14 @@ def main() -> None:
             "their best committed prior-round time after retime",
             file=sys.stderr,
         )
+    if structure_regressions:
+        print(
+            f"[bench] STRUCTURE TRIPWIRE: {sorted(structure_regressions)} "
+            "run >1.5x the task count of the committed BENCH.json structure "
+            "— plan regression, not ambient noise",
+            file=sys.stderr,
+        )
+    if regressions or structure_regressions:
         sys.exit(2)
 
 

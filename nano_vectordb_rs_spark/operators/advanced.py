@@ -333,8 +333,16 @@ def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derives BOTH distinct key sets, so the old two-branch union
     evaluated the lineitem⋈orders returner subtree and the spender
     aggregate twice each (4 corpus-sized derivations). Both segment
-    counts are functions of one full-outer join of the two key sets:
-    spender-side rows split on returner-membership. One derivation each,
+    counts are functions of one join of the two key sets. r16 (ADVICE
+    r15): that join is a LEFT join from spenders, not a full outer —
+    returner-only rows (is_sp null) were consumed by NEITHER count, yet
+    the full outer both shipped them and forced a SortMergeJoin
+    (broadcast is illegal for full outer). The left join keeps both
+    counts bit-identical (spender rows split on returner-membership;
+    returners is distinct, so no fan-out) and lets the planner/AQE
+    broadcast the narrow returner key set at runtime — no explicit hint,
+    because at corpus scale the returner set grows with the customer
+    count and must stay shuffleable (guide §3.1). One derivation each,
     one join, one aggregate; the two report rows are inline_outer'd from
     the single aggregate row, so no subtree is consumed twice (guide
     §2.4). The key sets are distinct by construction (distinct() /
@@ -354,13 +362,12 @@ def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("spend"))
         .filter(F.col("spend") > 1_000_000)
         .select("o_custkey")
-        .withColumn("is_sp", F.lit(1))
     )
     counts = (
-        spenders.join(returners, "o_custkey", "full")
+        spenders.join(returners, "o_custkey", "left")
         .agg(
-            F.count(F.when(F.col("is_sp").isNotNull() & F.col("is_ret").isNotNull(), 1)).alias("n_both"),
-            F.count(F.when(F.col("is_sp").isNotNull() & F.col("is_ret").isNull(), 1)).alias("n_only"),
+            F.count(F.when(F.col("is_ret").isNotNull(), 1)).alias("n_both"),
+            F.count(F.when(F.col("is_ret").isNull(), 1)).alias("n_only"),
         )
     )
     return (

@@ -24,7 +24,19 @@ def duck():
     # long-lived local[32] JVM; without a spill dir one big oracle (e.g.
     # ann_recall's exact-KNN CTE) can lose the malloc race and abort the
     # whole session (observed r11: bad allocation at 256 KiB)
+    os.makedirs("/tmp/nvdb_duck_spill", exist_ok=True)
     con.execute("SET temp_directory='/tmp/nvdb_duck_spill'")
+    # r16 (VERDICT r15 task 7): VERIFY_r15 died in DuckDB itself — a 16 KiB
+    # block allocation failed mid-suite on ann_recall. Two causes, both
+    # fixed here: (a) DuckDB defaults to one thread per core, and 32
+    # threads × per-thread operator state under a small limit starves the
+    # buffer manager of evictable blocks; (b) the limit is computed from
+    # MemAvailable at FIXTURE time, by which point the co-resident 32g-heap
+    # JVM has ballooned, so the old max(1, …) floor could strangle the
+    # oracle to 1 GB. 8 threads bounds per-query memory without slowing the
+    # tiny fixtures; a 4 GB floor keeps block allocation viable and lets
+    # the spill dir absorb the rest.
+    con.execute("SET threads=8")
     # cap = min(24GB, ~60% of MemAvailable) so the limit stays below real
     # memory under JVM co-residency on smaller hosts (a cap above physical
     # RAM still OOM-kills); NVDB_DUCK_MEM overrides (r12, ADVICE)
@@ -37,7 +49,7 @@ def duck():
                     for line in fh
                     if line.startswith("MemAvailable:")
                 )
-            mem = f"{min(24, max(1, int(avail_kb * 0.6 / 1e6)))}GB"
+            mem = f"{min(24, max(4, int(avail_kb * 0.6 / 1e6)))}GB"
         except (OSError, StopIteration):
             mem = "24GB"
     con.execute(f"SET memory_limit='{mem}'")

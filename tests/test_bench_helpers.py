@@ -441,3 +441,69 @@ def test_load_prior_times_fallback_excludes_bench_json(tmp_path, monkeypatch):
     prior = bench.load_prior_times({"q_a", "q_b"}, sf="0.1")
     assert prior == {"q_a": 0.5}  # BENCH.json contributed nothing
     assert bench._PRIOR_SOURCE["weak"] is True  # surfaced as weak_priors
+
+
+def test_detect_structure_regressions_fires_on_task_growth():
+    """r16 (VERDICT r15 task 1): the steal-immune half of the tripwire —
+    task-count growth past 1.5x prior (+8 slack) flags a PLAN regression;
+    flat or missing structure never fires, and small absolute jumps on
+    tiny queries stay inside the slack."""
+    prior = {
+        "q_big": {"jobs": 10, "stages": 20, "tasks": 100},
+        "q_tiny": {"jobs": 1, "stages": 2, "tasks": 4},
+    }
+    # 100 -> 160 tasks: past 1.5*100+8
+    reg = bench.detect_structure_regressions(
+        {"q_big": {"jobs": 12, "stages": 25, "tasks": 160}}, prior
+    )
+    assert reg == {
+        "q_big": {"tasks": 160, "prior_tasks": 100, "jobs": 12, "prior_jobs": 10}
+    }
+    # 100 -> 150 tasks: at the factor, inside slack — no fire
+    assert (
+        bench.detect_structure_regressions(
+            {"q_big": {"jobs": 10, "stages": 20, "tasks": 150}}, prior
+        )
+        == {}
+    )
+    # tiny query: 4 -> 12 tasks is 3x but within the +8 absolute slack
+    # (AQE split flap, not a plan regression)
+    assert (
+        bench.detect_structure_regressions(
+            {"q_tiny": {"jobs": 1, "stages": 2, "tasks": 12}}, prior
+        )
+        == {}
+    )
+    # no prior row -> never fires
+    assert (
+        bench.detect_structure_regressions(
+            {"q_new": {"jobs": 5, "stages": 9, "tasks": 999}}, prior
+        )
+        == {}
+    )
+
+
+def test_timed_structured_records_final_run_structure():
+    """timed_structured keeps best-of-N wall semantics and records the
+    LAST run's jobs/stages/tasks (steady state) on the capture object."""
+
+    class FakeCap:
+        def __init__(self):
+            self.snaps = 0
+            self.last = None
+
+        def snapshot(self):
+            self.snaps += 1
+            return {self.snaps}
+
+        def record(self, before):
+            self.last = {"jobs": self.snaps, "stages": 0, "tasks": 0}
+            return self.last
+
+    cap = FakeCap()
+    best = bench.timed_structured(lambda: None, 3, cap)
+    assert best >= 0.0
+    assert cap.snaps == 3  # one snapshot per run
+    assert cap.last == {"jobs": 3, "stages": 0, "tasks": 0}
+    # cap=None path stays pure timing
+    assert bench.timed_structured(lambda: None, 2, None) >= 0.0
