@@ -27,6 +27,8 @@ order, identical in both engines); SimHash bits come from hex-digit parity
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -776,6 +778,45 @@ EXACT_SUBSTRING_SQL = _exact_substring_sql()
 # --- SimHash ----------------------------------------------------------------
 
 
+def _simhash_exchange_width(spark: SparkSession, sf_dir: str) -> int:
+    """Exchange width ahead of simhash's word explode, derived from INPUT
+    SIZE, not core count (r16, VERDICT r15 task 2). The r15 bare
+    ``defaultParallelism`` width was the round's one driver-confirmed
+    regression: fanning 5k tiny rows over 32 tasks costs more exchange
+    than it buys md5 parallelism. Interleaved same-session A/B on a quiet
+    window (steal ≤0.1%, 6 reps each, rotated order) re-measured the
+    whole curve at sf0.1: width 0 → 1.44–1.56 s, 4 → 1.08–1.25 s,
+    **8 → 0.94–0.99 s**, 16 → 0.91–1.26 s, 32 → 1.15–1.75 s. Policy:
+    ~64 KB of on-disk text per task (sf0.1's 594 KB → width 9 ≈ the
+    measured optimum), capped at defaultParallelism, and NO exchange at
+    all once the scan itself provides ≥ core-count splits (at corpus
+    scale re-shuffling the text payload is pure waste — the splits give
+    the parallelism; guide §2.2/§2.5). ``SPARK_GRAFT_SIMHASH_WIDTH``
+    overrides for A/B adjudication (0/1 disables the exchange)."""
+    raw = os.environ.get("SPARK_GRAFT_SIMHASH_WIDTH")
+    if raw is not None:
+        return max(0, int(raw))
+    cores = spark.sparkContext.defaultParallelism
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        if os.path.isdir(path):
+            parts = [
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ]
+            if len(parts) >= cores:
+                return 0  # the scan alone spreads the md5 work
+            nbytes = sum(os.path.getsize(p) for p in parts)
+        else:
+            nbytes = os.path.getsize(path)
+    except OSError:
+        return 0  # non-local storage: scan splits provide parallelism
+    if nbytes // (128 << 20) >= cores:
+        return 0
+    return min(cores, int(nbytes // (64 << 10)))
+
+
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document, grouped into duplicate buckets.
 
@@ -790,17 +831,19 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-int row per doc instead of 16 md5-string rows per word; the old
     (doc, bit)-keyed shuffle disappears entirely (guide §2.3/§2.4). The
     (doc_id, text) exchange ahead of the word explode spreads the
-    md5-per-word work across cores — the fixture's single-row-group scan
-    otherwise serializes it (table_profile rationale); at corpus scale the
-    scan splits provide that parallelism and the exchange is droppable —
-    and the downstream doc-keyed aggregate reuses its partitioning, so it
-    adds no extra shuffle locally either."""
+    md5-per-word work off the fixture's single-row-group scan — its
+    width is INPUT-SIZED, capped at core count, and dropped entirely
+    once the scan has core-count splits (r16 re-adjudication; see
+    _simhash_exchange_width for the measured curve) — and the downstream
+    doc-keyed aggregate reuses its partitioning, so it adds no extra
+    shuffle locally either."""
     docs = load_table(spark, sf_dir, "documents")
-    n_part = spark.sparkContext.defaultParallelism
+    base = docs.select("doc_id", "text")
+    n_part = _simhash_exchange_width(spark, sf_dir)
+    if n_part > 1:
+        base = base.repartition(n_part, "doc_id")
     words = (
-        docs.select("doc_id", "text")
-        .repartition(n_part, "doc_id")
-        .select(
+        base.select(
             "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
         )
         .select("doc_id", F.md5("w").alias("h"))

@@ -584,3 +584,21 @@ def test_tpch_q2_one_window_shuffle_broadcast_dims(spark, queries):
     assert a["n_shuffles"] <= 2
     assert a["has_take_ordered"]
     assert any("p_size" in p for p in a["pushed_filters"])
+
+
+def test_simhash_exchange_width_is_input_sized(spark, monkeypatch):
+    """r16 (VERDICT r15 task 2): the pre-explode exchange width derives
+    from input bytes (~64 KB/task), caps at core count, and disappears
+    for tiny or non-local inputs — never bare defaultParallelism (the
+    driver-confirmed r15 regression)."""
+    from nano_vectordb_rs_spark.operators import dedup
+
+    monkeypatch.setenv("SPARK_GRAFT_SIMHASH_WIDTH", "5")
+    assert dedup._simhash_exchange_width(spark, "/root/testdata/sf0.1") == 5
+    monkeypatch.delenv("SPARK_GRAFT_SIMHASH_WIDTH")
+    w = dedup._simhash_exchange_width(spark, "/root/testdata/sf0.1")
+    assert 1 < w <= spark.sparkContext.defaultParallelism
+    # tiny fixture: below one 64 KB task's worth -> exchange elided
+    assert dedup._simhash_exchange_width(spark, "/root/testdata/sf0.001") == 0
+    # unreadable path (object store case): scan splits provide parallelism
+    assert dedup._simhash_exchange_width(spark, "/nonexistent") == 0
