@@ -599,17 +599,25 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-equi-joined ss on shingle (re-deriving the explode subtree for
     # each side) and traversed ss a third time for the totals.
     per_sh = ss.groupBy("shingle").agg(F.collect_set("source").alias("srcs"))
-    totals = (
-        per_sh.select(F.explode("srcs").alias("source"))
-        .groupBy("source")
-        .agg(F.count("*").alias("n"))
-    )
-    shared = (
+    # r16 (§2.4 scan audit): totals ride the SAME pair aggregate as the
+    # shared counts — a shingle contributes the self-pair (s, s) exactly
+    # once per member source, so the diagonal IS the per-source distinct
+    # count. One corpus derivation instead of three (the r15 form still
+    # re-derived per_sh for shared, t_a and t_b — 6 parquet scans in the
+    # plan); the checkpoint is the ≤ #sources² aggregate row set, not a
+    # corpus-sized frame (cluster note: executor-local lineage truncation
+    # on a ~25-row frame is recompute-trivial on executor loss).
+    pair_counts = (
         per_sh.select(F.explode("srcs").alias("src_a"), "srcs")
         .select("src_a", F.explode("srcs").alias("src_b"))
-        .filter(F.col("src_a") < F.col("src_b"))
+        .filter(F.col("src_a") <= F.col("src_b"))
         .groupBy("src_a", "src_b")
         .agg(F.count("*").alias("n_shared"))
+        .localCheckpoint(eager=False)
+    )
+    shared = pair_counts.filter(F.col("src_a") < F.col("src_b"))
+    totals = pair_counts.filter(F.col("src_a") == F.col("src_b")).select(
+        F.col("src_a").alias("source"), F.col("n_shared").alias("n")
     )
     t_a = F.broadcast(
         totals.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))

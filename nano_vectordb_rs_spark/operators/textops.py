@@ -10,6 +10,8 @@ parallel with a tiny shuffle.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -705,6 +707,31 @@ ORDER BY lang, len_bucket
 COLLOC_MIN_COUNT = 5
 COLLOC_TOP = 15
 
+# corpus size below which re-deriving a shared text subtree is cheaper than
+# materializing it (r16, VERDICT r15 task 3): the 8x interleaved probe
+# (4.8 MB corpus, quiet window) measured the vocabulary-sized checkpoint
+# still 0.4 s SLOWER than three re-scans — the rescan is scan-local and
+# parallel, the checkpoint serializes. Above this threshold the saved
+# corpus passes dominate (corpus >> vocabulary at cluster scale).
+CHECKPOINT_MIN_TEXT_BYTES = 64 << 20
+
+
+def _documents_bytes(sf_dir: str) -> int:
+    """On-disk size of the documents table; 'unknown' (object store paths,
+    missing files) reads as LARGE so cluster deployments keep the
+    checkpointed single-derivation form."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return 1 << 40
+
 
 def phrase_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phrase detection via association lift — the word2phrase primitive
@@ -740,12 +767,18 @@ def phrase_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # c_w) frame runs that pass once (guide §2.4; the idf_top_terms /
     # ngram_jaccard subtree discipline). Join strategies stay visible to
     # the plan audit: only the subtree BELOW the checkpoint truncates.
+    # r16: the checkpoint is GATED on corpus size — the 8x probe measured
+    # it still losing to three parallel re-scans on a small corpus (see
+    # CHECKPOINT_MIN_TEXT_BYTES); the saved passes win only once the
+    # corpus dwarfs the vocabulary. Results are identical either way
+    # (same frame, materialized or not).
     uni = (
         toks.select("lang", F.explode("t").alias("word"))
         .groupBy("lang", "word")
         .agg(F.count("*").alias("c_w"))
-        .localCheckpoint(eager=False)
     )
+    if _documents_bytes(sf_dir) >= CHECKPOINT_MIN_TEXT_BYTES:
+        uni = uni.localCheckpoint(eager=False)
     totals = uni.groupBy("lang").agg(F.sum("c_w").alias("n_total"))
 
     bigrams = F.expr(

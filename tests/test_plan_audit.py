@@ -602,3 +602,20 @@ def test_simhash_exchange_width_is_input_sized(spark, monkeypatch):
     assert dedup._simhash_exchange_width(spark, "/root/testdata/sf0.001") == 0
     # unreadable path (object store case): scan splits provide parallelism
     assert dedup._simhash_exchange_width(spark, "/nonexistent") == 0
+
+
+def test_phrase_collocations_checkpoint_gate(spark, monkeypatch):
+    """r16 (VERDICT r15 task 3): the unigram checkpoint is gated on corpus
+    size — small corpora take the parallel re-scan form (measured faster
+    through 8x), forced-large corpora take the checkpointed form, and both
+    branches produce identical rows."""
+    from nano_vectordb_rs_spark.operators import textops
+
+    assert textops._documents_bytes("/root/testdata/sf0.1") > 0
+    # unknown storage reads LARGE: clusters keep the single-derivation form
+    assert textops._documents_bytes("/nonexistent") == 1 << 40
+    df_small = textops.phrase_collocations(spark, "/root/testdata/sf0.001")
+    rows_small = sorted(map(str, df_small.collect()))
+    monkeypatch.setattr(textops, "CHECKPOINT_MIN_TEXT_BYTES", 0)
+    df_ckpt = textops.phrase_collocations(spark, "/root/testdata/sf0.001")
+    assert sorted(map(str, df_ckpt.collect())) == rows_small
