@@ -36,13 +36,27 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min, same as the batch twin
 
+#: sf_dir -> events schema. METADATA memo, not a result cache: the footer
+#: schema is a property of the fixture file, and re-deriving it cost a
+#: full batch-read plan (~0.3-0.4 s of the ~0.4-0.5 s per-query build time
+#: in the r16 drain decomposition) on EVERY streaming-query invocation.
+#: Spark itself caches file listings the same way; all data work still
+#: happens per run.
+_SCHEMA_CACHE: dict[str, T.StructType] = {}
+
+
 def events_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
     """Peek the fixture's batch schema — the ts physical type has varied
     across data drops (nanos-as-long vs timestamp[us]); see
     operators/events.py preamble. File-source streaming needs an explicit
-    schema, so derive it from a cheap batch read of the footer."""
+    schema, so derive it from a cheap batch read of the footer (memoized
+    per directory — guide §1.2: don't recompute what cannot change)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    if sf_dir not in _SCHEMA_CACHE:
+        _SCHEMA_CACHE[sf_dir] = spark.read.parquet(
+            f"{sf_dir}/events.parquet"
+        ).schema
+    return _SCHEMA_CACHE[sf_dir]
 
 
 def ts_us_col(spark: SparkSession, schema: T.StructType):
@@ -306,10 +320,26 @@ def run_available_now(
 
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_ndmb = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+    )
     spark.conf.set(
         "spark.sql.shuffle.partitions",
         os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "2"),
     )
+    # r16 drain decomposition (recentProgress durationMs, warm runs): the
+    # dedup and interval-join drains each ran a ZERO-ROW final micro-batch
+    # costing 1.3-1.8 s — almost all of it state-store commit time (up to
+    # 1.17 s for the join's four stores) — whose only purpose is EAGER
+    # state eviction on a long-running query. A finite availableNow drain
+    # terminates immediately after, so the eviction buys nothing here.
+    # Disabled for the drain and restored after. Correctness: complete-mode
+    # sinks re-emit the full result every data batch, update/append-join
+    # sinks emit eagerly on match/update — none of this harness's callers
+    # is an append-mode AGGREGATION, the one shape that needs the no-data
+    # batch to flush watermark-closed windows (a production deployment of
+    # such a query keeps the default).
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         q = (
             stream_df.writeStream.format("memory")
@@ -327,6 +357,9 @@ def run_available_now(
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndmb
+        )
     return query_name
 
 
