@@ -303,6 +303,15 @@ def _blocked_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.band") == F.col("b.band")),
             (F.col("a.subkey") == F.col("b.subkey")),
         ]
+    # r16 (§2.4 scan audit): assign is consumed by BOTH sides of the
+    # blocking self-join, and each evaluation re-ran the N_CENTROIDS
+    # cosine folds over every vector (O(dim × cells) per row — the
+    # heaviest expression in the query, twice). The checkpoint holds only
+    # (vec_id, label, cell[, band, subkey]) int rows — the §8 "decide
+    # with small rows" proxy — so the scoring pass runs once. Cluster
+    # note: executor-local lineage truncation trades recompute-on-loss
+    # for the saved pass; the frame is ints, N_DUP_PROBE rows per vector.
+    assign = assign.localCheckpoint(eager=False)
     a, b = assign.alias("a"), assign.alias("b")
     cond = F.col("a.vec_id") < F.col("b.vec_id")
     for k in join_keys:
@@ -836,11 +845,31 @@ def crossmodal_dup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     not label-wide all-pairs), and token sets are only computed/joined for
     documents appearing in a pair, never corpus-wide."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = _blocked_near_dup_pairs(spark, sf_dir).select(
-        "id1", "id2", F.col("score").alias("cos_score")
+    # r16 (§2.4 scan audit): pairs fed both the intersection join and the
+    # final report join, so the WHOLE candidate engine (blocking self-join
+    # + exact verify, 4 embedding scans) was evaluated twice; the
+    # checkpoint is the verified near-dup pair list — the decision frame,
+    # tiny relative to the corpus (guide §8).
+    pairs = (
+        _blocked_near_dup_pairs(spark, sf_dir)
+        .select("id1", "id2", F.col("score").alias("cos_score"))
+        .localCheckpoint(eager=False)
     )
-    toks = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    # token sets only for documents that appear in a pair — the docstring's
+    # claim, now physically true BEFORE the explode: the pair-member id set
+    # (≤ 2·|pairs| rows) broadcasts into the docs scan, so the corpus-wide
+    # explode never runs and the pruned (doc_id, tok) frame is checkpointed
+    # once instead of being re-derived for t1/t2/s1/s2 (4 document scans).
+    pair_ids = pairs.select(
+        F.explode(F.array("id1", "id2")).alias("doc_id")
+    ).distinct()
+    toks = (
+        docs.join(F.broadcast(pair_ids), "doc_id")
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+        )
+        .localCheckpoint(eager=False)
     )
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
     t1, t2 = toks.alias("t1"), toks.alias("t2")
