@@ -52,59 +52,110 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       queries whose SOURCE changed since their last green row re-gate; and
       once nothing is unverified, the STALEST greens rotate back through
       (evidence freshness), displacing multiply-green entries to 51+.
-    * ROUND-15 ROTATION (executes the r14 write-ahead queue + VERDICT r14
-      task 2): the union entering r15 is 152/152 green with distribution
-      r11:5 r12:49 r13:48 r14:50 — pure freshness as planned. NOTE: the
-      rotation was committed at the START of r15; the round then turned
-      out to be an OPTIMIZATION round that edited ~35 queries' operator
-      source (OPTIMIZATION_r15.md ledger). Every touched query was
-      re-proven against its DuckDB oracle locally at sf0.001 AND sf0.1
-      (tests/test_oracle_parity.py, stricter than the driver), and the
-      optimization-round driver protocol re-runs EVERY declared query's
-      oracle — so source-change coverage is total this round regardless
-      of gate position; touched queries whose latest driver row predates
-      r15 lead the r16 re-gate queue ahead of pure freshness.
-      - The 5 deferred r11-latest queries first (the oldest evidence in
-        the ledger): tpch_q21_waiting_supplier, tpch_q4_priority,
-        tpch_q9_profit, train_shard_manifest, vocab_coverage_report.
-      - Then the first 44 alphabetically of the 49 r12-latest holders
-        (the same deterministic cut rule r10-r14 used). The remaining 5
-        (tpch_q3_shipping, tpch_q5_regional, tpch_q6_forecast,
-        tpch_q7_nation_trade, tpch_q8_market_share) lead the r16 queue.
-      - Rotated out to 51+: the entire r14 gate block (freshest
-        evidence) and the r13 holders.
-    * Rotation history for rounds <= r14 (which blocks gated when, with
-      per-query detail) lives in PARITY.md §gate — this docstring keeps
-      only the CURRENT rotation and the NEXT queue.
+    * Rotation history for rounds <= r15 (which blocks gated when, with
+      per-query detail) lives in PARITY.md §gate and the committed
+      CORRECTNESS_r* records — this docstring keeps only the CURRENT
+      rotation and the NEXT queue. Entering r16 the union is 152/152
+      green, latest-row distribution r12:5 r13:48 r14:49 r15:50.
     * Entries 51+ keep full local coverage every round via
       tests/test_oracle_parity.py (stricter than the driver: dtype-class +
       unhashable-cell checks).
-    * R16 ROTATION QUEUE (write-ahead note): after r15 no latest row
-      predates r12. The r16 gate order: first, any query whose source
-      r15/r16 touched whose latest driver row predates the change (the
-      OPTIMIZATION_r15.md ledger names them — unless the r15
-      optimization-round protocol already re-ran all 152 oracles, which
-      clears that debt); then the 5 remaining r12-latest queries
-      (tpch_q3_shipping, tpch_q5_regional, tpch_q6_forecast,
-      tpch_q7_nation_trade, tpch_q8_market_share), then the oldest of
-      the r13-latest holders (alphabetical cut, same rule).
+    * ROUND-16 ROTATION (executes the r15 write-ahead queue): r16 is the
+      second optimization round and edited ~12 queries' operator source
+      (OPTIMIZATION_r16.md ledger). Gate order: flagship, then every
+      r16-TOUCHED query (their latest driver rows predate the change),
+      then the 5 remaining r12-latest queries, then the oldest r13-latest
+      holders (alphabetical cut, same rule as r10-r15) to fill 50.
+    * R17 ROTATION QUEUE (write-ahead note): the remaining 14 r13-latest
+      holders (nation_supplier_lists, ngram_novelty_scores,
+      quality_weighted_sample, reference_json_roundtrip,
+      repetition_scores, reservoir_per_key, snapshot_retention_report,
+      snapshot_time_travel, streaming_cdc_apply, tpch_q1_pricing,
+      upsert_merge — plus contamination_check/dup_clusters/
+      dedup_pair_recall if not re-gated sooner), then the r14 block,
+      oldest first.
     """
     return {
-        # ---- r15 gate block (first 50) ------------------------------
+        # ---- r16 gate block (first 50) ------------------------------
         # flagship (kept first every round)
         "knn_topk": knn.knn_topk,
-        # ---- freshness block A: the 5 deferred r11-latest queries
-        # (head of the r14 write-ahead queue; the oldest evidence in
-        # the ledger entering r15) ---------------------------------------
+        # ---- re-gate block: queries whose source r16 touched
+        # (OPTIMIZATION_r16.md items 2, 4, 5, 6, 7, 9) -----------------
+        "crossmodal_dup_check": similarity.crossmodal_dup_check,
+        "cross_source_overlap": dedup.cross_source_overlap,
+        "customer_set_ops": advanced.customer_set_ops,
+        "near_dup_embeddings": similarity.near_dup_embeddings,
+        "phrase_collocations": textops.phrase_collocations,
+        "simhash_docs": dedup.simhash_docs,
+        "streaming_click_attribution": events_stream.streaming_click_attribution,
+        "streaming_dedup_counts": events_stream.streaming_dedup_counts,
+        "streaming_hourly_counts": events_stream.streaming_hourly_counts,
+        "streaming_sessionize_custom": events_stream.streaming_sessionize_custom,
+        # ---- freshness block A: the 5 remaining r12-latest holders
+        # (head of the r15 write-ahead queue) --------------------------
+        "tpch_q3_shipping": relational.tpch_q3_shipping,
+        "tpch_q5_regional": relational.tpch_q5_regional,
+        "tpch_q6_forecast": advanced.tpch_q6_forecast,
+        "tpch_q7_nation_trade": advanced.tpch_q7_nation_trade,
+        "tpch_q8_market_share": relational2.tpch_q8_market_share,
+        # ---- freshness block B: first 34 alphabetically of the
+        # r13-latest holders (deterministic cut, same rule as r10-r15;
+        # the rest lead the r17 queue) ---------------------------------
+        "ann_lsh_topk": similarity.ann_lsh_topk,
+        "ann_pq_codes_topk": similarity.ann_pq_codes_topk,
+        "ann_pq_topk": similarity.ann_pq_topk,
+        "ann_recall": similarity.ann_recall,
+        "bigram_stats": pipeline.bigram_stats,
+        "cdc_apply_report": lifecycle.cdc_apply_report,
+        "cluster_topic_report": pipeline.cluster_topic_report,
+        "contamination_check": dedup.contamination_check,
+        "customer_balance_quartiles_approx": relational2.customer_balance_quartiles_approx,
+        "dedup_keep_best": dedup.dedup_keep_best,
+        "doc_chunk_report": pipeline.doc_chunk_report,
+        "dup_clusters": dedup.dup_clusters,
+        "embedding_outlier_report": pipeline.embedding_outlier_report,
+        "embedding_top_component": pipeline.embedding_top_component,
+        "events_anomaly_report": events.events_anomaly_report,
+        "events_daily_full_outer": events.events_daily_full_outer,
+        "events_distinct_sketch": events.events_distinct_sketch,
+        "events_json_stats": events.events_json_stats,
+        "events_next_transition": events.events_next_transition,
+        "events_props_scrub": events.events_props_scrub,
+        "events_session_window": events.events_session_window,
+        "events_top_users": events.events_top_users,
+        "events_union_slices": events.events_union_slices,
+        "events_value_bands": advanced.events_value_bands,
+        "events_value_drift": events.events_value_drift,
+        "events_value_percentiles_approx": events.events_value_percentiles_approx,
+        "exact_substring_contamination": dedup.exact_substring_contamination,
+        "label_centroids_mergeable": similarity.label_centroids_mergeable,
+        "length_filter_report": pipeline.length_filter_report,
+        "media_feature_stats": multimodal.media_feature_stats,
+        "media_frame_sample": multimodal.media_frame_sample,
+        "media_inventory": multimodal.media_inventory,
+        "media_resize_summary": multimodal.media_resize_summary,
+        "mixture_temperature_weights": textops.mixture_temperature_weights,
+        # ---------------- entry 51+ (full local coverage every round
+        # via test_oracle_parity) ---------------------------------------
+        # r13-latest holders past the alphabetical cut — they lead the
+        # r17 queue:
+        "nation_supplier_lists": relational2.nation_supplier_lists,
+        "ngram_novelty_scores": dedup.ngram_novelty_scores,
+        "quality_weighted_sample": pipeline.quality_weighted_sample,
+        "reference_json_roundtrip": lifecycle.reference_json_roundtrip,
+        "repetition_scores": textops.repetition_scores,
+        "reservoir_per_key": pipeline.reservoir_per_key,
+        "snapshot_retention_report": lifecycle.snapshot_retention_report,
+        "snapshot_time_travel": lifecycle.snapshot_time_travel,
+        "streaming_cdc_apply": collection_stream.streaming_cdc_apply,
+        "tpch_q1_pricing": relational.tpch_q1_pricing,
+        "upsert_merge": crud.upsert_merge,
+        # r15 gate block (rotated out; freshest evidence after r14):
         "tpch_q21_waiting_supplier": relational2.tpch_q21_waiting_supplier,
         "tpch_q4_priority": relational3.tpch_q4_priority,
         "tpch_q9_profit": relational3.tpch_q9_profit,
         "train_shard_manifest": pipeline.train_shard_manifest,
         "vocab_coverage_report": pipeline.vocab_coverage_report,
-        # ---- freshness block B: first 44 alphabetically of the 49
-        # r12-latest holders (deterministic cut, same rule as r10-r14;
-        # the remaining 5 lead the r16 queue). No source-change re-gates
-        # this round: zero operator-source edits in r15. -----------------
         "ann_ivf_pq_topk": similarity.ann_ivf_pq_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "compact_roundtrip_stats": lifecycle.compact_roundtrip_stats,
@@ -137,7 +188,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_fingerprints": multimodal.media_fingerprints,
         "minhash_index_merge_stats": dedup.minhash_index_merge_stats,
         "minhash_near_dup_docs": dedup.minhash_near_dup_docs,
-        "near_dup_embeddings": similarity.near_dup_embeddings,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "normalize_all": crud.normalize_all,
         "normalized_dedup_docs": dedup.normalized_dedup_docs,
@@ -146,70 +196,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": textops.quality_scores,
         "save_roundtrip_stats": lifecycle.save_roundtrip_stats,
         "semantic_search_docs": similarity.semantic_search_docs,
-        "simhash_docs": dedup.simhash_docs,
         "snapshot_diff_report": lifecycle.snapshot_diff_report,
         "tpch_q22_idle_rich": relational2.tpch_q22_idle_rich,
-        # ---------------- entry 51+ (full local coverage every round
-        # via test_oracle_parity) ---------------------------------------
-        # the 5 remaining r12-latest holders — they lead the r16 queue:
-        "tpch_q3_shipping": relational.tpch_q3_shipping,
-        "tpch_q5_regional": relational.tpch_q5_regional,
-        "tpch_q6_forecast": advanced.tpch_q6_forecast,
-        "tpch_q7_nation_trade": advanced.tpch_q7_nation_trade,
-        "tpch_q8_market_share": relational2.tpch_q8_market_share,
-        # r13-latest holders (rotated out; next after the r16 queue):
-        "ann_lsh_topk": similarity.ann_lsh_topk,
-        "ann_pq_codes_topk": similarity.ann_pq_codes_topk,
-        "ann_pq_topk": similarity.ann_pq_topk,
-        "ann_recall": similarity.ann_recall,
-        "bigram_stats": pipeline.bigram_stats,
-        "cdc_apply_report": lifecycle.cdc_apply_report,
-        "cluster_topic_report": pipeline.cluster_topic_report,
-        "contamination_check": dedup.contamination_check,
-        "cross_source_overlap": dedup.cross_source_overlap,
-        "crossmodal_dup_check": similarity.crossmodal_dup_check,
-        "customer_balance_quartiles_approx": relational2.customer_balance_quartiles_approx,
-        "dedup_keep_best": dedup.dedup_keep_best,
-        "doc_chunk_report": pipeline.doc_chunk_report,
-        "dup_clusters": dedup.dup_clusters,
-        "embedding_outlier_report": pipeline.embedding_outlier_report,
-        "embedding_top_component": pipeline.embedding_top_component,
-        "events_anomaly_report": events.events_anomaly_report,
-        "events_daily_full_outer": events.events_daily_full_outer,
-        "events_distinct_sketch": events.events_distinct_sketch,
-        "events_json_stats": events.events_json_stats,
-        "events_next_transition": events.events_next_transition,
-        "events_props_scrub": events.events_props_scrub,
-        "events_session_window": events.events_session_window,
-        "events_top_users": events.events_top_users,
-        "events_union_slices": events.events_union_slices,
-        "events_value_bands": advanced.events_value_bands,
-        "events_value_drift": events.events_value_drift,
-        "events_value_percentiles_approx": events.events_value_percentiles_approx,
-        "exact_substring_contamination": dedup.exact_substring_contamination,
-        "label_centroids_mergeable": similarity.label_centroids_mergeable,
-        "length_filter_report": pipeline.length_filter_report,
-        "media_feature_stats": multimodal.media_feature_stats,
-        "media_frame_sample": multimodal.media_frame_sample,
-        "media_inventory": multimodal.media_inventory,
-        "media_resize_summary": multimodal.media_resize_summary,
-        "mixture_temperature_weights": textops.mixture_temperature_weights,
-        "nation_supplier_lists": relational2.nation_supplier_lists,
-        "ngram_novelty_scores": dedup.ngram_novelty_scores,
-        "phrase_collocations": textops.phrase_collocations,
-        "quality_weighted_sample": pipeline.quality_weighted_sample,
-        "reference_json_roundtrip": lifecycle.reference_json_roundtrip,
-        "repetition_scores": textops.repetition_scores,
-        "reservoir_per_key": pipeline.reservoir_per_key,
-        "snapshot_retention_report": lifecycle.snapshot_retention_report,
-        "snapshot_time_travel": lifecycle.snapshot_time_travel,
-        "streaming_cdc_apply": collection_stream.streaming_cdc_apply,
-        "tpch_q1_pricing": relational.tpch_q1_pricing,
-        "upsert_merge": crud.upsert_merge,
-        # r14 gate block (freshest evidence; rotated out):
+        # r14 gate block (rotated out):
         "compaction_plan": pipeline.compaction_plan,
         "customer_balance_quartiles": relational2.customer_balance_quartiles,
-        "customer_set_ops": advanced.customer_set_ops,
         "customers_without_orders": advanced.customers_without_orders,
         "dedup_funnel_report": dedup.dedup_funnel_report,
         "dedup_pair_recall": dedup.dedup_pair_recall,
@@ -231,11 +222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_rollup": relational2.sales_rollup,
         "skew_salted_join": advanced.skew_salted_join,
         "stratified_sample_docs": pipeline.stratified_sample_docs,
-        "streaming_click_attribution": events_stream.streaming_click_attribution,
         "streaming_collection_upsert": collection_stream.streaming_collection_upsert,
-        "streaming_dedup_counts": events_stream.streaming_dedup_counts,
-        "streaming_hourly_counts": events_stream.streaming_hourly_counts,
-        "streaming_sessionize_custom": events_stream.streaming_sessionize_custom,
         "supplier_nation_rank": advanced.supplier_nation_rank,
         "supplier_percent_rank": relational2.supplier_percent_rank,
         "supplier_trailing_revenue": relational2.supplier_trailing_revenue,
