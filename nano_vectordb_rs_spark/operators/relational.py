@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nano_vectordb_rs_spark.sources.tables import load_table
+from nano_vectordb_rs_spark.sources.tables import input_sized_width, load_table
 
 DEC = "decimal(28,10)"
 
@@ -46,7 +46,17 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One pass over lineitem; Catalyst pushes the shipdate filter into the
     Parquet scan; partial aggregation means the shuffle carries only
-    (flag,status) groups — 6 rows regardless of input size."""
+    (flag,status) groups — 6 rows regardless of input size.
+
+    r16: when the scan has fewer splits than cores (the single-row-group
+    fixture → ONE task), the eight decimal aggregates serialize onto one
+    core; an input-sized round-robin exchange of the projected measures
+    spreads them (interleaved width sweep at sf0.1, rotated order:
+    width 0 → 1.24/1.52 s min/med, 8 → 0.97/1.03, 16 → 0.91/1.22,
+    32 → 0.92/0.99; results asserted identical — decimal addition is
+    exactly associative, so partial/final re-splits cannot change a sum).
+    input_sized_width returns 0 once the scan provides core-count splits,
+    so at corpus scale the exchange vanishes (guide §2.2/§2.5)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp_ntz")
     )
@@ -63,6 +73,9 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("l_extendedprice * (1 - l_discount) * (1 + l_tax)").cast(DEC).alias("_ch"),
         F.col("l_discount").cast(DEC).alias("_disc"),
     )
+    w = input_sized_width(spark, sf_dir, "lineitem", 1 << 20)
+    if w > 1:
+        pre = pre.repartition(w)
     return (
         pre.groupBy("l_returnflag", "l_linestatus")
         .agg(

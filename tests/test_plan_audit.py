@@ -619,3 +619,15 @@ def test_phrase_collocations_checkpoint_gate(spark, monkeypatch):
     monkeypatch.setattr(textops, "CHECKPOINT_MIN_TEXT_BYTES", 0)
     df_ckpt = textops.phrase_collocations(spark, "/root/testdata/sf0.001")
     assert sorted(map(str, df_ckpt.collect())) == rows_small
+
+
+def test_input_sized_width_policy(spark):
+    """r16: the shared unstarve-width helper derives from input bytes,
+    caps at core count, and returns 0 (no exchange) for tiny inputs,
+    unreadable paths, or scans that already provide core-count splits."""
+    from nano_vectordb_rs_spark.sources.tables import input_sized_width
+
+    w = input_sized_width(spark, "/root/testdata/sf0.1", "lineitem", 1 << 20)
+    assert 1 < w <= spark.sparkContext.defaultParallelism
+    assert input_sized_width(spark, "/root/testdata/sf0.001", "lineitem", 1 << 20) == 0
+    assert input_sized_width(spark, "/nonexistent", "lineitem", 1 << 20) == 0
