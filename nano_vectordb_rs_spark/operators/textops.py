@@ -21,7 +21,7 @@ from nano_vectordb_rs_spark.functions.text import (
     occurrences,
     predicted_lang_case,
 )
-from nano_vectordb_rs_spark.sources.tables import load_table
+from nano_vectordb_rs_spark.sources.tables import input_sized_width, load_table
 
 DEC = "decimal(28,10)"
 
@@ -886,8 +886,16 @@ def pii_scrub_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: scan-local projection (concat + two regexp_replace + md5)
     followed by one source-keyed aggregation whose checksum is a
     commutative SUM (map-side combines; O(1) state per key — the same
-    mergeable-checksum trick as events_props_scrub)."""
+    mergeable-checksum trick as events_props_scrub).
+
+    r16: that projection ran on the single-row-group fixture scan's ONE
+    task; an input-sized exchange spreads the regex work (interleaved
+    A/B at sf0.1: med 0.64 → 0.45 s, results identical — the checksum is
+    a commutative sum). Width 0 at corpus scale (guide §2.2/§2.5)."""
     docs = load_table(spark, sf_dir, "documents")
+    uw = input_sized_width(spark, sf_dir, "documents", 64 << 10)
+    if uw > 1:
+        docs = docs.repartition(uw)
     idc = F.col("doc_id")
     email_sfx = F.when(
         idc % 13 == 0,
