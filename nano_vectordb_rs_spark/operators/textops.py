@@ -69,8 +69,15 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram-marker language ID: per-language marker-occurrence scores →
     argmax with deterministic tie-break → confusion counts vs the labeled
     ``lang`` column. (Heuristic, deliberately cheap: three substring counts
-    per language, all scan-local.)"""
+    per language, all scan-local.)
+
+    r16: "cheap" × 15 markers still serialized on the single-task fixture
+    scan; input-sized exchange, med 0.63 → 0.48 s (interleaved A/B,
+    identical rows), width 0 at corpus scale."""
     docs = load_table(spark, sf_dir, "documents")
+    uw = input_sized_width(spark, sf_dir, "documents", 64 << 10)
+    if uw > 1:
+        docs = docs.repartition(uw)
     scored = docs.select(
         "lang",
         *[
@@ -133,8 +140,16 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword ratio → a [0,1]-ish score; aggregated per (lang, source-bucket).
 
     Every intermediate is integer or a per-row double op, the aggregate goes
-    through DECIMAL — hash-stable at any parallelism."""
+    through DECIMAL — hash-stable at any parallelism.
+
+    r16: input-sized exchange off the single-task fixture scan (med
+    0.52 → 0.47 s, interleaved A/B, identical rows — the docstring's
+    "hash-stable at any parallelism" is exactly the license); width 0 at
+    corpus scale."""
     docs = load_table(spark, sf_dir, "documents")
+    uw = input_sized_width(spark, sf_dir, "documents", 64 << 10)
+    if uw > 1:
+        docs = docs.repartition(uw)
     return (
         docs.select("lang", quality_col().alias("q"))
         .groupBy("lang")
@@ -200,8 +215,16 @@ DUCK_SHINGLE_FP_EXPR = (
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 4-word-shingle fingerprint (winnowing-lite): the minimum md5
     over a doc's shingles is its fingerprint; report per-source distinct
-    fingerprints + a deterministic sample of fingerprint prefixes."""
+    fingerprints + a deterministic sample of fingerprint prefixes.
+
+    r16: the per-shingle md5 chain ran on the single-row-group scan's ONE
+    task; an input-sized exchange spreads it (interleaved A/B at sf0.1:
+    med 0.90 → 0.56 s, identical rows). Width 0 at corpus scale — see
+    input_sized_width (guide §2.2/§2.5)."""
     docs = load_table(spark, sf_dir, "documents")
+    uw = input_sized_width(spark, sf_dir, "documents", 64 << 10)
+    if uw > 1:
+        docs = docs.repartition(uw)
     # bind split() ONCE as a column: Catalyst cannot CSE a subexpression into
     # a lambda body, so inlining split(text) there would re-tokenize the whole
     # document for every shingle term — O(words²) instead of O(words)
