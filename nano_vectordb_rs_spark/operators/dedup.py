@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from nano_vectordb_rs_spark.sources.tables import load_table
+from nano_vectordb_rs_spark.sources.tables import input_sized_width, load_table
 
 N_HASHES = 8
 N_BANDS = 4  # rows-per-band = 2
@@ -716,6 +716,12 @@ def exact_substring_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # r16: the window explode + md5 bucketing ran on the single-task
+    # fixture scan; input-sized exchange (interleaved A/B at sf0.1: med
+    # 1.63 → 1.13 s, identical rows), width 0 at corpus scale.
+    uw = input_sized_width(spark, sf_dir, "documents", 64 << 10)
+    if uw > 1:
+        docs = docs.repartition(uw)
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("bigint") % 100
