@@ -61,36 +61,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       tests/test_oracle_parity.py (stricter than the driver: dtype-class +
       unhashable-cell checks).
     * ROUND-16 ROTATION (executes the r15 write-ahead queue): r16 is the
-      second optimization round and edited ~12 queries' operator source
+      second optimization round and edited 20 queries' operator source
       (OPTIMIZATION_r16.md ledger). Gate order: flagship, then every
       r16-TOUCHED query (their latest driver rows predate the change),
       then the 5 remaining r12-latest queries, then the oldest r13-latest
       holders (alphabetical cut, same rule as r10-r15) to fill 50.
-    * R17 ROTATION QUEUE (write-ahead note): the remaining 14 r13-latest
-      holders (nation_supplier_lists, ngram_novelty_scores,
+    * R17 ROTATION QUEUE (write-ahead note): first any r17-touched
+      queries, then the remaining r13-latest holders past this round's
+      cut (events_value_percentiles_approx, label_centroids_mergeable,
+      length_filter_report, media_feature_stats, media_frame_sample,
+      media_inventory, media_resize_summary, mixture_temperature_weights,
+      nation_supplier_lists, ngram_novelty_scores,
       quality_weighted_sample, reference_json_roundtrip,
       repetition_scores, reservoir_per_key, snapshot_retention_report,
-      snapshot_time_travel, streaming_cdc_apply, tpch_q1_pricing,
-      upsert_merge — plus contamination_check/dup_clusters/
-      dedup_pair_recall if not re-gated sooner), then the r14 block,
-      oldest first.
+      snapshot_time_travel, streaming_cdc_apply, upsert_merge), then the
+      r14 block, oldest first.
     """
     return {
         # ---- r16 gate block (first 50) ------------------------------
         # flagship (kept first every round)
         "knn_topk": knn.knn_topk,
         # ---- re-gate block: queries whose source r16 touched
-        # (OPTIMIZATION_r16.md items 2, 4, 5, 6, 7, 9) -----------------
+        # (OPTIMIZATION_r16.md ledger) ---------------------------------
+        "bigram_stats": pipeline.bigram_stats,
         "crossmodal_dup_check": similarity.crossmodal_dup_check,
         "cross_source_overlap": dedup.cross_source_overlap,
         "customer_set_ops": advanced.customer_set_ops,
+        "doc_fingerprints": textops.doc_fingerprints,
+        "exact_substring_contamination": dedup.exact_substring_contamination,
+        "hybrid_search_rrf": retrieval.hybrid_search_rrf,
+        "knn_join": similarity.knn_join,
+        "lang_id": textops.lang_id,
+        "lexical_search_docs": retrieval.lexical_search_docs,
         "near_dup_embeddings": similarity.near_dup_embeddings,
         "phrase_collocations": textops.phrase_collocations,
+        "pii_scrub_report": textops.pii_scrub_report,
+        "quality_scores": textops.quality_scores,
         "simhash_docs": dedup.simhash_docs,
         "streaming_click_attribution": events_stream.streaming_click_attribution,
         "streaming_dedup_counts": events_stream.streaming_dedup_counts,
         "streaming_hourly_counts": events_stream.streaming_hourly_counts,
         "streaming_sessionize_custom": events_stream.streaming_sessionize_custom,
+        "tpch_q1_pricing": relational.tpch_q1_pricing,
         # ---- freshness block A: the 5 remaining r12-latest holders
         # (head of the r15 write-ahead queue) --------------------------
         "tpch_q3_shipping": relational.tpch_q3_shipping,
@@ -98,14 +110,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6_forecast": advanced.tpch_q6_forecast,
         "tpch_q7_nation_trade": advanced.tpch_q7_nation_trade,
         "tpch_q8_market_share": relational2.tpch_q8_market_share,
-        # ---- freshness block B: first 34 alphabetically of the
+        # ---- freshness block B: first 24 alphabetically of the
         # r13-latest holders (deterministic cut, same rule as r10-r15;
         # the rest lead the r17 queue) ---------------------------------
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "ann_pq_codes_topk": similarity.ann_pq_codes_topk,
         "ann_pq_topk": similarity.ann_pq_topk,
         "ann_recall": similarity.ann_recall,
-        "bigram_stats": pipeline.bigram_stats,
         "cdc_apply_report": lifecycle.cdc_apply_report,
         "cluster_topic_report": pipeline.cluster_topic_report,
         "contamination_check": dedup.contamination_check,
@@ -126,8 +137,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_union_slices": events.events_union_slices,
         "events_value_bands": advanced.events_value_bands,
         "events_value_drift": events.events_value_drift,
+        # ---------------- entry 51+ (full local coverage every round
+        # via test_oracle_parity) ---------------------------------------
+        # r13-latest holders past the alphabetical cut — they lead the
+        # r17 queue:
         "events_value_percentiles_approx": events.events_value_percentiles_approx,
-        "exact_substring_contamination": dedup.exact_substring_contamination,
         "label_centroids_mergeable": similarity.label_centroids_mergeable,
         "length_filter_report": pipeline.length_filter_report,
         "media_feature_stats": multimodal.media_feature_stats,
@@ -135,10 +149,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_inventory": multimodal.media_inventory,
         "media_resize_summary": multimodal.media_resize_summary,
         "mixture_temperature_weights": textops.mixture_temperature_weights,
-        # ---------------- entry 51+ (full local coverage every round
-        # via test_oracle_parity) ---------------------------------------
-        # r13-latest holders past the alphabetical cut — they lead the
-        # r17 queue:
         "nation_supplier_lists": relational2.nation_supplier_lists,
         "ngram_novelty_scores": dedup.ngram_novelty_scores,
         "quality_weighted_sample": pipeline.quality_weighted_sample,
@@ -148,7 +158,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_retention_report": lifecycle.snapshot_retention_report,
         "snapshot_time_travel": lifecycle.snapshot_time_travel,
         "streaming_cdc_apply": collection_stream.streaming_cdc_apply,
-        "tpch_q1_pricing": relational.tpch_q1_pricing,
         "upsert_merge": crud.upsert_merge,
         # r15 gate block (rotated out; freshest evidence after r14):
         "tpch_q21_waiting_supplier": relational2.tpch_q21_waiting_supplier,
@@ -162,7 +171,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_budget_report": textops.corpus_budget_report,
         "count_stats": crud.count_stats,
         "delete_by_ids": crud.delete_by_ids,
-        "doc_fingerprints": textops.doc_fingerprints,
         "docs_length_histogram": textops.docs_length_histogram,
         "docs_split_assignment": textops.docs_split_assignment,
         "domain_mixture_weights": textops.domain_mixture_weights,
@@ -176,15 +184,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_seq": events.events_user_seq,
         "exact_dedup_docs": dedup.exact_dedup_docs,
         "get_by_ids": crud.get_by_ids,
-        "hybrid_search_rrf": retrieval.hybrid_search_rrf,
         "idf_top_terms": textops.idf_top_terms,
         "kmeans_embeddings": pipeline.kmeans_embeddings,
         "knn_filtered": knn.knn_filtered,
-        "knn_join": similarity.knn_join,
         "knn_threshold": knn.knn_threshold,
         "label_centroids": similarity.label_centroids,
-        "lang_id": textops.lang_id,
-        "lexical_search_docs": retrieval.lexical_search_docs,
         "media_fingerprints": multimodal.media_fingerprints,
         "minhash_index_merge_stats": dedup.minhash_index_merge_stats,
         "minhash_near_dup_docs": dedup.minhash_near_dup_docs,
@@ -192,8 +196,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_all": crud.normalize_all,
         "normalized_dedup_docs": dedup.normalized_dedup_docs,
         "pack_sequences": pipeline.pack_sequences,
-        "pii_scrub_report": textops.pii_scrub_report,
-        "quality_scores": textops.quality_scores,
         "save_roundtrip_stats": lifecycle.save_roundtrip_stats,
         "semantic_search_docs": similarity.semantic_search_docs,
         "snapshot_diff_report": lifecycle.snapshot_diff_report,
