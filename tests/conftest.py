@@ -37,9 +37,15 @@ def duck():
     # tiny fixtures; a 4 GB floor keeps block allocation viable and lets
     # the spill dir absorb the rest.
     con.execute("SET threads=8")
-    # cap = min(24GB, ~60% of MemAvailable) so the limit stays below real
-    # memory under JVM co-residency on smaller hosts (a cap above physical
-    # RAM still OOM-kills); NVDB_DUCK_MEM overrides (r12, ADVICE)
+    # cap = min(8GB, ~60% of MemAvailable), floor 4GB. 8, not 24 (r16):
+    # the ann_recall oracle (a 300KB five-CTE plan) runs at ~2GB peak
+    # under a tight limit (measured standalone, 4GB cap) but under the
+    # old 24GB cap DuckDB admits far more pinned operator state across
+    # its threads before spilling and the buffer manager still died on a
+    # 16KiB block mid-suite (VERIFY_r15 and one r16 full-suite run, both
+    # on ann_recall; the same test passes in isolation). A small limit
+    # with the disk spill dir is strictly more robust here and costs
+    # nothing at fixture scale. NVDB_DUCK_MEM overrides (r12, ADVICE).
     mem = os.environ.get("NVDB_DUCK_MEM")
     if mem is None:
         try:
@@ -49,9 +55,9 @@ def duck():
                     for line in fh
                     if line.startswith("MemAvailable:")
                 )
-            mem = f"{min(24, max(4, int(avail_kb * 0.6 / 1e6)))}GB"
+            mem = f"{min(8, max(4, int(avail_kb * 0.6 / 1e6)))}GB"
         except (OSError, StopIteration):
-            mem = "24GB"
+            mem = "8GB"
     con.execute(f"SET memory_limit='{mem}'")
     for t in TABLES:
         con.execute(
